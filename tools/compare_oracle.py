@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ spark-parquet result and runs the
+corresponding SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
+sfDir parquet tables; compares row counts, column names, and values
+(columns sorted by name, rows sorted canonically, exact equality).
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except Exception:
+        pass
+    return v
+
+def table_rows(rel):
+    cols = [d[0] for d in rel.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(canon(r[i]) for i in order) for r in rel.fetchall()]
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return sorted(cols), rows
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        spark_dir = f"{out_dir}/{name}"
+        if not glob.glob(f"{spark_dir}/*.parquet"):
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            scols, srows = table_rows(
+                con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"))
+            ocols, orows = table_rows(con.sql(oracle[name]))
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            n_fail += 1
+        elif len(srows) != len(orows):
+            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+            n_fail += 1
+        elif srows != orows:
+            diff = next(i for i, (a, b) in enumerate(zip(srows, orows)) if a != b)
+            print(f"FAIL {name}: value mismatch at sorted-row {diff}:")
+            print(f"  spark : {srows[diff]}")
+            print(f"  oracle: {orows[diff]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
