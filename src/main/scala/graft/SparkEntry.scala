@@ -199,6 +199,79 @@ object SparkEntry {
         threshold = 0.3)
     }),
 
+    // Same result as q15, computed by the bounded-heap TypedImperativeAggregate
+    // instead of a Window sort (map-side partial top-k, no global sort) —
+    // verified against the identical SQL-window oracle.
+    "q19_topk_heap" -> ((s, dir) => {
+      graft.operators.Similarity.bruteForceTopKHeap(
+        table(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        table(s, dir, "embeddings").filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        k = 10)
+    }),
+
+    // Language-ID heuristic (stopword-profile argmax, codegen-friendly).
+    "q20_lang_id" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.languageId(col("text")).as("lang_pred"))
+    }),
+
+    // Composite document quality score (Gopher/C4-style heuristics).
+    "q21_quality" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard-verified; the oracle is the
+    // exhaustive shingle-share join — LSH recall at the corpus's J≥0.9
+    // planted dups is 1-1e-12, so outputs match exactly.
+    "q22_minhash_neardup" -> ((s, dir) => {
+      graft.operators.TextDedup.minhashNearDupPairs(
+        table(s, dir, "documents"), col("doc_id"), col("text"), threshold = 0.5)
+    }),
+
+    // SimHash near-dup pairs (chunk-blocked Hamming join; exact for the
+    // distance bound by pigeonhole). Not SQL-expressible → rows-only check.
+    "q23_simhash_hamming" -> ((s, dir) => {
+      graft.operators.TextDedup.simhashNearDupPairs(
+        table(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 2)
+    }),
+
+    // IVF-style ANN: sign-hash cells prune candidates before scoring.
+    "q24_ivf_topk" -> ((s, dir) => {
+      graft.operators.Similarity.ivfTopK(
+        table(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        table(s, dir, "embeddings").filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        k = 10)
+    }),
+
+    // Hierarchical aggregation (ROLLUP grouping sets).
+    "q25_rollup" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    // The q11 aggregation executed as a Structured Streaming query
+    // (readStream → watermark → windowed agg → memory sink), then returned
+    // as its final batch result — checked against the same SQL oracle.
+    "q26_stream_hourly" -> ((s, dir) => {
+      // brace-glob so the file-stream source resolves basePath to the dir
+      graft.streaming.StreamingOps.hourlyEventCountsStreaming(s, s"$dir/{events}.parquet")
+    }),
+
+    // Typed sessionization (KeyValueGroupedDataset.mapGroups) — same
+    // output as the window/lag formulation q12.
+    "q27_sessionize_typed" -> ((s, dir) => {
+      graft.streaming.StreamingOps.sessionCountsTyped(events(s, dir))
+    }),
+
     // Reference normalize path (P1-P4): rename → validate → null-fill →
     // project, over the embeddings table mapped into the documents schema.
     "q17_normalize" -> ((s, dir) => {
@@ -318,6 +391,100 @@ object SparkEntry {
 
     "q17_normalize" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings""",
+
+    "q19_topk_heap" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score FROM q CROSS JOIN c),
+        |r AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    "q20_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN contains(t, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' and ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' to ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' is ') THEN 1 ELSE 0 END) AS en,
+        |    (CASE WHEN contains(t, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' die ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' und ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' ist ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' das ') THEN 1 ELSE 0 END) AS de,
+        |    (CASE WHEN contains(t, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' de ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' que ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' es ') THEN 1 ELSE 0 END) AS es,
+        |    (CASE WHEN contains(t, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' la ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' et ') THEN 1 ELSE 0 END + CASE WHEN contains(t, ' est ') THEN 1 ELSE 0 END
+        |     + CASE WHEN contains(t, ' les ') THEN 1 ELSE 0 END) AS fr
+        |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents))
+        |SELECT doc_id,
+        |  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+        |       WHEN fr = greatest(en, de, es, fr) THEN 'fr'
+        |       WHEN es = greatest(en, de, es, fr) THEN 'es'
+        |       WHEN en = greatest(en, de, es, fr) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q21_quality" ->
+      """SELECT doc_id,
+        |  ROUND(
+        |    (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.4
+        |    + (CASE WHEN CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / greatest(len(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.3
+        |    + (CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+        |          w -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'], w))) AS DOUBLE)
+        |              / greatest(len(string_split(lower(text), ' ')), 1) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.3,
+        |  4) AS quality
+        |FROM documents""".stripMargin,
+
+    "q22_minhash_neardup" ->
+      """WITH big AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM (SELECT doc_id, unnest(bg) AS g FROM big) a
+        |  JOIN (SELECT doc_id, unnest(bg) AS g FROM big) b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_intersect(x.bg, y.bg)) AS DOUBLE) / len(list_distinct(list_concat(x.bg, y.bg))) AS jac
+        |  FROM pairs JOIN big x ON x.doc_id = id_a JOIN big y ON y.doc_id = id_b)
+        |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5""".stripMargin,
+
+    "q24_ivf_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS nid, embedding::DOUBLE[] AS v,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+        |  FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score FROM q JOIN c ON q.cell = c.cell),
+        |r AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    "q25_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q26_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+    "q27_sessionize_typed" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+        |    LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) AS prev_ns
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
 
     "q18_fingerprint" ->
       """SELECT doc_id, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp

@@ -1,0 +1,172 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import org.apache.spark.sql.types._
+
+/** Bounded max-heap state: keeps the k best (score, id) pairs, "best" =
+  * highest score, ties broken by smaller id (matching
+  * `ORDER BY score DESC, id ASC`). Backed by a size-k binary min-heap on
+  * that ordering so every update is O(log k) with zero allocation.
+  */
+final class TopKHeap(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size: Int = 0
+
+  /** true if (s1,i1) is worse than (s2,i2) — i.e. ranks lower. */
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  def insert(s: Double, id: Long): Unit = {
+    if (size < k) {
+      var i = size
+      scores(i) = s; ids(i) = id; size += 1
+      // sift up (root = worst of the kept set)
+      while (i > 0 && worse(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        swap(i, p); i = p
+      }
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      siftDown(0)
+    }
+  }
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var m = i
+      if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) done = true else { swap(i, m); i = m }
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  def mergeFrom(other: TopKHeap): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  /** (score, id) pairs best-first. */
+  def sortedDesc: Array[(Double, Long)] =
+    (0 until size).map(i => (scores(i), ids(i))).toArray
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+}
+
+/** `top_k_by_score(score, id, k)` — a `TypedImperativeAggregate` that keeps
+  * only the k best rows per group in a fixed-size heap.
+  *
+  * Why it exists: the Window formulation of per-query top-k
+  * (`row_number() over (partition by qid order by score desc)`) shuffles
+  * and *sorts every scored candidate*. At 100 TB of candidates that sort is
+  * the bottleneck. This aggregate is algebraic in the Spark sense — it has
+  * partial aggregation, so each map task reduces its candidates to k rows
+  * before the shuffle; the shuffle then moves only `k × #queries × #tasks`
+  * rows instead of the full cross product, and no global sort happens.
+  *
+  * Returns `array<struct<score double, id long>>` best-first; pair with
+  * `posexplode` to recover (rnk, score, id) rows.
+  */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKHeap] {
+
+  require(k > 0, "k must be > 0")
+
+  override def children: Seq[Expression] = Seq(score, id)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType &&
+      (id.dataType == LongType || id.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by_score expects (double, long) inputs, got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  private lazy val idIsInt = id.dataType == IntegerType
+
+  override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val idv = if (idIsInt) i.asInstanceOf[Int].toLong else i.asInstanceOf[Long]
+      buffer.insert(s.asInstanceOf[Double], idv)
+    }
+    buffer
+  }
+
+  override def merge(buffer: TopKHeap, input: TopKHeap): TopKHeap = {
+    buffer.mergeFrom(input); buffer
+  }
+
+  override def eval(buffer: TopKHeap): Any =
+    new GenericArrayData(buffer.sortedDesc.map { case (s, i) =>
+      InternalRow(s, i)
+    }.asInstanceOf[Array[Any]])
+
+  override def serialize(buffer: TopKHeap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) {
+      out.writeDouble(buffer.scores(i)); out.writeLong(buffer.ids(i)); i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val h = new TopKHeap(k)
+    var i = 0
+    while (i < n) { h.insert(in.readDouble(), in.readLong()); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(score = newChildren(0), id = newChildren(1))
+
+  override def prettyName: String = "top_k_by_score"
+}
+
+object TopKByScore {
+  /** Column-API entry: `df.groupBy("qid").agg(TopKByScore.topK($"s", $"id", 10))`. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKByScore(
+        GraftSqlBridge.expression(score),
+        GraftSqlBridge.expression(id), k).toAggregateExpression())
+}

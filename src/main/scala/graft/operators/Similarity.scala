@@ -38,6 +38,27 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
   }
 
+  /** Same contract as [[bruteForceTopK]], but the per-query selection runs
+    * through the bounded-heap [[graft.functions.TopKByScore]] aggregate
+    * instead of a Window sort: partial aggregation reduces every map task
+    * to ≤k rows per query *before* the shuffle, and no global sort of the
+    * scored stream ever happens. This is the formulation that survives
+    * 100 TB of candidates.
+    */
+  def bruteForceTopKHeap(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("qvec").cast("array<double>").as("qv")))
+    val scored = candidates
+      .select(col("nid"), col("nvec").cast("array<double>").as("v"))
+      .crossJoin(q)
+      .select(col("qid"), col("nid"),
+        GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKByScore.topK(col("score_raw"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("nid"),
+        round(col("col.score"), 4).as("score"), (col("pos") + 1).as("rnk"))
+  }
+
   /** IVF-style approximate top-k: assign each candidate to one of `nlist`
     * cells, compute per-query cell affinity against broadcast centroids,
     * score only candidates in the query's best `nprobe` cells.

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming operators over the events stream.
+  *
+  * The reference has no streaming surface (SURVEY §2A end-note); this is
+  * the §2B design realized: the same declarative aggregation plan runs in
+  * batch or incremental mode, and gap-based sessionization is expressed as
+  * explicit keyed state with `flatMapGroupsWithState`.
+  */
+object StreamingOps {
+
+  final case class RawEvent(
+      event_id: Long, ts_ns: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(
+      user_id: Long, session_start_ns: Long, session_end_ns: Long, n_events: Long)
+
+  final case class SessionState(startNs: Long, lastNs: Long, count: Long)
+
+  val eventsReadSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly tumbling-window counts as a *streaming* query: reads the events
+    * parquet through `readStream`, aggregates with a watermark, runs the
+    * stream to completion into a memory sink, and returns the final result
+    * as a batch DataFrame (same shape as the batch q11 plan — that
+    * equivalence is the point).
+    */
+  def hourlyEventCountsStreaming(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val stream = spark.readStream
+      .schema(eventsReadSchema)
+      .parquet(eventsPath)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** Batch-typed sessionization via `KeyValueGroupedDataset.mapGroups`:
+    * per-user event sort, session break at gaps > `gapNs`. Typed
+    * counterpart of the window/lag SQL formulation (q12) — same output.
+    */
+  def sessionCountsTyped(events: DataFrame, gapNs: Long = 1800L * 1000000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id").cast("long"), col("ts_ns").cast("long"),
+        col("user_id").cast("long"), col("event_type"), col("value").cast("double"))
+      .as[RawEvent]
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e.ts_ns, e.event_id))
+        var sessions = 0L
+        var prev = Long.MinValue
+        evs.foreach { e =>
+          if (prev == Long.MinValue || e.ts_ns - prev > gapNs) sessions += 1
+          prev = e.ts_ns
+        }
+        (uid, sessions, evs.length.toLong)
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
+  /** Streaming gap-based sessionization with explicit keyed state.
+    * Emits a [[SessionOut]] row whenever a session closes — either because
+    * a new event arrived after the gap, or on final flush. State per user
+    * is O(1): (start, last-seen, count).
+    */
+  def sessionizeStream(
+      events: Dataset[RawEvent],
+      gapNs: Long = 1800L * 1000000000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[RawEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_ns - s.lastNs <= gapNs =>
+                cur = Some(s.copy(lastNs = e.ts_ns, count = s.count + 1))
+              case Some(s) =>
+                closed += SessionOut(uid, s.startNs, s.lastNs, s.count)
+                cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

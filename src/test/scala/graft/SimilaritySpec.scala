@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private def queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def cands = emb.filter(col("vec_id") >= 5)
+    .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+
+  test("heap-aggregate top-k equals window top-k exactly") {
+    val w = Similarity.bruteForceTopK(queries, cands, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val h = Similarity.bruteForceTopKHeap(queries, cands, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(w == h && w.size == 35)
+  }
+
+  test("top-1 of a query vector present in candidates is itself") {
+    val self = emb.limit(1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val all = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val top = Similarity.bruteForceTopK(self, all, k = 1).head()
+    assert(top.getLong(0) == top.getLong(1)) // nearest neighbor is itself
+    assert(math.abs(top.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("ivf results are a subset of brute-force scores, rank-consistent per query") {
+    val bf = Similarity.bruteForceTopK(queries, cands, k = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(queries, cands, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (qid, nid, score, _) =>
+      assert(bf.contains((qid, nid)) && math.abs(bf((qid, nid)) - score) < 1e-9)
+    }
+    // ranks are dense per query starting at 1
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
+}

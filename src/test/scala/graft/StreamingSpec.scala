@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{RawEvent, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly counts equal the batch plan on sf0.001 events") {
+    val streamed = StreamingOps.hourlyEventCountsStreaming(
+      spark, "/root/testdata/sf0.001/{events}.parquet")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionizeStream: state carries across micro-batches, sessions close on gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val minutes = 60L * 1000000000L
+
+    val q = StreamingOps.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 two events 5 min apart (one open session)
+      mem.addData(
+        RawEvent(1, 0 * minutes, 1, "a", 0.0),
+        RawEvent(2, 5 * minutes, 1, "a", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // session still open
+
+      // batch 2: 40-min gap closes session 1; new session opens
+      mem.addData(RawEvent(3, 45 * minutes, 1, "a", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed(0) == SessionOut(1, 0, 5 * minutes, 2))
+
+      // batch 3: different user, immediate gap-close of two single events
+      mem.addData(
+        RawEvent(4, 0 * minutes, 2, "b", 0.0),
+        RawEvent(5, 100 * minutes, 2, "b", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_out").as[SessionOut].collect()
+      assert(all.length == 2)
+      assert(all.exists(s => s.user_id == 2 && s.n_events == 1))
+    } finally q.stop()
+  }
+
+  test("typed sessionization matches the window/lag SQL formulation") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts_ns", col("ts"))
+    val typed = StreamingOps.sessionCountsTyped(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+    val sql = events
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > 1800L * 1000000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("brk")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(typed == sql && typed.nonEmpty)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchFunctions
+import graft.operators.TextDedup
+
+class TextDedupSpec extends SparkSpec {
+
+  // Two planted near-dup clusters + unrelated docs.
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different text about spark query engines and shuffle joins"),
+      (4L, "completely different text about spark query engines and broadcast joins"),
+      (5L, "unrelated document mentioning parquet column pruning and predicate pushdown"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+  }
+
+  test("wordShingles: distinct word bigrams") {
+    import spark.implicits._
+    val sh = Seq(Tuple1("a b c a b")).toDF("t")
+      .select(TextDedup.wordShingles(col("t"), 2)).head().getSeq[String](0)
+    assert(sh.toSet == Set("a b", "b c", "c a"))
+    val tri = Seq(Tuple1("a b c d")).toDF("t")
+      .select(TextDedup.wordShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(tri.toSet == Set("a b c", "b c d"))
+    val short = Seq(Tuple1("solo")).toDF("t")
+      .select(TextDedup.wordShingles(col("t"), 2)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("minhash signature: identical sets → identical signatures; similar sets → mostly equal") {
+    import spark.implicits._
+    val sigs = docs
+      .select(col("doc_id"),
+        SketchFunctions.minhashSignature(
+          TextDedup.shingleHashes(TextDedup.wordShingles(col("text"))), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).size == 64)
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    val agree16 = sigs(1L).zip(sigs(6L)).count { case (a, b) => a == b }
+    assert(agree12 > 40, s"near-dups agree on $agree12/64")
+    assert(agree16 < 10, s"unrelated agree on $agree16/64")
+  }
+
+  test("minhashNearDupPairs finds planted pairs and nothing else") {
+    val pairs = TextDedup.minhashNearDupPairs(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("minhash equals exhaustive ngram-Jaccard on the same corpus") {
+    val lsh = TextDedup.minhashNearDupPairs(docs, col("doc_id"), col("text"), threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = TextDedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    import spark.implicits._
+    val sims = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) <= 8)
+    assert(ham(sims(1L), sims(6L)) > 10)
+  }
+
+  test("simhashNearDupPairs: pigeonhole blocking finds all pairs within bound") {
+    import spark.implicits._
+    val sims = docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bound = 16
+    val expected = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= bound
+    } yield (a, b)).toSet
+    val got = TextDedup.simhashNearDupPairs(docs, col("doc_id"), col("text"), maxHamming = bound)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.contains((1L, 2L)))
+  }
+}

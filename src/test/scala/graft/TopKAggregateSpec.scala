@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopKByScore, TopKHeap}
+
+class TopKAggregateSpec extends SparkSpec {
+
+  test("heap keeps the k best with deterministic tie-breaks") {
+    val h = new TopKHeap(3)
+    h.insert(1.0, 10); h.insert(5.0, 20); h.insert(3.0, 30)
+    h.insert(4.0, 40); h.insert(5.0, 5); h.insert(0.5, 50)
+    // best: (5.0,5), (5.0,20), (4.0,40) — ties broken by smaller id
+    assert(h.sortedDesc.toSeq == Seq((5.0, 5L), (5.0, 20L), (4.0, 40L)))
+  }
+
+  test("heap merge equals bulk insert") {
+    val a = new TopKHeap(4); val b = new TopKHeap(4)
+    val xs = Seq((1.0, 1L), (9.0, 2L), (3.0, 3L), (7.0, 4L))
+    val ys = Seq((8.0, 5L), (2.0, 6L), (6.0, 7L), (9.0, 0L))
+    xs.foreach { case (s, i) => a.insert(s, i) }
+    ys.foreach { case (s, i) => b.insert(s, i) }
+    a.mergeFrom(b)
+    val all = new TopKHeap(4)
+    (xs ++ ys).foreach { case (s, i) => all.insert(s, i) }
+    assert(a.sortedDesc.toSeq == all.sortedDesc.toSeq)
+  }
+
+  test("aggregate matches the window formulation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map { i =>
+      (i % 13, rnd.nextDouble(), i.toLong)
+    }.toDF("grp", "score", "id").repartition(8).cache()
+
+    val viaWindow = df.withColumn("rnk",
+        row_number().over(Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rnk") <= 5)
+      .select("grp", "id", "rnk")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+
+    val viaHeap = df.groupBy("grp")
+      .agg(TopKByScore.topK(col("score"), col("id"), 5).as("tk"))
+      .select(col("grp"), posexplode(col("tk")))
+      .select(col("grp"), col("col.id"), (col("pos") + 1).as("rnk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+
+    assert(viaHeap == viaWindow)
+    df.unpersist()
+  }
+
+  test("partial aggregation appears in the plan (map-side top-k)") {
+    import spark.implicits._
+    val df = Seq((1, 1.0, 1L)).toDF("grp", "score", "id")
+    val plan = df.groupBy("grp")
+      .agg(TopKByScore.topK(col("score"), col("id"), 5))
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate runs twice: partial before the exchange, final after
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("partial_top_k_by_score".r.findAllIn(plan).nonEmpty, plan)
+  }
+}
