@@ -287,6 +287,76 @@ object SparkEntry {
       table(s, dir, "documents")
         .select(col("doc_id"),
           graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // The reference's data-dependent dropna(axis=1, how="all") projection
+    // (P7): one count-aggregate pre-pass, then the narrowed plan.
+    "q28_drop_null_cols" -> ((s, dir) => {
+      graft.sources.PineconeDataset.dropAllNullColumns(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), lit(null).cast("string").as("ghost")))
+    }),
+
+    // Set op: UNION ALL of two disjoint slices (the reference's multi-part
+    // concat, S1, is exactly a parquet-parts union).
+    "q29_union" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .unionByName(
+          li.filter(col("l_shipdate") >= lit("2000-01-01") && col("l_shipdate") < lit("2001-01-01"))
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+    }),
+
+    // Set op: INTERSECT (distinct semantics).
+    "q30_intersect" -> ((s, dir) => {
+      table(s, dir, "customer").select(col("c_custkey"))
+        .intersect(table(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+    }),
+
+    // Left-semi join (EXISTS).
+    "q31_semi_join" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Left-anti join (NOT EXISTS).
+    "q32_anti_join" -> ((s, dir) => {
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Sparse-vector dot product (the dataset model's sparse_values surface)
+    // via the codegen merge-join expression; sparse vectors derived
+    // deterministically by thresholding the dense embeddings.
+    "q33_sparse_dot" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val sp = e.select(
+        col("vec_id"),
+        transform(
+          filter(sequence(lit(0), size(col("embedding")) - 1),
+            i => element_at(col("embedding"), i + 1) > 0.1),
+          i => i.cast("long")).as("idx"),
+        filter(col("embedding"), x => x > 0.1).as("vals"))
+      val q = broadcast(sp.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("idx").as("ia"), col("vals").as("va")))
+      sp.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .select(col("vec_id").as("nid"), col("idx").as("ib"), col("vals").as("vb"))
+        .crossJoin(q)
+        .select(col("qid"), col("nid"),
+          GraftFunctions.sparseDot(col("ia"), col("va"), col("ib"), col("vb")).as("sdot"))
+    }),
+
+    // Multimodal plumbing end-to-end: opaque binary payloads → partition-
+    // wise stub decode → typed metadata columns. Codec is stubbed (no
+    // media libs in-container) → rows-only check.
+    "q34_media_decode" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.decode(
+        Multimodal.mediaFromText(table(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
     })
   )
 
@@ -488,6 +558,36 @@ object SparkEntry {
 
     "q18_fingerprint" ->
       """SELECT doc_id, substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q28_drop_null_cols" ->
+      """SELECT doc_id, lang FROM documents""",
+
+    "q29_union" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'""".stripMargin,
+
+    "q30_intersect" ->
+      """SELECT c_custkey FROM customer INTERSECT SELECT o_custkey AS c_custkey FROM orders""",
+
+    "q31_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q32_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q33_sparse_dot" ->
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CASE WHEN x > 0.1 THEN x ELSE 0 END) AS mv
+        |  FROM embeddings)
+        |SELECT a.vec_id AS qid, b.vec_id AS nid, list_dot_product(b.mv, a.mv) AS sdot
+        |FROM m a, m b
+        |WHERE a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 15""".stripMargin
   )
 }
