@@ -172,4 +172,7 @@ object SketchFunctions {
 
   def simhash64(hashes: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(hashes)))
+
+  def wordNgramHashes(text: Column, n: Int, distinct: Boolean): Column =
+    GraftSqlBridge.column(WordNgramHashes(GraftSqlBridge.expression(text), n, distinct))
 }

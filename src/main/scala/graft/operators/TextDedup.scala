@@ -66,10 +66,13 @@ object TextDedup {
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
+    // Single-pass native shingle hashing (see WordNgramHashes): the doc body
+    // never becomes a shingle-string array, and Jaccard runs on long sets.
     val shingled = df
-      .select(idCol.as("doc_id"), wordShingles(textCol, shingleSize).as("sh"))
+      .select(idCol.as("doc_id"),
+        SketchFunctions.wordNgramHashes(lower(textCol), shingleSize, distinct = true).as("sh"))
       .withColumn("sig",
-        SketchFunctions.minhashSignature(shingleHashes(col("sh")), numHashes, seed))
+        SketchFunctions.minhashSignature(col("sh"), numHashes, seed))
 
     val banded = shingled.select(
       col("doc_id"),
@@ -77,11 +80,12 @@ object TextDedup {
         j => xxhash64(slice(col("sig"), j * r + 1, lit(r))))))
       .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
 
-    val cand = banded.select(col("doc_id").as("id_a"), col("band_idx"), col("band_hash"))
-      .join(banded.select(col("doc_id").as("id_b"), col("band_idx"), col("band_hash")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // One scan + one shuffle: group each LSH bucket and emit its pairs,
+    // instead of a self-join that would recompute the whole upstream for
+    // both sides. Buckets are small by construction (band collisions need
+    // J^rows agreement); `maxBucketSize` guards the degenerate case so one
+    // stop-bucket can't go quadratic.
+    val cand = bucketPairs(banded, col("band_idx"), col("band_hash"), col("doc_id"))
 
     val sets = shingled.select(col("doc_id"), col("sh"))
     cand
@@ -94,9 +98,10 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
-  /** SimHash of the token stream of a text column. */
+  /** SimHash of the token stream of a text column (multiset weighting). */
   def simhash(text: Column): Column =
-    SketchFunctions.simhash64(transform(split(lower(text), " "), t => xxhash64(t)))
+    SketchFunctions.simhash64(
+      SketchFunctions.wordNgramHashes(lower(text), 1, distinct = false))
 
   /** SimHash near-duplicate pairs within Hamming distance `maxHamming`.
     *
@@ -122,16 +127,36 @@ object TextDedup {
           .bitwiseAND(lit(mask)))))
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_val"))
 
-    chunked.select(col("doc_id").as("id_a"), col("sim").as("sim_a"),
-        col("chunk_idx"), col("chunk_val"))
-      .join(chunked.select(col("doc_id").as("id_b"), col("sim").as("sim_b"),
-        col("chunk_idx"), col("chunk_val")),
-        Seq("chunk_idx", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
+    val sims = printed.select(col("doc_id"), col("sim"))
+    bucketPairs(chunked, col("chunk_idx"), col("chunk_val"), col("doc_id"))
+      .join(sims.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sims.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Distinct unordered id pairs co-occurring in a (key1, key2) bucket:
+    * group → sorted id list → explode i<j combinations. One shuffle on the
+    * bucket key; bucket size capped so a degenerate bucket (a "stop
+    * shingle" every document shares) cannot go quadratic — at 100 TB that
+    * cap is the difference between a bounded job and a runaway one.
+    */
+  private[graft] def bucketPairs(
+      df: DataFrame,
+      key1: Column,
+      key2: Column,
+      idCol: Column,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val buckets = df.groupBy(key1, key2)
+      .agg(array_sort(collect_set(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
   }
 
   /** Exhaustive n-gram Jaccard similarity join (no sketch): candidates are
@@ -145,7 +170,8 @@ object TextDedup {
       textCol: Column,
       threshold: Double,
       shingleSize: Int = 2): DataFrame = {
-    val shingled = df.select(idCol.as("doc_id"), wordShingles(textCol, shingleSize).as("sh"))
+    val shingled = df.select(idCol.as("doc_id"),
+      SketchFunctions.wordNgramHashes(lower(textCol), shingleSize, distinct = true).as("sh"))
     val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
     val cand = exploded.select(col("doc_id").as("id_a"), col("g"))
       .join(exploded.select(col("doc_id").as("id_b"), col("g")), "g")

@@ -33,6 +33,25 @@ class TextDedupSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("word_ngram_hashes equals the xxhash64-over-shingle-strings formulation") {
+    import spark.implicits._
+    val df = Seq(Tuple1("the quick brown fox"), Tuple1("a  b"), Tuple1("solo"), Tuple1(""))
+      .toDF("t")
+    val native = df.select(
+      graft.functions.SketchFunctions.wordNgramHashes(col("t"), 2, distinct = true))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val viaHof = df.select(
+      array_sort(array_distinct(transform(
+        TextDedup.wordShingles(col("t"), 2), s => xxhash64(s)))))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(native.toSeq == viaHof.toSeq)
+    // multiset (distinct=false) keeps duplicates
+    val multi = Seq(Tuple1("x y x y x")).toDF("t")
+      .select(graft.functions.SketchFunctions.wordNgramHashes(col("t"), 1, distinct = false))
+      .head().getSeq[Long](0)
+    assert(multi.length == 5 && multi.toSet.size == 2)
+  }
+
   test("minhash signature: identical sets → identical signatures; similar sets → mostly equal") {
     import spark.implicits._
     val sigs = docs
