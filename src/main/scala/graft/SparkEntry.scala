@@ -349,6 +349,26 @@ object SparkEntry {
           GraftFunctions.sparseDot(col("ia"), col("va"), col("ib"), col("vb")).as("sdot"))
     }),
 
+    // Full reference lifecycle in one query: DataFrames → normalize →
+    // dataset write (documents/queries/metadata-last, W1-W4) → path load →
+    // lazy read (S1-S4, PresentFirst normalize) → projection. The oracle is
+    // the identity mapping, proving the round trip is lossless.
+    "q35_dataset_roundtrip" -> ((s, dir) => {
+      import graft.meta.{DatasetMetadata, DenseModelMetadata}
+      import graft.sources.{DatasetWriter, PineconeDataset}
+      val tmp = s"/tmp/graft-rt-${Integer.toHexString(dir.hashCode)}"
+      val docs = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val meta = DatasetMetadata(
+        name = "rt", created_at = "2026-01-01 00:00:00.000000",
+        documents = 0, queries = 0,
+        dense_model = DenseModelMetadata("synthetic", None, 64))
+      val ds = PineconeDataset.fromDataFrames(
+        docs, meta, documentsColumnMapping = Map("vec_id" -> "id", "embedding" -> "values"))
+      DatasetWriter.writeDataset(ds, tmp)
+      PineconeDataset.fromPath(s, tmp).documents
+        .select(col("id"), col("values").as("vec"))
+    }),
+
     // Multimodal plumbing end-to-end: opaque binary payloads → partition-
     // wise stub decode → typed metadata columns. Codec is stubbed (no
     // media libs in-container) → rows-only check.
@@ -588,6 +608,9 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT a.vec_id AS qid, b.vec_id AS nid, list_dot_product(b.mv, a.mv) AS sdot
         |FROM m a, m b
-        |WHERE a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 15""".stripMargin
+        |WHERE a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 15""".stripMargin,
+
+    "q35_dataset_roundtrip" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings"""
   )
 }

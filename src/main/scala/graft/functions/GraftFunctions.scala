@@ -29,11 +29,22 @@ object GraftFunctions {
       GraftSqlBridge.expression(ia), GraftSqlBridge.expression(va),
       GraftSqlBridge.expression(ib), GraftSqlBridge.expression(vb)))
 
+  private def lit(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { args => VectorDotProduct(args(0), args(1)) },
     "vec_cosine" -> { args => VectorCosineSimilarity(args(0), args(1)) },
     "vec_norm" -> { args => VectorL2Norm(args(0)) },
-    "sparse_dot" -> { args => SparseDotProduct(args(0), args(1), args(2), args(3)) })
+    "sparse_dot" -> { args => SparseDotProduct(args(0), args(1), args(2), args(3)) },
+    // sketch functions: word_ngram_hashes(text, n, distinct-as-0/1),
+    // minhash_signature(hashes, k), simhash64(hashes)
+    "word_ngram_hashes" -> { args =>
+      WordNgramHashes(args(0), lit(args(1)), lit(args(2)) != 0) },
+    "minhash_signature" -> { args => MinHashSignature(args(0), lit(args(1)), 42L) },
+    "simhash64" -> { args => SimHash64(args(0)) })
 
   /** Idempotent per-session SQL registration. Runtime registration keeps
     * Verify/Bench sessions (built without extensions) working; the same

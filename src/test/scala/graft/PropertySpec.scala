@@ -1,0 +1,102 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.functions.TopKHeap
+import graft.meta.{DatasetMetadata, DenseModelMetadata, SparseModelMetadata}
+
+/** Property tests for the pure cores: heap selection, metadata round-trip,
+  * the n-gram tokenizer equivalence (per SURVEY §5 port plan).
+  * scalacheck generators driven directly (no scalatestplus bridge in the
+  * offline dependency set).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](gen: Gen[A], trials: Int = 100)(body: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    var seed = seed0
+    var done = 0
+    var attempts = 0
+    while (done < trials && attempts < trials * 10) {
+      gen.apply(Gen.Parameters.default, seed).foreach { v => body(v); done += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(done > trials / 2, s"generator produced only $done/$trials samples")
+  }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => body(t._1, t._2))
+
+  test("property: TopKHeap selects exactly the sort-based top-k") {
+    val gen = for {
+      k <- Gen.choose(1, 8)
+      n <- Gen.choose(0, 60)
+      scores <- Gen.listOfN(n, Gen.choose(0.0, 1.0))
+      ids <- Gen.listOfN(n, Gen.choose(0L, 20L)) // small id range → ties likely
+    } yield (k, scores.zip(ids))
+    forAll(gen) { case (k, pairs) =>
+      val h = new TopKHeap(k)
+      pairs.foreach { case (s, i) => h.insert(s, i) }
+      val expected = pairs
+        .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+        .take(k)
+      assert(h.sortedDesc.toSeq == expected)
+    }
+  }
+
+  test("property: heap merge order does not change the result") {
+    val pairGen = Gen.listOf(Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0L, 1000L)))
+    forAll2(pairGen, pairGen) { (xs, ys) =>
+      val ab = new TopKHeap(5); val ba = new TopKHeap(5)
+      val hx = new TopKHeap(5); val hy = new TopKHeap(5)
+      xs.foreach { case (s, i) => hx.insert(s, i) }
+      ys.foreach { case (s, i) => hy.insert(s, i) }
+      (xs ++ ys).foreach { case (s, i) => ab.insert(s, i) }
+      hx.mergeFrom(hy)
+      (ys ++ xs).foreach { case (s, i) => ba.insert(s, i) }
+      assert(hx.sortedDesc.toSeq == ab.sortedDesc.toSeq)
+      assert(ab.sortedDesc.toSeq == ba.sortedDesc.toSeq)
+    }
+  }
+
+  test("property: DatasetMetadata render/parse round-trips") {
+    val strGen = Gen.alphaNumStr.suchThat(_.nonEmpty)
+    val metaGen = for {
+      name <- strGen
+      docs <- Gen.choose(0L, Long.MaxValue / 2)
+      qs <- Gen.choose(0L, 1000000L)
+      dim <- Gen.choose(1, 4096)
+      tok <- Gen.option(strGen)
+      desc <- Gen.option(Gen.asciiPrintableStr)
+      tags <- Gen.option(Gen.listOf(strGen))
+      sparse <- Gen.option(strGen.map(n => SparseModelMetadata(n, None)))
+    } yield DatasetMetadata(
+      name = name, created_at = "2021-01-01 00:00:00.000000",
+      documents = docs, queries = qs,
+      dense_model = DenseModelMetadata("m", tok, dim),
+      sparse_model = sparse, description = desc, tags = tags)
+    forAll(metaGen) { m =>
+      assert(DatasetMetadata.fromJson(m.toJson) == m)
+    }
+  }
+
+  test("property: native ngram hashes equal HOF formulation on random word texts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val word = Gen.oneOf("spark", "join", "the", "a", "merge", "x", "日本", "é")
+    val textGen = Gen.listOf(word).map(_.mkString(" "))
+    val texts = Gen.listOfN(40, textGen).sample.getOrElse(Seq("a b c"))
+    val df = texts.toDF("t")
+    Seq(1, 2, 3).foreach { n =>
+      val native = df.select(
+        graft.functions.SketchFunctions.wordNgramHashes(col("t"), n, distinct = true))
+        .collect().map(_.getSeq[Long](0).toSet).toSeq
+      val hof = df.select(
+        array_distinct(transform(graft.operators.TextDedup.wordShingles(col("t"), n),
+          s => xxhash64(s))))
+        .collect().map(_.getSeq[Long](0).toSet).toSeq
+      assert(native == hof, s"mismatch at n=$n")
+    }
+  }
+}

@@ -73,6 +73,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("SQL registration: sketch functions usable from spark.sql") {
+    GraftFunctions.register(spark)
+    val sig = spark.sql(
+      "SELECT minhash_signature(word_ngram_hashes('a b c d', 2, 1), 8)").head().getSeq[Long](0)
+    assert(sig.length == 8)
+    val sh = spark.sql("SELECT simhash64(word_ngram_hashes('a b c d', 1, 0))").head().getLong(0)
+    val shAgain = spark.sql("SELECT simhash64(word_ngram_hashes('a b c d', 1, 0))").head().getLong(0)
+    assert(sh == shAgain)
+  }
+
   test("type mismatch is an analysis error") {
     import spark.implicits._
     val bad = Seq((1, "x")).toDF("a", "b")
