@@ -369,6 +369,21 @@ object SparkEntry {
         .select(col("id"), col("values").as("vec"))
     }),
 
+    // End-to-end curation pipeline: metadata filter (compiled) → quality
+    // gate → near-dup removal (anti-join against MinHash dup survivors) —
+    // the composed shape of a real training-data prep job.
+    "q36_curation" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val dups = graft.operators.TextDedup
+        .minhashNearDupPairs(docs, col("doc_id"), col("text"), threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      docs
+        .filter(FilterCompiler.compile("""{"lang": {"$in": ["en", "de", "es"]}}"""))
+        .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.99)
+        .join(dups, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // Multimodal plumbing end-to-end: opaque binary payloads → partition-
     // wise stub decode → typed metadata columns. Codec is stubbed (no
     // media libs in-container) → rows-only check.
@@ -611,6 +626,36 @@ object SparkEntry {
         |WHERE a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 15""".stripMargin,
 
     "q35_dataset_roundtrip" ->
-      """SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings"""
+      """SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings""",
+
+    "q36_curation" ->
+      """WITH big AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM (SELECT doc_id, unnest(bg) AS g FROM big) a
+        |  JOIN (SELECT doc_id, unnest(bg) AS g FROM big) b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |dups AS (
+        |  SELECT DISTINCT id_b FROM (
+        |    SELECT id_b,
+        |      CAST(len(list_intersect(x.bg, y.bg)) AS DOUBLE) / len(list_distinct(list_concat(x.bg, y.bg))) AS jac
+        |    FROM pairs JOIN big x ON x.doc_id = id_a JOIN big y ON y.doc_id = id_b)
+        |  WHERE jac >= 0.5),
+        |q AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROUND(
+        |      (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.4
+        |      + (CASE WHEN CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |                / greatest(len(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.3
+        |      + (CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+        |            w -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'], w))) AS DOUBLE)
+        |                / greatest(len(string_split(lower(text), ' ')), 1) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.3,
+        |    4) AS quality
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM q
+        |WHERE lang IN ('en', 'de', 'es') AND quality >= 0.99
+        |  AND doc_id NOT IN (SELECT id_b FROM dups)""".stripMargin
   )
 }

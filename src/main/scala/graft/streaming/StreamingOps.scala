@@ -86,6 +86,19 @@ object StreamingOps {
       .toDF("user_id", "n_sessions", "n_events")
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon (state is bounded by the watermark — the 100 TB
+    * streaming-dedup caveat is exactly this horizon/memory trade).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming gap-based sessionization with explicit keyed state.
     * Emits a [[SessionOut]] row whenever a session closes — either because
     * a new event arrived after the gap, or on final flush. State per user

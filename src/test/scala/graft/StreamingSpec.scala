@@ -63,6 +63,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate keys across micro-batches within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RawEvent]
+    val hour = 3600L * 1000000000L
+    val deduped = StreamingOps.dedupStream(
+      mem.toDS().toDF().withColumn("ts",
+        expr("timestamp_micros(ts_ns div 1000)")),
+      keyCols = Seq("event_id"), eventTimeCol = "ts", watermark = "2 hours")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        RawEvent(1, 1 * hour, 1, "a", 0.0),
+        RawEvent(1, 1 * hour, 1, "a", 0.0), // dup within batch
+        RawEvent(2, 1 * hour, 1, "a", 0.0))
+      q.processAllAvailable()
+      mem.addData(RawEvent(2, 2 * hour, 1, "a", 0.0)) // dup across batches
+      mem.addData(RawEvent(3, 2 * hour, 1, "a", 0.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("typed sessionization matches the window/lag SQL formulation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
