@@ -79,6 +79,19 @@ final class PineconeDataset private (
       .foreachPartition { it: Iterator[Row] => it.grouped(batchSize).foreach(b => sink(b.toSeq)) }
   }
 
+  /** Deprecation shims for API parity (reference F7, `dataset.py:241-272`):
+    * the reference raises with guidance for the removed catalog/index
+    * methods; same here.
+    */
+  @deprecated("use Catalog.loadDataset", "0.1.0")
+  def toCatalog(): Nothing = throw new UnsupportedOperationException(
+    "to_catalog was removed; use Catalog.saveDataset(dataset)")
+
+  @deprecated("removed in the reference", "0.1.0")
+  def toPineconeIndex(): Nothing = throw new UnsupportedOperationException(
+    "to_pinecone_index was removed; iterate with iterDocuments/foreachDocumentBatch " +
+      "and upsert via your index client")
+
   private implicit class RichJIterator[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = new Iterator[T] {
       def hasNext: Boolean = it.hasNext

@@ -47,6 +47,9 @@ object Smoke {
     // probe: load a nonexistent dataset
     try { cat.loadDataset("nope"); println("SMOKE missing-ds: NO ERROR (bad)") }
     catch { case e: java.io.FileNotFoundException => println(s"SMOKE missing-ds error ok: ${e.getMessage}") }
+    // probe: deprecation shims raise with guidance (reference F7)
+    try { (loaded: @annotation.nowarn).toPineconeIndex(); println("SMOKE shim: NO ERROR (bad)") }
+    catch { case e: UnsupportedOperationException => println(s"SMOKE shim error ok: ${e.getMessage.take(40)}...") }
     // probe: invalid filter
     try { graft.operators.FilterCompiler.compile("""{"f": {"$bogus": 1}}"""); println("SMOKE bad-filter: NO ERROR (bad)") }
     catch { case e: IllegalArgumentException => println(s"SMOKE bad-filter error ok: ${e.getMessage}") }
