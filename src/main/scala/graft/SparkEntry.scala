@@ -349,6 +349,36 @@ object SparkEntry {
           GraftFunctions.sparseDot(col("ia"), col("va"), col("ib"), col("vb")).as("sdot"))
     }),
 
+    // Exact percentiles (sort-based; AQE handles the per-group skew).
+    "q37_percentiles" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd"))
+    }),
+
+    // Date/time scalar surface: parts extraction + arithmetic.
+    "q38_date_parts" -> ((s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
+    // String scalar surface: case, substring, padding, concat, trim.
+    "q39_strings" -> ((s, dir) => {
+      table(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          upper(col("s_name")).as("u"),
+          substring(col("s_name"), 1, 4).as("pre"),
+          lpad(col("s_suppkey").cast("string"), 8, "0").as("padded"),
+          concat_ws("|", col("s_name"), col("s_nationkey").cast("string")).as("joined"),
+          length(trim(col("s_name"))).as("trimmed_len"))
+    }),
+
     // Full reference lifecycle in one query: DataFrames → normalize →
     // dataset write (documents/queries/metadata-last, W1-W4) → path load →
     // lazy read (S1-S4, PresentFirst normalize) → projection. The oracle is
@@ -627,6 +657,25 @@ object SparkEntry {
 
     "q35_dataset_roundtrip" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings""",
+
+    "q37_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  ROUND(stddev_samp(l_extendedprice), 2) AS sd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q38_date_parts" ->
+      """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY year(o_orderdate), quarter(o_orderdate)""".stripMargin,
+
+    "q39_strings" ->
+      """SELECT s_suppkey, upper(s_name) AS u, substr(s_name, 1, 4) AS pre,
+        |  lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded,
+        |  concat_ws('|', s_name, CAST(s_nationkey AS VARCHAR)) AS joined,
+        |  len(trim(s_name)) AS trimmed_len
+        |FROM supplier""".stripMargin,
 
     "q36_curation" ->
       """WITH big AS (

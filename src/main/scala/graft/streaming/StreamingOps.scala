@@ -39,6 +39,11 @@ object StreamingOps {
     */
   def hourlyEventCountsStreaming(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The stateful agg allocates one state store per shuffle partition;
+    // for a bounded replay that setup dominates, so run the stream with a
+    // modest partition count and restore the session's setting after.
+    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val stream = spark.readStream
       .schema(eventsReadSchema)
@@ -57,7 +62,10 @@ object StreamingOps {
       .start()
     try {
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+    }
     spark.table(name)
   }
 
