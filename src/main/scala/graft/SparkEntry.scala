@@ -410,7 +410,9 @@ object SparkEntry {
       docs
         .filter(FilterCompiler.compile("""{"lang": {"$in": ["en", "de", "es"]}}"""))
         .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.99)
-        .join(dups, Seq("doc_id"), "left_anti")
+        // dup survivors are a small fraction of the corpus by construction —
+        // broadcast the anti-join side rather than letting stats guess
+        .join(broadcast(dups), Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "n_chars")
     }),
 

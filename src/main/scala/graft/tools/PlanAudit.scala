@@ -2,9 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: dump the executed plan of every SparkEntry query and flag
-  * scale smells — missing pushdown, missing broadcast where expected,
-  * interpreted (non-codegen) projections in hot paths.
+/** Dev tool: execute every SparkEntry query and report the FINAL (post-AQE)
+  * physical plan's scale signals — codegen stages, exchanges, pushdown,
+  * join strategies, partial aggregation. Run with PLAN_AUDIT_FULL=1 to dump
+  * whole plans.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -18,14 +19,18 @@ object PlanAudit {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, dir)
+        df.count() // force execution so AQE finalizes the plan
         val plan = df.queryExecution.executedPlan.toString
         val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined
-        val bcast = plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop")
-        val smj = plan.contains("SortMergeJoin")
+        val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+        val bnl = "BroadcastNestedLoop".r.findAllIn(plan).size
+        val smj = "SortMergeJoin".r.findAllIn(plan).size
         val cgStages = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1).toInt).toSet.size
         val exch = "Exchange ".r.findAllIn(plan).size
-        println(s"== $name: codegenStages=$cgStages exchanges=$exch " +
-          s"pushedFilters=$pushed broadcast=$bcast sortMergeJoin=$smj")
+        val partialAgg = plan.contains("partial_") || plan.contains("Partial")
+        val sorts = "(?m)^\\s*[+:]?-? ?\\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(plan).size
+        println(s"== $name: codegen=$cgStages exch=$exch pushdown=$pushed " +
+          s"bhj=$bhj bnl=$bnl smj=$smj partialAgg=$partialAgg sorts=$sorts")
         if (sys.env.get("PLAN_AUDIT_FULL").contains("1")) println(plan)
       } catch {
         case e: Throwable => println(s"== $name: PLAN FAILED ${e.getMessage}")
