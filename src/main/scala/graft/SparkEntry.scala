@@ -250,6 +250,17 @@ object SparkEntry {
         k = 10)
     }),
 
+    // Multi-probe IVF: probe own cell + single-bit-flip neighbors —
+    // recovers boundary-vector recall at (signBits+1)/2^signBits cost.
+    "q40_ivf_multiprobe" -> ((s, dir) => {
+      graft.operators.Similarity.ivfTopKMultiProbe(
+        table(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        table(s, dir, "embeddings").filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        k = 10)
+    }),
+
     // Hierarchical aggregation (ROLLUP grouping sets).
     "q25_rollup" -> ((s, dir) => {
       table(s, dir, "lineitem")
@@ -349,14 +360,21 @@ object SparkEntry {
           GraftFunctions.sparseDot(col("ia"), col("va"), col("ib"), col("vb")).as("sdot"))
     }),
 
-    // Exact percentiles (sort-based; AQE handles the per-group skew).
+    // Exact discrete percentiles (actual data values — no interpolation,
+    // so cross-engine bit-equality holds; continuous interpolation differs
+    // in last bits between engines and flipped a rounding boundary at
+    // sf0.001) + stddev from exact decimal sums.
     "q37_percentiles" -> ((s, dir) => {
+      val x = dec(col("l_extendedprice"))
+      val sq = sum(x * x).cast("double")
+      val sx = sum(x).cast("double")
+      val n = count(lit(1))
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
-          round(stddev_samp(col("l_extendedprice")), 2).as("sd"))
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
+          round(sqrt((sq - sx * sx / n) / (n - 1)), 2).as("sd"))
     }),
 
     // Date/time scalar surface: parts extraction + arithmetic.
@@ -602,6 +620,23 @@ object SparkEntry {
         |r AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
 
+    "q40_ivf_multiprobe" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell0
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS nid, embedding::DOUBLE[] AS v,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+        |  FROM embeddings WHERE vec_id >= 10),
+        |s AS (
+        |  SELECT qid, nid, list_cosine_similarity(qv, v) AS score
+        |  FROM q JOIN c ON c.cell IN (cell0, xor(cell0, 1), xor(cell0, 2), xor(cell0, 4), xor(cell0, 8))),
+        |r AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
     "q25_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -662,9 +697,11 @@ object SparkEntry {
 
     "q37_percentiles" ->
       """SELECT l_returnflag,
-        |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-        |  ROUND(stddev_samp(l_extendedprice), 2) AS sd
+        |  quantile_disc(l_extendedprice, 0.5) AS p50,
+        |  quantile_disc(l_extendedprice, 0.95) AS p95,
+        |  ROUND(SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+        |    / (COUNT(*) - 1)), 2) AS sd
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q38_date_parts" ->

@@ -93,4 +93,41 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
   }
+
+  /** Multi-probe IVF: each query probes its own cell plus every
+    * single-bit-flip neighbor cell (`signBits + 1` probes). Near-boundary
+    * vectors — the recall loss of single-probe IVF — land in a flipped
+    * cell, so multi-probe recovers most of them while still scoring only
+    * `(signBits+1)/2^signBits` of the corpus. Candidates have exactly one
+    * cell and probe cells are distinct, so no per-query dedup is needed.
+    */
+  def ivfTopKMultiProbe(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      signBits: Int = 4): DataFrame = {
+    def cellOf(vec: String): org.apache.spark.sql.Column =
+      (0 until signBits).map { i =>
+        when(element_at(col(vec), i + 1) >= 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+
+    val q = broadcast(
+      queries.select(col("qid"), col("qvec").cast("array<double>").as("qv"))
+        .withColumn("cell0", cellOf("qv"))
+        .select(col("qid"), col("qv"),
+          explode(transform(sequence(lit(0), lit(signBits)), i =>
+            when(i === 0, col("cell0"))
+              .otherwise(col("cell0").bitwiseXOR(
+                call_function("shiftleft", lit(1), i - 1)))))
+            .as("cell")))
+    val c = candidates
+      .select(col("nid"), col("nvec").cast("array<double>").as("v"))
+      .withColumn("cell", cellOf("v"))
+    val scored = c.join(q, "cell")
+      .withColumn("score_raw", GraftFunctions.vecCosine(col("qv"), col("v")))
+    val w = Window.partitionBy("qid").orderBy(col("score_raw").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
+  }
 }

@@ -31,6 +31,24 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("multi-probe ivf scores a superset of single-probe candidates, better-or-equal recall") {
+    val single = Similarity.ivfTopK(queries, cands, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.ivfTopKMultiProbe(queries, cands, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size) // neighbor cells contribute candidates
+    // recall vs brute force at k=5 must not be worse than single-probe
+    val bf5 = Similarity.bruteForceTopK(queries, cands, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(s: Set[(Long, Long)]) = (s & bf5).size.toDouble / bf5.size
+    val r1 = recall(Similarity.ivfTopK(queries, cands, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val rm = recall(Similarity.ivfTopKMultiProbe(queries, cands, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(rm >= r1)
+  }
+
   test("ivf results are a subset of brute-force scores, rank-consistent per query") {
     val bf = Similarity.bruteForceTopK(queries, cands, k = 1000)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
