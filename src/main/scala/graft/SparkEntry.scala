@@ -397,6 +397,24 @@ object SparkEntry {
           length(trim(col("s_name"))).as("trimmed_len"))
     }),
 
+    // Pivot (wide aggregation): order counts per returnflag × linestatus.
+    "q41_pivot" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // Lateral explode: token frequency over the corpus (top 20).
+    "q42_wordcount" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc)
+        .limit(20)
+    }),
+
     // Full reference lifecycle in one query: DataFrames → normalize →
     // dataset write (documents/queries/metadata-last, W1-W4) → path load →
     // lazy read (S1-S4, PresentFirst normalize) → projection. The oracle is
@@ -694,6 +712,17 @@ object SparkEntry {
 
     "q35_dataset_roundtrip" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings""",
+
+    "q41_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q42_wordcount" ->
+      """SELECT w, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY n DESC, w ASC LIMIT 20""".stripMargin,
 
     "q37_percentiles" ->
       """SELECT l_returnflag,
