@@ -7,6 +7,23 @@ import graft.meta.DatasetMetadata
 import graft.operators.Normalize
 import graft.schema.PineconeSchema
 
+/** Typed row models for the two tables (SURVEY §1.1: `Dataset[DocumentRow]`
+  * where type safety helps; `DataFrame` where schema is dynamic).
+  */
+final case class SparseValues(indices: Seq[Long], values: Seq[Float])
+final case class DocumentRow(
+    id: String,
+    values: Seq[Float],
+    sparse_values: Option[SparseValues],
+    metadata: Option[String],
+    blob: Option[String])
+final case class QueryRow(
+    vector: Seq[Float],
+    sparse_vector: Option[SparseValues],
+    filter: Option[String],
+    top_k: Int,
+    blob: Option[String])
+
 /** A loaded dataset: a pair of tables (`documents`, `queries`) plus a
   * metadata descriptor, all lazily materialized (reference `Dataset`,
   * `dataset.py:39-195`).
@@ -25,6 +42,16 @@ final class PineconeDataset private (
   lazy val documents: DataFrame = docsThunk()
   lazy val queries: DataFrame = queriesThunk()
   lazy val metadata: DatasetMetadata = metaThunk()
+
+  /** Typed views (same plans, case-class encoders on top). */
+  def documentsDS: org.apache.spark.sql.Dataset[DocumentRow] = {
+    import spark.implicits._
+    documents.as[DocumentRow]
+  }
+  def queriesDS: org.apache.spark.sql.Dataset[QueryRow] = {
+    import spark.implicits._
+    queries.as[QueryRow]
+  }
 
   /** `ds["documents"]` / `ds["queries"]` accessor parity (`dataset.py:162-166`). */
   def apply(key: String): DataFrame = key match {

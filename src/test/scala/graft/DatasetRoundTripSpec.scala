@@ -106,6 +106,19 @@ class DatasetRoundTripSpec extends SparkSpec {
     assert(ds.iterQueries().size == 2)
   }
 
+  test("typed views: documentsDS/queriesDS decode rows into case classes") {
+    val ds = PineconeDataset.fromDataFrames(fixtureDocs, meta("ty"), queries = Some(fixtureQueries))
+    val docs = ds.documentsDS.collect().sortBy(_.id)
+    assert(docs.length == 2)
+    assert(docs(0) == graft.sources.DocumentRow(
+      "1", Seq(0.1f, 0.2f, 0.3f),
+      Some(graft.sources.SparseValues(Seq(1L, 2L, 3L), Seq(0.1f, 0.2f, 0.3f))),
+      Some("""{"title":"title1","url":"url1"}"""), None))
+    val qs = ds.queriesDS.collect().sortBy(_.top_k)
+    assert(qs(1).sparse_vector.isEmpty && qs(1).top_k == 2)
+    assert(qs(0).filter.contains("""{"filter1":{"$eq":"filter1"}}"""))
+  }
+
   test("writing does not mutate the source dataset (reference mutate-restore invariant)") {
     val base = Files.createTempDirectory("rt-imm").toString
     val ds = PineconeDataset.fromDataFrames(fixtureDocs, meta("imm"))

@@ -81,6 +81,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: filter compiler equals hand-built predicates on random filters") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (1 to 300).map { i =>
+      (i, Seq("red", "blue", "green", "teal")(i % 4), (i % 50).toDouble, i % 3 == 0)
+    }
+    val df = rows.toDF("id", "color", "size", "flag").cache()
+    val colorGen = Gen.oneOf("red", "blue", "green", "teal", "absent")
+    val numGen = Gen.choose(0, 55)
+    val caseGen: Gen[(String, Int => Boolean, String)] = Gen.oneOf(
+      colorGen.map(c => (s"""{"color": {"$$eq": "$c"}}""",
+        (i: Int) => rows(i - 1)._2 == c, s"eq $c")),
+      colorGen.map(c => (s"""{"color": {"$$ne": "$c"}}""",
+        (i: Int) => rows(i - 1)._2 != c, s"ne $c")),
+      numGen.map(n => (s"""{"size": {"$$gte": $n}}""",
+        (i: Int) => rows(i - 1)._3 >= n, s"gte $n")),
+      numGen.map(n => (s"""{"size": {"$$lt": $n}}""",
+        (i: Int) => rows(i - 1)._3 < n, s"lt $n")),
+      Gen.zip(colorGen, numGen).map { case (c, n) =>
+        (s"""{"$$or": [{"color": "$c"}, {"size": {"$$gt": $n}}]}""",
+          (i: Int) => rows(i - 1)._2 == c || rows(i - 1)._3 > n, s"or $c $n")
+      },
+      Gen.zip(colorGen, numGen).map { case (c, n) =>
+        (s"""{"color": {"$$in": ["$c", "red"]}, "size": {"$$lte": $n}}""",
+          (i: Int) => Seq(c, "red").contains(rows(i - 1)._2) && rows(i - 1)._3 <= n,
+          s"in+lte $c $n")
+      })
+    forAll(caseGen, trials = 60) { case (filterJson, pred, label) =>
+      val got = df.filter(graft.operators.FilterCompiler.compile(filterJson))
+        .select("id").collect().map(_.getInt(0)).toSet
+      val want = rows.map(_._1).filter(pred).toSet
+      assert(got == want, s"filter case: $label → $filterJson")
+    }
+    df.unpersist()
+  }
+
   test("property: native ngram hashes equal HOF formulation on random word texts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
