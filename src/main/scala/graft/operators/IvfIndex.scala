@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Build-once / query-many IVF index over an embedding corpus.
+  *
+  * [[IvfIndex.build]] assigns every candidate to a cell, repartitions by
+  * cell and persists — paying the corpus shuffle exactly once. Each
+  * subsequent [[IvfIndex.search]] broadcasts the query batch, joins on the
+  * (co-located) cell key with zero additional shuffle of the corpus, and
+  * reuses the codegen cosine kernel. On a cluster the persisted frame
+  * would instead be a bucketed table on `cell` (see [[Bucketing]]) so the
+  * layout survives across jobs; the query-side plan is identical.
+  */
+final class IvfIndex private (
+    private[operators] val cells: DataFrame,
+    val signBits: Int) {
+
+  /** Top-k per query; `multiProbe` adds single-bit-flip neighbor cells. */
+  def search(queries: DataFrame, k: Int, multiProbe: Boolean = true): DataFrame = {
+    val q0 = queries.select(col("qid"), col("qvec").cast("array<double>").as("qv"))
+      .withColumn("cell0", IvfIndex.cellOf("qv", signBits))
+    val probed =
+      if (!multiProbe) q0.select(col("qid"), col("qv"), col("cell0").as("cell"))
+      else q0.select(col("qid"), col("qv"),
+        explode(transform(sequence(lit(0), lit(signBits)), i =>
+          when(i === 0, col("cell0"))
+            .otherwise(col("cell0").bitwiseXOR(call_function("shiftleft", lit(1), i - 1)))))
+          .as("cell"))
+    val scored = cells.join(broadcast(probed), "cell")
+      .withColumn("score_raw", GraftFunctions.vecCosine(col("qv"), col("v")))
+    val w = Window.partitionBy("qid").orderBy(col("score_raw").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
+  }
+
+  def unpersist(): Unit = cells.unpersist()
+}
+
+object IvfIndex {
+
+  private[operators] def cellOf(vec: String, signBits: Int) =
+    (0 until signBits).map { i =>
+      when(element_at(col(vec), i + 1) >= 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+
+  /** Expects `candidates(nid, nvec)`. One shuffle (repartition by cell),
+    * then the layout is reused by every search.
+    */
+  def build(candidates: DataFrame, signBits: Int = 4): IvfIndex = {
+    val cells = candidates
+      .select(col("nid"), col("nvec").cast("array<double>").as("v"))
+      .withColumn("cell", cellOf("v", signBits))
+      .repartition(col("cell"))
+      .persist()
+    new IvfIndex(cells, signBits)
+  }
+}

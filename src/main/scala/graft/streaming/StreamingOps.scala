@@ -18,6 +18,10 @@ object StreamingOps {
       event_id: Long, ts_ns: Long, user_id: Long,
       event_type: String, value: Double)
 
+  /** Event with a real event-time column (for watermark-driven state). */
+  final case class StampedEvent(
+      event_id: Long, user_id: Long, ts: java.sql.Timestamp, ts_ns: Long)
+
   final case class SessionOut(
       user_id: Long, session_start_ns: Long, session_end_ns: Long, n_events: Long)
 
@@ -106,6 +110,53 @@ object StreamingOps {
     events
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermark-driven sessionization: like [[sessionizeStream]], but idle
+    * sessions also close when the event-time watermark passes
+    * `lastSeen + gap` — no new event from the user is needed. This is the
+    * production shape: state is provably bounded by the watermark horizon,
+    * which is what keeps a 100 TB/day stream's state store finite.
+    * Input must carry a watermark (`withWatermark("ts", ...)` before
+    * calling).
+    */
+  def sessionizeStreamWithTimeout(
+      events: Dataset[StampedEvent],
+      gapNs: Long = 1800L * 1000000000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[StampedEvent], state: GroupState[SessionState]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap: close the idle session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.startNs, s.lastNs, s.count))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ns - s.lastNs <= gapNs =>
+                  cur = Some(s.copy(lastNs = e.ts_ns, count = s.count + 1))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.startNs, s.lastNs, s.count)
+                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close automatically when the watermark passes last + gap
+              state.setTimeoutTimestamp((s.lastNs + gapNs) / 1000000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Streaming gap-based sessionization with explicit keyed state.
     * Emits a [[SessionOut]] row whenever a session closes — either because

@@ -49,6 +49,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rm >= r1)
   }
 
+  test("IvfIndex build-once/search-many equals the one-shot operators") {
+    val idx = graft.operators.IvfIndex.build(cands)
+    try {
+      val viaIndexSingle = idx.search(queries, k = 5, multiProbe = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val oneShotSingle = Similarity.ivfTopK(queries, cands, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(viaIndexSingle == oneShotSingle)
+      val viaIndexMulti = idx.search(queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val oneShotMulti = Similarity.ivfTopKMultiProbe(queries, cands, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(viaIndexMulti == oneShotMulti)
+      // a second search reuses the persisted layout (no rebuild)
+      assert(idx.search(queries.limit(2), k = 3).count() > 0)
+    } finally idx.unpersist()
+  }
+
   test("ivf results are a subset of brute-force scores, rank-consistent per query") {
     val bf = Similarity.bruteForceTopK(queries, cands, k = 1000)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

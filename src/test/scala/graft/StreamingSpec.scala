@@ -89,6 +89,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark timeout closes idle sessions without new events from that user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.StampedEvent]
+    // offset from epoch: an event AT the initial (epoch) watermark is late
+    def ev(id: Long, uid: Long, minute: Long) = {
+      val sec = 86400L + minute * 60L
+      StreamingOps.StampedEvent(id, uid, new java.sql.Timestamp(sec * 1000L), sec * 1000000000L)
+    }
+
+    val q = StreamingOps.sessionizeStreamWithTimeout(
+      mem.toDS().withWatermark("ts", "10 minutes").as[StreamingOps.StampedEvent])
+      .writeStream.format("memory").queryName("sess_to")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events close together; session stays open
+      mem.addData(ev(1, 1, 0), ev(2, 1, 5))
+      q.processAllAvailable()
+      assert(spark.table("sess_to").count() == 0)
+      // OTHER user's much-later event advances the watermark past
+      // user 1's last + 30min gap → user 1's session closes on timeout
+      mem.addData(ev(3, 2, 120))
+      q.processAllAvailable()
+      mem.addData(ev(4, 2, 121)) // one more batch so timeouts fire post-watermark
+      q.processAllAvailable()
+      val out = spark.table("sess_to").as[StreamingOps.SessionOut].collect()
+      assert(out.exists(s => s.user_id == 1 && s.n_events == 2),
+        s"expected user 1 session closed by watermark, got ${out.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("typed sessionization matches the window/lag SQL formulation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
