@@ -452,6 +452,76 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // CUBE grouping sets (all 4 grouping combinations in one shuffle).
+    "q43_cube" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+    }),
+
+    // As-of join: each purchase matched to the user's most recent click
+    // at-or-before it. One shuffle of |L|+|R| rows on the key, one sort —
+    // the union+running-last formulation that scales (operators/AsOfJoin).
+    "q44_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_ns").as("click_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_ns"))
+      graft.operators.AsOfJoin.backward(purchases, clicks,
+          key = "user_id", leftTs = "ts_ns", rightTs = "click_ns",
+          rightId = "click_id", payload = Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"),
+          col("asof.click_id").as("last_click_id"))
+    }),
+
+    // Range (interval) join against a broadcast band dimension — the
+    // non-equi join surface; BroadcastNestedLoopJoin at any scale since
+    // the band table is O(1).
+    "q45_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = broadcast(Seq(
+        ("budget", 0.0, 933.0),
+        ("mid", 933.0, 966.0),
+        ("premium", 966.0, 1e9)).toDF("band", "lo", "hi"))
+      table(s, dir, "part")
+        .join(bands, col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("p_retailprice"))).cast("double").as("total"))
+    }),
+
+    // Correlated-scalar-subquery shape: customers above their nation's
+    // average balance — decorrelated into an agg + broadcast join (what
+    // Catalyst's RewriteCorrelatedScalarSubquery does, stated directly).
+    "q46_above_nation_avg" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val avgs = c.groupBy("c_nationkey")
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("nation_avg"))
+      c.join(broadcast(avgs), "c_nationkey")
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    }),
+
+    // Window frames: running total, lag, and a 3-row moving sum per
+    // customer — one shuffle serves all three frames.
+    "q48_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .withColumn("cum_spend",
+          sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("rolling3",
+          sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(-2, Window.currentRow)).cast("double"))
+        .select("o_custkey", "o_orderkey", "cum_spend", "prev_price", "rolling3")
+    }),
+
     // Multimodal plumbing end-to-end: opaque binary payloads → partition-
     // wise stub decode → typed metadata columns. Codec is stubbed (no
     // media libs in-container) → rows-only check.
@@ -744,6 +814,49 @@ object SparkEntry {
         |  concat_ws('|', s_name, CAST(s_nationkey AS VARCHAR)) AS joined,
         |  len(trim(s_name)) AS trimmed_len
         |FROM supplier""".stripMargin,
+
+    "q43_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q44_asof_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS ts_ns
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS ts_ns
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id,
+        |  (SELECT c.click_id FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts_ns <= p.ts_ns
+        |   ORDER BY c.ts_ns DESC, c.click_id DESC LIMIT 1) AS last_click_id
+        |FROM p""".stripMargin,
+
+    "q45_range_join" ->
+      """SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM part
+        |JOIN (VALUES ('budget', 0.0, 933.0), ('mid', 933.0, 966.0),
+        |             ('premium', 966.0, 1e9)) AS bands(band, lo, hi)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band""".stripMargin,
+
+    "q46_above_nation_avg" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
+
+    "q48_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend,
+        |  LAG(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling3
+        |FROM orders""".stripMargin,
 
     "q36_curation" ->
       """WITH big AS (

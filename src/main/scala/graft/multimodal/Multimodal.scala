@@ -73,6 +73,22 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "width", "height")
   }
 
+  /** Resize stage (STUB): fit into a `maxW`×`maxH` box preserving aspect
+    * ratio. Partition-wise like a real pixel resize; with the codec stubbed
+    * only the metadata dims change, but the dataflow shape (typed in, typed
+    * out, no shuffle) is exactly the production one.
+    */
+  def resize(decoded: Dataset[DecodedMeta], maxW: Int, maxH: Int): Dataset[DecodedMeta] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { m =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      m.copy(
+        width = math.max(1, math.round(m.width * scale).toInt),
+        height = math.max(1, math.round(m.height * scale).toInt))
+    }
+  }
+
   /** Feature-extraction stage (STUB): fixed-dim deterministic pseudo
     * embedding per item, batched per partition like a real model server
     * call would be (`grouped(batchSize)` = the inference batch shape).

@@ -26,4 +26,14 @@ object Bucketing {
   }
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Hive-style partitioned layout: one directory per value. A filter on
+    * the partition column prunes whole directories at planning time
+    * (`PartitionFilters` on the scan, zero bytes read from pruned ones) —
+    * the coarsest and cheapest data-skipping lever at 100 TB. Use
+    * low-cardinality columns (lang, dt, modality); high-cardinality
+    * partition keys explode the file count and kill the listing phase.
+    */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
 }

@@ -158,6 +158,33 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join: attribute each purchase to the clicks by
+    * the same user in the `horizon` before it (inclusive). Both sides carry
+    * watermarks, so Structured Streaming bounds the join buffers — each
+    * side's state is evicted once the other side's watermark passes the
+    * interval, which is what keeps state finite on an unbounded stream.
+    * Expects `clicks(user_id, event_id, ts)` / `purchases(user_id,
+    * event_id, ts)` with `ts` a real timestamp column.
+    */
+  def clickAttributionStream(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    p.join(c, expr(
+        s"p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL $horizon"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Streaming gap-based sessionization with explicit keyed state.
     * Emits a [[SessionOut]] row whenever a session closes — either because
     * a new event arrived after the gap, or on final flush. State per user

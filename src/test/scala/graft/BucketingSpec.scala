@@ -37,4 +37,30 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("partitioned layout: filter on partition column prunes directories") {
+    val dir = "/tmp/graft-part-layout"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Bucketing.writePartitioned(docs, dir, Seq("lang"))
+
+    val scan = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"partition filter not pushed to scan:\n$plan")
+
+    // only the lang=en directory's files are read (scan metric)
+    scan.collect()
+    val numFilesRead = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+    }.getOrElse(-1L)
+    val enFiles = new java.io.File(s"$dir/lang=en").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+    assert(numFilesRead == enFiles && numFilesRead < allFiles,
+      s"expected $enFiles pruned files of $allFiles, scan read $numFilesRead")
+
+    // correctness: partitioned round trip preserves the rows
+    assert(scan.count() == docs.filter(col("lang") === "en").count())
+  }
 }

@@ -38,6 +38,25 @@ class MultimodalSpec extends SparkSpec {
     assert(perItem == expected)
   }
 
+  test("resize: fits the box, preserves aspect ratio, never upscales") {
+    val decoded = Multimodal.decode(media)
+    val resized = Multimodal.resize(decoded, maxW = 640, maxH = 480)
+      .collect().map(m => m.media_id -> m).toMap
+    val orig = decoded.collect()
+    assert(orig.nonEmpty)
+    orig.foreach { m =>
+      val r = resized(m.media_id)
+      assert(r.width <= 640 && r.height <= 480)
+      assert(r.width <= m.width && r.height <= m.height) // no upscale
+      // aspect ratio preserved within rounding
+      val ar = m.width.toDouble / m.height
+      val arR = r.width.toDouble / r.height
+      assert(math.abs(ar - arR) / ar < 0.02, s"aspect drifted: $m -> $r")
+      // non-dimension fields untouched
+      assert(r.n_frames == m.n_frames && r.checksum == m.checksum)
+    }
+  }
+
   test("extractFeatures: fixed-dim, deterministic, partition-batched") {
     val f = Multimodal.extractFeatures(media, dim = 16, batchSize = 32).collect()
     assert(f.length == 500)

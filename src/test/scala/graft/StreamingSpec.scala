@@ -120,6 +120,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attributed to in-horizon clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamingOps.StampedEvent]
+    val purchases = MemoryStream[StreamingOps.StampedEvent]
+    def ev(id: Long, uid: Long, minute: Long) = {
+      val sec = 86400L + minute * 60L
+      StreamingOps.StampedEvent(id, uid, new java.sql.Timestamp(sec * 1000L), sec * 1000000000L)
+    }
+    val joined = StreamingOps.clickAttributionStream(
+      clicks.toDS().toDF(), purchases.toDS().toDF(),
+      horizon = "1 hour", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(101, 1, 0), ev(102, 1, 30), ev(103, 2, 35))
+      purchases.addData(ev(201, 1, 40))
+      q.processAllAvailable()
+      clicks.addData(ev(104, 1, 50)) // after the purchase → must not match
+      purchases.addData(ev(202, 2, 200)) // user 2's click is out of horizon
+      q.processAllAvailable()
+      val got = spark.table("attr_out").select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((201L, 101L), (201L, 102L)))
+    } finally q.stop()
+  }
+
   test("typed sessionization matches the window/lag SQL formulation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
