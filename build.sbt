@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs all 32 "executors" in this one JVM; at 8g the
+  // array-heavy operators (minhash signatures, shingle sets) GC-thrash
+  // with 10x run-to-run variance. The box has 128 GiB — size like a real
+  // executor fleet would be sized.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+UseG1GC",
+  // 46 queries × whole-stage-codegen classes overflow the default 240 MB
+  // code cache mid-bench; once full, C2 stops compiling and hot loops run
+  // interpreted (30x slowdowns on later queries). Size it for the suite.
+  "-XX:ReservedCodeCacheSize=2g",
 )
