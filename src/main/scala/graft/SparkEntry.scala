@@ -522,6 +522,56 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "cum_spend", "prev_price", "rolling3")
     }),
 
+    // The reference's flagship search semantic: per-query metadata filters
+    // (each query row carries its own filter JSON, reference cfg.py:33)
+    // applied during top-k — data-dependent filters interpreted by the
+    // JsonFilterMatch expression inside the codegen'd scoring scan, then
+    // bounded-heap selection.
+    "q49_filtered_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cands = emb.filter(col("vec_id") >= 10)
+        .join(table(s, dir, "documents"), col("doc_id") === col("vec_id"))
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+          to_json(struct(col("lang"), col("n_chars"))).as("metadata"))
+      val qs = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .withColumn("filter",
+          when(col("qid") % 3 === 0, lit("""{"lang": {"$eq": "en"}}"""))
+            .when(col("qid") % 3 === 1, lit("""{"lang": {"$in": ["de", "fr"]}}"""))
+            .otherwise(lit("""{"n_chars": {"$gt": 300}}""")))
+      graft.operators.Similarity.filteredTopK(qs, cands, k = 5)
+    }),
+
+    // BM25 keyword relevance: per-doc TFs are closed-form array exprs (no
+    // explode), corpus stats one broadcast agg row, contributions summed in
+    // fixed term order for cross-engine bit-stability.
+    "q50_bm25" -> ((s, dir) => {
+      graft.operators.TextAnalysis.bm25(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        terms = Seq("the", "data", "model"))
+    }),
+
+    // Upsert merge (Pinecone's id-replace semantic as a batch op): updated
+    // docs replace base rows by id, fresh ids append.
+    "q51_upsert" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", upper(col("text")))
+        .withColumn("doc_id", col("doc_id") + lit(1000000))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("source", lit("patched")))
+      graft.operators.Merge.upsert(docs, updates, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // Deterministic md5 hash split — the reproducible train/val sampling
+    // idiom (pure scan-speed filter, identical row set in any engine).
+    "q52_hash_sample" -> ((s, dir) => {
+      graft.operators.Sampling.md5Sample(
+        table(s, dir, "documents"), col("doc_id"), sixteenths = 4)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // Multimodal plumbing end-to-end: opaque binary payloads → partition-
     // wise stub decode → typed metadata columns. Codec is stubbed (no
     // media libs in-container) → rows-only check.
@@ -857,6 +907,60 @@ object SparkEntry {
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling3
         |FROM orders""".stripMargin,
+
+    "q49_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 6),
+        |d AS (SELECT e.vec_id AS nid, e.embedding::DOUBLE[] AS v, doc.lang, doc.n_chars
+        |      FROM embeddings e JOIN documents doc ON doc.doc_id = e.vec_id
+        |      WHERE e.vec_id >= 10),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score FROM q JOIN d ON
+        |        CASE qid % 3 WHEN 0 THEN lang = 'en'
+        |                     WHEN 1 THEN lang IN ('de', 'fr')
+        |                     ELSE n_chars > 300 END),
+        |r AS (SELECT qid, nid, score,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+        |      FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q50_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'the')) AS DOUBLE) AS tf_the,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'data')) AS DOUBLE) AS tf_data,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t = 'model')) AS DOUBLE) AS tf_model
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf_the > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_the,
+        |    CAST(SUM(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_data,
+        |    CAST(SUM(CASE WHEN tf_model > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_model
+        |  FROM base)
+        |SELECT doc_id, ROUND(
+        |    ln((n_docs - df_the + 0.5) / (df_the + 0.5) + 1.0)
+        |      * (tf_the * 2.2) / (tf_the + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df_data + 0.5) / (df_data + 0.5) + 1.0)
+        |      * (tf_data * 2.2) / (tf_data + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  + ln((n_docs - df_model + 0.5) / (df_model + 0.5) + 1.0)
+        |      * (tf_model * 2.2) / (tf_model + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS bm25
+        |FROM base CROSS JOIN stats""".stripMargin,
+
+    "q51_upsert" ->
+      """WITH updates AS (
+        |  SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'patched' AS source, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id, b.lang, b.source, b.n_chars FROM documents b
+        |WHERE b.doc_id NOT IN (SELECT doc_id FROM updates)
+        |UNION ALL
+        |SELECT doc_id, lang, source, n_chars FROM updates""".stripMargin,
+
+    "q52_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""".stripMargin,
 
     "q36_curation" ->
       """WITH big AS (

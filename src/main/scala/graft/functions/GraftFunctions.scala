@@ -29,6 +29,10 @@ object GraftFunctions {
       GraftSqlBridge.expression(ia), GraftSqlBridge.expression(va),
       GraftSqlBridge.expression(ib), GraftSqlBridge.expression(vb)))
 
+  def jsonFilterMatch(filter: Column, metadata: Column): Column =
+    GraftSqlBridge.column(JsonFilterMatch(
+      GraftSqlBridge.expression(filter), GraftSqlBridge.expression(metadata)))
+
   private def lit(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"expected int literal, got $other")
@@ -44,7 +48,8 @@ object GraftFunctions {
     "word_ngram_hashes" -> { args =>
       WordNgramHashes(args(0), lit(args(1)), lit(args(2)) != 0) },
     "minhash_signature" -> { args => MinHashSignature(args(0), lit(args(1)), 42L) },
-    "simhash64" -> { args => SimHash64(args(0)) })
+    "simhash64" -> { args => SimHash64(args(0)) },
+    "json_filter_match" -> { args => JsonFilterMatch(args(0), args(1)) })
 
   /** Idempotent per-session SQL registration. Runtime registration keeps
     * Verify/Bench sessions (built without extensions) working; the same

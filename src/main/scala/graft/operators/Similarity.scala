@@ -59,6 +59,35 @@ object Similarity {
         round(col("col.score"), 4).as("score"), (col("pos") + 1).as("rnk"))
   }
 
+  /** Metadata-filtered top-k — the reference's flagship search semantic:
+    * each query row carries its own `filter` JSON (reference `cfg.py:33`)
+    * that must admit a candidate's `metadata` before it is scored.
+    *
+    * Expects `queries(qid, qvec, filter)` (filter: JSON string or null =
+    * match-all) and `candidates(nid, nvec, metadata)` (metadata: JSON
+    * string). The filter is data, so it cannot be compiled into the plan;
+    * [[graft.functions.JsonFilterMatch]] interprets it per pair inside the
+    * whole-stage-codegen'd scoring scan, *before* the cosine kernel runs —
+    * filtered-out candidates are never scored. Selection uses the
+    * bounded-heap aggregate, so the shuffle carries ≤ k rows per query per
+    * map task regardless of corpus size.
+    */
+  def filteredTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("qid"), col("qvec").cast("array<double>").as("qv"), col("filter")))
+    val scored = candidates
+      .select(col("nid"), col("nvec").cast("array<double>").as("v"), col("metadata"))
+      .crossJoin(q)
+      .filter(GraftFunctions.jsonFilterMatch(col("filter"), col("metadata")))
+      .select(col("qid"), col("nid"),
+        GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKByScore.topK(col("score_raw"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("nid"),
+        round(col("col.score"), 4).as("score"), (col("pos") + 1).as("rnk"))
+  }
+
   /** IVF-style approximate top-k: assign each candidate to one of `nlist`
     * cells, compute per-query cell affinity against broadcast centroids,
     * score only candidates in the query's best `nprobe` cells.

@@ -83,4 +83,50 @@ object TextAnalysis {
   val defaultStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")
+
+  /** BM25 keyword relevance of each document for a literal term set.
+    *
+    * Scale shape: per-document term frequencies are closed-form array
+    * expressions over the token array (`size(filter(...))`) — no explode,
+    * no per-token shuffle, the whole TF side runs inside codegen at scan
+    * speed. Corpus statistics (N, avgdl, per-term document frequencies)
+    * reduce to ONE single-row aggregate that joins back by broadcast, so
+    * the only shuffle at 100 TB is that one global agg — and it's a
+    * partial-aggregated count, bytes per partition.
+    *
+    * Per-term contributions are summed in fixed term order (a column sum,
+    * not a row agg), keeping results bit-stable across engines and runs.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val toks = split(lower(textCol), " ")
+    def tf(term: String): Column =
+      size(filter(toks, t => t === term)).cast("double")
+
+    val base = df.select(
+      Seq(idCol.as("doc_id"), size(toks).cast("double").as("dl")) ++
+        terms.map(t => tf(t).as(s"tf_$t")): _*)
+
+    // one row: corpus size, average doc length, per-term doc frequency
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t")): _*)
+
+    val contribs = terms.map { t =>
+      // BM25+-free classic form with the standard +0.5 idf smoothing
+      val idf = log((col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0)
+      val tfc = col(s"tf_$t")
+      idf * (tfc * lit(k1 + 1.0)) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(contribs.reduce(_ + _), 4).as("bm25"))
+  }
 }

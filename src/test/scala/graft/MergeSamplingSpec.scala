@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Merge, Sampling}
+
+class MergeSamplingSpec extends SparkSpec {
+
+  private lazy val base = {
+    import spark.implicits._
+    Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 1)).toDF("id", "v", "ver")
+  }
+
+  test("upsert replaces matching keys and appends new ones") {
+    import spark.implicits._
+    val updates = Seq((2L, "B2", 2), (9L, "new", 2)).toDF("id", "v", "ver")
+    val got = Merge.upsert(base, updates, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+  }
+
+  test("delete removes keys; missing keys are no-ops") {
+    import spark.implicits._
+    val got = Merge.delete(base, Seq(2L, 99L).toDF("id"), "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
+  test("latestByVersion: aggregate form equals window form, keeps max version") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "v1", 1), (1L, "v3", 3), (1L, "v2", 2),
+      (2L, "x1", 1), (3L, "y5", 5))
+      .toDF("id", "v", "ver")
+    val agg = Merge.latestByVersion(log, "id", "ver")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val win = Merge.latestByVersionWindow(log, "id", "ver")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(agg == Set((1L, "v3", 3), (2L, "x1", 1), (3L, "y5", 5)))
+    assert(agg == win)
+    // partial aggregation shape: max_by form must not plan a Window sort
+    val plan = Merge.latestByVersion(log, "id", "ver")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window sort in:\n$plan")
+  }
+
+  test("hash splits are deterministic, disjoint-complete, and ~proportional") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val a = Sampling.md5Sample(docs, col("doc_id"), 4)
+    val b = docs.exceptAll(a)
+    assert(a.count() + b.count() == n)
+    // deterministic: same rows on re-evaluation
+    assert(a.collect().map(_.getLong(0)).toSet ==
+      Sampling.md5Sample(docs, col("doc_id"), 4).collect().map(_.getLong(0)).toSet)
+    val frac = a.count().toDouble / n
+    assert(frac > 0.12 && frac < 0.38, s"4/16 split landed at $frac")
+    // xxhash variant: keep/buckets proportionality
+    val h = Sampling.hashSample(docs, col("doc_id"), keep = 30, buckets = 100).count()
+    assert(h.toDouble / n > 0.18 && h.toDouble / n < 0.45)
+    // stratified: every stratum is represented at roughly its keep rate
+    val strata = Sampling.stratifiedHashSample(docs, col("doc_id"), col("lang"), 50)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, cnt) =>
+      val kept = strata.getOrElse(lang, 0L).toDouble / cnt
+      assert(kept > 0.2 && kept < 0.8, s"stratum $lang kept $kept")
+    }
+  }
+}
