@@ -18,6 +18,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalesce post-shuffle partitions by SIZE, not up to the default
+      // parallelism: parallelismFirst=true (the default) pins tiny shuffles
+      // at `shuffle.partitions` tasks, paying per-task dispatch for
+      // microseconds of work; size-based coalescing is also the documented
+      // recommendation for production. At 100 TB the same setting prevents
+      // over-tiny partitions after selective filters.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
