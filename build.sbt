@@ -31,9 +31,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // with 10x run-to-run variance. The box has 128 GiB — size like a real
   // executor fleet would be sized.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-Xms8g",
   "-XX:+UseG1GC",
+  // On this virtualized host, cross-vCPU wakeups cost 50-75us, so a
+  // 23-thread parallel GC barrier turns millisecond young pauses into
+  // multi-second stalls (observed 4.3 s). Few GC threads = few barriers.
+  "-XX:ParallelGCThreads=8",
+  "-XX:ConcGCThreads=2",
   // 46 queries × whole-stage-codegen classes overflow the default 240 MB
   // code cache mid-bench; once full, C2 stops compiling and hot loops run
   // interpreted (30x slowdowns on later queries). Size it for the suite.
   "-XX:ReservedCodeCacheSize=2g",
-)
+) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -572,6 +572,32 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // Int8-range scalar quantization: 4-byte floats → 1-byte codes (the
+    // 100 TB storage/scan lever). Codes are integers and min/max are exact
+    // float-derived doubles, so the oracle compares bit-exact.
+    "q54_quantize" -> ((s, dir) => {
+      graft.operators.Quantization.quantize(
+        table(s, dir, "embeddings").filter(col("vec_id") < 200),
+        col("embedding"))
+        .select("vec_id", "codes", "qmin", "qmax")
+    }),
+
+    // Lloyd-trained IVF (KMeans.train codebook, nprobe-nearest-cells
+    // search). Training folds the codebook into the plan as literals, so
+    // nothing but k x dim doubles ever reaches the driver. K-means is not
+    // SQL-expressible → rows-only check.
+    "q53_ivf_trained" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val idx = graft.operators.IvfIndex.buildTrained(
+        emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        nlist = 8, iters = 3)
+      idx.search(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 10, nprobe = 3)
+    }),
+
     // Multimodal plumbing end-to-end: opaque binary payloads → partition-
     // wise stub decode → typed metadata columns. Codec is stubbed (no
     // media libs in-container) → rows-only check.
@@ -961,6 +987,19 @@ object SparkEntry {
     "q52_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'""".stripMargin,
+
+    "q54_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings WHERE vec_id < 200),
+        |m AS (
+        |  SELECT vec_id, dv, list_min(dv) AS qmin, list_max(dv) AS qmax FROM v)
+        |SELECT vec_id,
+        |  CASE WHEN qmax - qmin = 0
+        |    THEN list_transform(dv, x -> 0)
+        |    ELSE list_transform(dv, x -> CAST(round((x - qmin) / (qmax - qmin) * 255.0) AS INT))
+        |  END AS codes,
+        |  qmin, qmax
+        |FROM m""".stripMargin,
 
     "q36_curation" ->
       """WITH big AS (

@@ -147,6 +147,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch + Merge.upsert maintains a dataset from a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // base snapshot
+    var state = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("id", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // latest-wins within the micro-batch, then upsert into the snapshot
+        val compacted = graft.operators.Merge.latestByVersion(
+          batch.withColumn("ver", monotonically_increasing_id()), "id", "ver")
+          .drop("ver")
+        state = graft.operators.Merge.upsert(state, compacted, "id")
+          .localCheckpoint() // cut lineage growth across micro-batches
+      }
+      .start()
+    try {
+      in.addData((2L, "B2"), (3L, "c"))
+      q.processAllAvailable()
+      in.addData((3L, "C3"), (4L, "d"))
+      q.processAllAvailable()
+      val got = state.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "B2"), (3L, "C3"), (4L, "d")))
+    } finally q.stop()
+  }
+
   test("typed sessionization matches the window/lag SQL formulation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
