@@ -23,9 +23,12 @@ import graft.schema.PineconeSchema
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Per-query metadata-filtered top-k — the reference's defining search
+    * semantic (query row carries vector + filter + top_k, cfg.py:30-36).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q15_ann_topk")(spark, "/root/testdata/sf0.001")
+    queries("q49_filtered_topk")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- helpers
 
