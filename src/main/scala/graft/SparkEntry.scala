@@ -168,6 +168,19 @@ object SparkEntry {
         .agg(sum(col("brk")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // Declarative sessionization via the built-in session_window aggregate
+    // (merging-window state, no explicit lag/cumsum) — same result as q12's
+    // window formulation up to boundary semantics: session_window's
+    // half-open [ts, ts+gap) means a gap of exactly 30min starts a new
+    // session, so the oracle breaks on >= rather than >.
+    "q55_session_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+    }),
+
     // Text quality metrics (token counts, punctuation/char ratios).
     "q13_text_stats" -> ((s, dir) => {
       graft.operators.TextAnalysis.qualityByGroup(
@@ -685,6 +698,20 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "q55_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    LAG(epoch_ns(ts) // 1000) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000 ASC) AS prev_us
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM g)
+        |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM b GROUP BY user_id""".stripMargin,
 
     "q13_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
