@@ -41,29 +41,43 @@ object Bench {
 
     // Dev knob: SPARK_GRAFT_ONLY=q53,q54 benches a comma-separated subset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must never benchmark as a fast success: surface it
+    // (stderr + the `failed` JSON field, timed as -1) instead of letting it
+    // silently deflate the total.
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-    val first = queries.map { case (name, fn) => (name, fn, timeOne(name, fn)) }
+    val first = queries.map { case (name, fn) =>
+      val (t, ok) = timeOne(name, fn); (name, fn, t, ok)
+    }
 
     // Outlier retry: anything far above the suite median is more likely a
     // host window than a plan; measure again, keep the minimum.
     val med = first.map(_._3).sorted.apply(first.length / 2)
-    val results = first.map { case (name, fn, t) =>
-      if (t > math.max(3.0, 5.0 * med)) name -> math.min(t, timeOne(name, fn))
-      else name -> t
+    val results = first.map { case (name, fn, t, ok) =>
+      if (ok && t > math.max(3.0, 5.0 * med)) {
+        val (t2, ok2) = timeOne(name, fn)
+        (name, if (ok2) math.min(t, t2) else t, ok)
+      } else (name, t, ok)
     }
     val probeAfter = schedProbeMs()
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (k, _, false) => k }
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sched_probe_ms":[$probeBefore,$probeAfter],"sf":"$sfDir"}""")
+      s""""failed":$failedJson,"sched_probe_ms":[$probeBefore,$probeAfter],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,8 +32,24 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- helpers
 
-  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Last (session, sfDir) any query ran against. Two oracle entries are
+    * data-dependent (q23's simhash prints, q53's trained centroids) and are
+    * rendered as SQL literals from this context when [[oracleSql]] is built
+    * — Verify runs every query before dumping the oracle map, so the
+    * context is always set on the driver path.
+    */
+  @volatile private var lastRunCtx: Option[(SparkSession, String)] = None
+
+  /** Centroids trained by the last q53 run, captured so the oracle can
+    * replicate assignment + probing + top-k from literals (training is
+    * deterministic: seeded init, fixed iteration count).
+    */
+  @volatile private[graft] var q53Centroids: Option[Array[Array[Double]]] = None
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    lastRunCtx = Some((spark, dir))
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** events.ts is nanosecond-precision parquet, which Spark's vectorized
     * reader rejects; read it as long nanos and convert (floor to micros,
@@ -250,7 +266,9 @@ object SparkEntry {
     }),
 
     // SimHash near-dup pairs (chunk-blocked Hamming join; exact for the
-    // distance bound by pigeonhole). Not SQL-expressible → rows-only check.
+    // distance bound by pigeonhole). The oracle brute-forces all pairs
+    // over the captured per-doc prints (see q23OracleSql), independently
+    // verifying the blocked join's exactness.
     "q23_simhash_hamming" -> ((s, dir) => {
       graft.operators.TextDedup.simhashNearDupPairs(
         table(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 2)
@@ -301,12 +319,16 @@ object SparkEntry {
 
     // Reference normalize path (P1-P4): rename → validate → null-fill →
     // project, over the embeddings table mapped into the documents schema.
+    // The vector column is emitted row-wise as (id, pos, val) scalars: the
+    // driver's pandas compare cannot sort/hash list cells (round-1 harness
+    // red), and exploded scalars are a strictly stronger equality check.
     "q17_normalize" -> ((s, dir) => {
       Normalize(
         table(s, dir, "embeddings").select("vec_id", "embedding"),
         PineconeSchema.documentsColumns,
         columnMapping = Map("vec_id" -> "id", "embedding" -> "values"))
-        .select(col("id"), col("values").as("vec"))
+        .select(col("id"), posexplode(col("values").cast("array<double>")))
+        .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("val"))
     }),
 
     // Document fingerprinting: whitespace-normalized 64-bit content print.
@@ -447,8 +469,10 @@ object SparkEntry {
       val ds = PineconeDataset.fromDataFrames(
         docs, meta, documentsColumnMapping = Map("vec_id" -> "id", "embedding" -> "values"))
       DatasetWriter.writeDataset(ds, tmp)
+      // row-wise (id, pos, val) rendering — same rationale as q17
       PineconeDataset.fromPath(s, tmp).documents
-        .select(col("id"), col("values").as("vec"))
+        .select(col("id"), posexplode(col("values").cast("array<double>")))
+        .select(col("id"), col("pos").cast("long").as("pos"), col("col").as("val"))
     }),
 
     // End-to-end curation pipeline: metadata filter (compiled) → quality
@@ -549,13 +573,37 @@ object SparkEntry {
         .join(table(s, dir, "documents"), col("doc_id") === col("vec_id"))
         .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
           to_json(struct(col("lang"), col("n_chars"))).as("metadata"))
+      // heterogeneous per-row top_k (3, 4 or 5) — the reference's query row
+      // carries its own k (cfg.py:34) and per-query result counts differ.
       val qs = emb.filter(col("vec_id") < 6)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         .withColumn("filter",
           when(col("qid") % 3 === 0, lit("""{"lang": {"$eq": "en"}}"""))
             .when(col("qid") % 3 === 1, lit("""{"lang": {"$in": ["de", "fr"]}}"""))
             .otherwise(lit("""{"n_chars": {"$gt": 300}}""")))
-      graft.operators.Similarity.filteredTopK(qs, cands, k = 5)
+        .withColumn("top_k", (col("qid") % 3 + 3).cast("int"))
+      graft.operators.Similarity.filteredTopKPerQuery(qs, cands)
+    }),
+
+    // Sparse search end-to-end over the reference's sparse struct surface
+    // (sparse_values / sparse_vector, cfg.py:26,32): sparse vectors are
+    // derived deterministically by thresholding the dense embeddings,
+    // shaped into the schema's struct<indices, values>, scored by the
+    // merge-join codegen sparse dot, selected per-row-top_k by the heap.
+    "q56_sparse_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      def sparse(of: Column): Column = struct(
+        transform(
+          filter(sequence(lit(0), size(of) - 1),
+            i => element_at(of, i + 1) > 0.1),
+          i => i.cast("long")).as("indices"),
+        filter(of, x => x > 0.1).as("values"))
+      val cands = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), sparse(col("embedding")).as("sparse_values"))
+      val qs = e.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), sparse(col("embedding")).as("sparse_vector"),
+          (col("vec_id") % 3 + 3).cast("int").as("top_k"))
+      graft.operators.Similarity.sparseTopKPerQuery(qs, cands)
     }),
 
     // BM25 keyword relevance: per-doc TFs are closed-form array exprs (no
@@ -590,24 +638,31 @@ object SparkEntry {
 
     // Int8-range scalar quantization: 4-byte floats → 1-byte codes (the
     // 100 TB storage/scan lever). Codes are integers and min/max are exact
-    // float-derived doubles, so the oracle compares bit-exact.
+    // float-derived doubles, so the oracle compares bit-exact. The codes
+    // array is emitted row-wise as (pos, code) scalars — same rationale
+    // as q17.
     "q54_quantize" -> ((s, dir) => {
       graft.operators.Quantization.quantize(
         table(s, dir, "embeddings").filter(col("vec_id") < 200),
         col("embedding"))
-        .select("vec_id", "codes", "qmin", "qmax")
+        .select(col("vec_id"), col("qmin"), col("qmax"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("code"), col("qmin"), col("qmax"))
     }),
 
     // Lloyd-trained IVF (KMeans.train codebook, nprobe-nearest-cells
-    // search). Training folds the codebook into the plan as literals, so
-    // nothing but k x dim doubles ever reaches the driver. K-means is not
-    // SQL-expressible → rows-only check.
+    // search). Training keeps only k x dim doubles on the driver; the
+    // codebook rides into the plan as one reference object. Training is
+    // deterministic (seeded init, fixed iters), so the trained centroids
+    // are captured and the oracle replicates assignment + probing + top-k
+    // from them as SQL literals.
     "q53_ivf_trained" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val idx = graft.operators.IvfIndex.buildTrained(
         emb.filter(col("vec_id") >= 10)
           .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
         nlist = 8, iters = 3)
+      q53Centroids = Some(idx.centroids)
       idx.search(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
@@ -615,8 +670,9 @@ object SparkEntry {
     }),
 
     // Multimodal plumbing end-to-end: opaque binary payloads → partition-
-    // wise stub decode → typed metadata columns. Codec is stubbed (no
-    // media libs in-container) → rows-only check.
+    // wise stub decode → typed metadata columns. The codec is stubbed (no
+    // media libs in-container) but deterministic, so the oracle replicates
+    // the decode arithmetic exactly (see the q34 oracle SQL).
     "q34_media_decode" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       Multimodal.decode(
@@ -627,7 +683,82 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = staticOracleSql +
+    ("q23_simhash_hamming" -> q23OracleSql) +
+    ("q53_ivf_trained" -> q53OracleSql)
+
+  /** Emitted when a data-dependent oracle is requested before any query has
+    * run (only the key-parity spec does that); Verify always runs the
+    * queries first, so the driver never sees this. */
+  private val unavailableOracle =
+    "SELECT NULL AS unavailable WHERE FALSE"
+
+  /** q23's oracle: the per-document simhash prints are rendered as literals
+    * and DuckDB brute-forces ALL pairs' Hamming distances over them — an
+    * independent check that the chunk-blocked join (pigeonhole exactness)
+    * found exactly the pairs within the bound. The print computation itself
+    * is covered by TextDedupSpec; what the distributed operator adds — and
+    * what this verifies — is the pair generation.
+    */
+  private def q23OracleSql: String = lastRunCtx match {
+    case Some((s, dir)) =>
+      val sims = table(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.TextDedup.simhash(col("text")).as("sim"))
+        .collect()
+        .map(r => s"(${r.getLong(0)}, CAST(${r.getLong(1)} AS BIGINT))")
+      s"""WITH sims(doc_id, sim) AS (VALUES ${sims.mkString(", ")})
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 2""".stripMargin
+    case None => unavailableOracle
+  }
+
+  /** q53's oracle: trained centroids as literals; DuckDB then replicates
+    * cell assignment (argmin of |c|² − 2·x·c, ties to the smaller cell —
+    * CentroidOps.nearest), nprobe=3 probing, cosine scoring and top-10
+    * selection independently.
+    */
+  private def q53OracleSql: String = {
+    val captured = q53Centroids.orElse(lastRunCtx.map { case (s, dir) =>
+      // deterministic retrain on the same slice if q53 itself didn't run
+      val base = table(s, dir, "embeddings").filter(col("vec_id") >= 10)
+        .select(col("embedding").cast("array<double>").as("v"))
+      graft.operators.KMeans.train(base, col("v"), k = 8, iters = 3)
+    })
+    captured match {
+      case None => unavailableOracle
+      case Some(cb) =>
+        val cent = cb.zipWithIndex
+          .map { case (v, i) => s"($i, [${v.mkString(", ")}]::DOUBLE[])" }
+          .mkString(", ")
+        s"""WITH cent(cell, cvec) AS (VALUES $cent),
+           |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
+           |      FROM embeddings WHERE vec_id >= 10),
+           |assigned AS (
+           |  SELECT nid, v,
+           |    (SELECT cell FROM cent
+           |     ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
+           |       cell ASC LIMIT 1) AS cell
+           |  FROM c),
+           |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id < 10),
+           |probed AS (
+           |  SELECT qid, qv, cell FROM (
+           |    SELECT qid, qv, cell, ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
+           |        cell ASC) AS pr
+           |    FROM q CROSS JOIN cent) WHERE pr <= 3),
+           |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score
+           |      FROM probed JOIN assigned USING (cell)),
+           |r AS (SELECT qid, nid, score,
+           |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+           |      FROM s)
+           |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
+    }
+  }
+
+  private def staticOracleSql: Map[String, String] = Map(
 
     "q02_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
@@ -739,7 +870,10 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3""".stripMargin,
 
     "q17_normalize" ->
-      """SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings""",
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |  unnest(embedding::DOUBLE[]) AS val
+        |FROM embeddings""".stripMargin,
 
     "q19_topk_heap" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
@@ -887,7 +1021,10 @@ object SparkEntry {
         |WHERE a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id < 15""".stripMargin,
 
     "q35_dataset_roundtrip" ->
-      """SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS vec FROM embeddings""",
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |  CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+        |  unnest(embedding::DOUBLE[]) AS val
+        |FROM embeddings""".stripMargin,
 
     "q41_pivot" ->
       """SELECT l_returnflag,
@@ -977,7 +1114,48 @@ object SparkEntry {
         |r AS (SELECT qid, nid, score,
         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
         |      FROM s)
-        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 5""".stripMargin,
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= qid % 3 + 3""".stripMargin,
+
+    "q56_sparse_topk" ->
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CASE WHEN x > 0.1 THEN x ELSE 0 END) AS mv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid, list_dot_product(a.mv, b.mv) AS score
+        |  FROM m a JOIN m b ON a.vec_id < 6 AND b.vec_id >= 10
+        |  WHERE list_dot_product(a.mv, b.mv) > 0),
+        |r AS (SELECT qid, nid, score,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+        |      FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= qid % 3 + 3""".stripMargin,
+
+    // q34's stub codec is deterministic arithmetic over the payload bytes
+    // (FNV-1a + floorMod slicing, Multimodal.decodeStub) and the synthetic
+    // corpus is pure ASCII, so DuckDB replicates the decode exactly with
+    // HUGEINT modular arithmetic (64-bit wraparound = % 2^64; products stay
+    // under 2^104 < HUGEINT max).
+    "q34_media_decode" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+        |      (acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS hu
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, text, hu,
+        |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+        |         ELSE hu END AS BIGINT) AS hs
+        |  FROM b)
+        |SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(len(text) AS BIGINT) AS n_bytes,
+        |  CAST(320 + ((hs % 1601) + 1601) % 1601 AS INT) AS width,
+        |  CAST(240 + (hu >> 17) % 841 AS INT) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 2 THEN 1 + (hu >> 31) % 300
+        |       WHEN 1 THEN 1 + (hu >> 31) % 48 ELSE 1 END AS INT) AS n_frames,
+        |  hs AS checksum
+        |FROM h""".stripMargin,
 
     "q50_bm25" ->
       """WITH base AS (
@@ -1024,10 +1202,11 @@ object SparkEntry {
         |m AS (
         |  SELECT vec_id, dv, list_min(dv) AS qmin, list_max(dv) AS qmax FROM v)
         |SELECT vec_id,
-        |  CASE WHEN qmax - qmin = 0
+        |  CAST(generate_subscripts(dv, 1) - 1 AS BIGINT) AS pos,
+        |  unnest(CASE WHEN qmax - qmin = 0
         |    THEN list_transform(dv, x -> 0)
         |    ELSE list_transform(dv, x -> CAST(round((x - qmin) / (qmax - qmin) * 255.0) AS INT))
-        |  END AS codes,
+        |  END) AS code,
         |  qmin, qmax
         |FROM m""".stripMargin,
 

@@ -32,15 +32,29 @@ object Dedup {
     * blocks so the largest block fits a task. Scores are computed by the
     * codegen'd [[graft.functions.VectorCosineSimilarity]] in double
     * precision and only pairs above `threshold` survive.
+    *
+    * `maxBlockSize` guards the degenerate block: a hot key (bad blocking
+    * choice, heavy skew) would make its self-join quadratic — 10⁶ rows in
+    * one block is 10¹² pairs in one task. Oversized blocks are dropped,
+    * mirroring [[TextDedup.bucketPairs]]; the size pre-pass is one partial
+    * aggregation on the (tiny) key column and the oversized-key set is
+    * broadcast, so the guard costs one cheap scan, never a shuffle of the
+    * vectors.
     */
   def cosineNearDupPairs(
       df: DataFrame,
       idCol: Column,
       vecCol: Column,
       blockCol: Column,
-      threshold: Double): DataFrame = {
-    val a = df.select(idCol.as("id_a"), vecCol.cast("array<double>").as("va"), blockCol.as("blk"))
-    val b = df.select(idCol.as("id_b"), vecCol.cast("array<double>").as("vb"), blockCol.as("blk_r"))
+      threshold: Double,
+      maxBlockSize: Int = 10000): DataFrame = {
+    val keyed = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"), blockCol.as("blk"))
+    val oversized = keyed.groupBy("blk")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBlockSize)
+      .select("blk")
+    val kept = keyed.join(broadcast(oversized), Seq("blk"), "left_anti")
+    val a = kept.select(col("id").as("id_a"), col("v").as("va"), col("blk"))
+    val b = kept.select(col("id").as("id_b"), col("v").as("vb"), col("blk").as("blk_r"))
     a.join(b, col("blk") === col("blk_r") && col("id_a") < col("id_b"))
       .withColumn("score_raw", GraftFunctions.vecCosine(col("va"), col("vb")))
       .filter(col("score_raw") > threshold)

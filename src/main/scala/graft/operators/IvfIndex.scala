@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -32,11 +31,9 @@ final class IvfIndex private (
             .otherwise(col("cell0").bitwiseXOR(call_function("shiftleft", lit(1), i - 1)))))
           .as("cell"))
     val scored = cells.join(broadcast(probed), "cell")
-      .withColumn("score_raw", GraftFunctions.vecCosine(col("qv"), col("v")))
-    val w = Window.partitionBy("qid").orderBy(col("score_raw").desc, col("nid").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
+      .select(col("qid"), col("nid"),
+        GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
+    Similarity.heapSelect(scored, k)
   }
 
   def unpersist(): Unit = cells.unpersist()
@@ -95,11 +92,9 @@ final class TrainedIvfIndex private[operators] (
       .select(col("qid"), col("qv"),
         explode(KMeans.probeCells(col("qv"), centroids, nprobe)).as("cell"))
     val scored = cells.join(broadcast(probed), "cell")
-      .withColumn("score_raw", GraftFunctions.vecCosine(col("qv"), col("v")))
-    val w = Window.partitionBy("qid").orderBy(col("score_raw").desc, col("nid").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
+      .select(col("qid"), col("nid"),
+        GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
+    Similarity.heapSelect(scored, k)
   }
 
   def unpersist(): Unit = cells.unpersist()

@@ -35,12 +35,10 @@ object Quantization {
       .withColumn("codes", quantizeCodes(vecCol))
       .withColumn("qmin", array_min(v))
       .withColumn("qmax", array_max(v))
-    if (keepVector) out else out.drop(colName(vecCol))
+    if (keepVector) out else out.drop(vecCol)
   }
 
   /** Reconstructed double vector from codes + range. */
   def dequantize(codes: Column, qmin: Column, qmax: Column): Column =
     transform(codes, c => qmin + c.cast("double") / 255.0 * (qmax - qmin))
-
-  private def colName(c: Column): String = c.toString
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TopKByScore}
 
 /** Similarity search over embedding columns.
   *
@@ -15,6 +15,12 @@ import graft.functions.GraftFunctions
   * 100 TB the scored-candidate stream is what matters, and it never
   * materializes more than the scan itself.
   *
+  * Selection discipline: every search path selects through the bounded-heap
+  * [[graft.functions.TopKByScore]] aggregate ([[heapSelect]]) — map-side
+  * partial aggregation reduces each task to ≤k rows per query *before* the
+  * shuffle and no sort of the scored stream ever happens. The Window
+  * formulation ([[bruteForceTopK]]) is kept as the spec cross-check only.
+  *
   * [[ivfTopK]] is the scale path: coarse-quantize candidates into `nlist`
   * cells (offline k-means in real pipelines; hash-binning here), probe only
   * the closest `nprobe` cells per query — a pre-filter that cuts scored
@@ -22,9 +28,47 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
+  /** Bounded-heap top-k selection over a scored stream `(qid, nid,
+    * score_raw)`. Returns `(qid, nid, score, rnk)` with `score` rounded to
+    * 4 decimals and a deterministic tiebreak on `nid` (the heap's own
+    * ordering). This is the selection shape that survives 100 TB: the
+    * shuffle carries ≤ k rows per query per map task regardless of corpus
+    * size, and there is no Window/Sort of the scored stream.
+    */
+  private[operators] def heapSelect(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(TopKByScore.topK(col("score_raw"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("nid"),
+        round(col("col.score"), 4).as("score"), (col("pos") + 1).as("rnk"))
+
+  /** Per-query-k variant over `(qid, top_k, nid, score_raw)`: one heap of
+    * size `maxK` per query (the aggregate's k is a plan constant), trimmed
+    * to each query's own `top_k` after explosion — honoring the reference's
+    * per-row `top_k` semantic (cfg.py:34) at heap cost `max(top_k)`.
+    */
+  private[operators] def heapSelectPerQuery(scored: DataFrame, maxK: Int): DataFrame =
+    scored.groupBy("qid", "top_k")
+      .agg(TopKByScore.topK(col("score_raw"), col("nid"), maxK).as("tk"))
+      .select(col("qid"), col("top_k"), posexplode(col("tk")))
+      .filter(col("pos") < col("top_k"))
+      .select(col("qid"), col("col.id").as("nid"),
+        round(col("col.score"), 4).as("score"), (col("pos") + 1).as("rnk"))
+
+  /** `max(top_k)` of a query batch — one scalar aggregate over the (small)
+    * query side, fetched on the driver to size the heap. Query batches are
+    * driver-broadcast-sized by construction, so this job is trivial.
+    */
+  private def maxTopK(queries: DataFrame): Int = {
+    val k = queries.agg(max(col("top_k"))).head().getAs[Number](0)
+    require(k != null && k.intValue() > 0, "top_k must be a positive integer")
+    k.intValue()
+  }
+
   /** Expects `queries(qid, qvec)` and `candidates(nid, nvec)`.
     * Returns `(qid, nid, score, rnk)`, `rnk <= k`, deterministic tiebreak
-    * on `nid`.
+    * on `nid`. Window formulation — the spec cross-check for the heap
+    * paths, not the scale path.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("qid"), col("qvec").cast("array<double>").as("qv")))
@@ -38,13 +82,7 @@ object Similarity {
       .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
   }
 
-  /** Same contract as [[bruteForceTopK]], but the per-query selection runs
-    * through the bounded-heap [[graft.functions.TopKByScore]] aggregate
-    * instead of a Window sort: partial aggregation reduces every map task
-    * to ≤k rows per query *before* the shuffle, and no global sort of the
-    * scored stream ever happens. This is the formulation that survives
-    * 100 TB of candidates.
-    */
+  /** Same contract as [[bruteForceTopK]], selected by the bounded heap. */
   def bruteForceTopKHeap(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("qid"), col("qvec").cast("array<double>").as("qv")))
     val scored = candidates
@@ -52,40 +90,66 @@ object Similarity {
       .crossJoin(q)
       .select(col("qid"), col("nid"),
         GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
-    scored.groupBy("qid")
-      .agg(graft.functions.TopKByScore.topK(col("score_raw"), col("nid"), k).as("tk"))
-      .select(col("qid"), posexplode(col("tk")))
-      .select(col("qid"), col("col.id").as("nid"),
-        round(col("col.score"), 4).as("score"), (col("pos") + 1).as("rnk"))
+    heapSelect(scored, k)
   }
+
+  /** Metadata-filtered top-k with a scalar k applied to every query —
+    * convenience overload of [[filteredTopKPerQuery]]. */
+  def filteredTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =
+    filteredTopKPerQuery(queries.withColumn("top_k", lit(k)), candidates)
 
   /** Metadata-filtered top-k — the reference's flagship search semantic:
     * each query row carries its own `filter` JSON (reference `cfg.py:33`)
-    * that must admit a candidate's `metadata` before it is scored.
+    * AND its own `top_k` (reference `cfg.py:34`, consumed by
+    * `index.search`, `dataset.py:136-140`).
     *
-    * Expects `queries(qid, qvec, filter)` (filter: JSON string or null =
-    * match-all) and `candidates(nid, nvec, metadata)` (metadata: JSON
-    * string). The filter is data, so it cannot be compiled into the plan;
-    * [[graft.functions.JsonFilterMatch]] interprets it per pair inside the
-    * whole-stage-codegen'd scoring scan, *before* the cosine kernel runs —
-    * filtered-out candidates are never scored. Selection uses the
-    * bounded-heap aggregate, so the shuffle carries ≤ k rows per query per
-    * map task regardless of corpus size.
+    * Expects `queries(qid, qvec, filter, top_k)` (filter: JSON string or
+    * null = match-all) and `candidates(nid, nvec, metadata)` (metadata:
+    * JSON string). The filter is data, so it cannot be compiled into the
+    * plan; [[graft.functions.JsonFilterMatch]] interprets it per pair
+    * inside the whole-stage-codegen'd scoring scan, *before* the cosine
+    * kernel runs — filtered-out candidates are never scored. Selection is
+    * one `max(top_k)` heap per query trimmed to the row's own `top_k`.
     */
-  def filteredTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def filteredTopKPerQuery(queries: DataFrame, candidates: DataFrame): DataFrame = {
+    val maxK = maxTopK(queries)
     val q = broadcast(queries.select(
-      col("qid"), col("qvec").cast("array<double>").as("qv"), col("filter")))
+      col("qid"), col("qvec").cast("array<double>").as("qv"), col("filter"),
+      col("top_k").cast("int").as("top_k")))
     val scored = candidates
       .select(col("nid"), col("nvec").cast("array<double>").as("v"), col("metadata"))
       .crossJoin(q)
       .filter(GraftFunctions.jsonFilterMatch(col("filter"), col("metadata")))
-      .select(col("qid"), col("nid"),
+      .select(col("qid"), col("top_k"), col("nid"),
         GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
-    scored.groupBy("qid")
-      .agg(graft.functions.TopKByScore.topK(col("score_raw"), col("nid"), k).as("tk"))
-      .select(col("qid"), posexplode(col("tk")))
-      .select(col("qid"), col("col.id").as("nid"),
-        round(col("col.score"), 4).as("score"), (col("pos") + 1).as("rnk"))
+    heapSelectPerQuery(scored, maxK)
+  }
+
+  /** Sparse top-k over the reference's sparse struct surface: queries carry
+    * `sparse_vector struct<indices: array<bigint>, values: array<float>>`
+    * and their own `top_k` (reference `cfg.py:32,34`); candidates carry
+    * `sparse_values` of the same struct shape (reference `cfg.py:26`,
+    * `MAINTAINERS.md:97`). Scores are the merge-join codegen
+    * [[graft.functions.SparseDotProduct]]; zero-overlap pairs score 0 and
+    * are dropped before selection, so only candidates sharing at least one
+    * index with the query reach the heap.
+    */
+  def sparseTopKPerQuery(queries: DataFrame, candidates: DataFrame): DataFrame = {
+    val maxK = maxTopK(queries)
+    val q = broadcast(queries.select(
+      col("qid"),
+      col("sparse_vector.indices").cast("array<long>").as("qi"),
+      col("sparse_vector.values").cast("array<double>").as("qw"),
+      col("top_k").cast("int").as("top_k")))
+    val scored = candidates
+      .select(col("nid"),
+        col("sparse_values.indices").cast("array<long>").as("ni"),
+        col("sparse_values.values").cast("array<double>").as("nw"))
+      .crossJoin(q)
+      .select(col("qid"), col("top_k"), col("nid"),
+        GraftFunctions.sparseDot(col("qi"), col("qw"), col("ni"), col("nw")).as("score_raw"))
+      .filter(col("score_raw") > 0.0)
+    heapSelectPerQuery(scored, maxK)
   }
 
   /** IVF-style approximate top-k: assign each candidate to one of `nlist`
@@ -116,11 +180,9 @@ object Similarity {
       .withColumn("cell", cellOf("v"))
     // nprobe=1 on the sign-hash: same-cell candidates only.
     val scored = c.join(q, "cell")
-      .withColumn("score_raw", GraftFunctions.vecCosine(col("qv"), col("v")))
-    val w = Window.partitionBy("qid").orderBy(col("score_raw").desc, col("nid").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
+      .select(col("qid"), col("nid"),
+        GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
+    heapSelect(scored, k)
   }
 
   /** Multi-probe IVF: each query probes its own cell plus every
@@ -153,10 +215,8 @@ object Similarity {
       .select(col("nid"), col("nvec").cast("array<double>").as("v"))
       .withColumn("cell", cellOf("v"))
     val scored = c.join(q, "cell")
-      .withColumn("score_raw", GraftFunctions.vecCosine(col("qv"), col("v")))
-    val w = Window.partitionBy("qid").orderBy(col("score_raw").desc, col("nid").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
+      .select(col("qid"), col("nid"),
+        GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
+    heapSelect(scored, k)
   }
 }

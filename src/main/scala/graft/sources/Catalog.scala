@@ -51,15 +51,23 @@ final class Catalog(val spark: SparkSession, val basePath: String) extends Loggi
   /** Dataset names (reference `list_datasets(as_df=False)`, `catalog.py:70-80`). */
   def listDatasets(): Seq[String] = metas.map(_.name)
 
-  /** Full-metadata listing as a DataFrame (reference `as_df=True`). */
+  /** Full-metadata listing as a DataFrame (reference `as_df=True` returns
+    * the complete metadata records, `catalog.py:70-80`): every
+    * [[DatasetMetadata]] field is a column. Nested models are flattened;
+    * free-form `args` is rendered as its JSON text.
+    */
   def listDatasetsDF(): DataFrame = {
     import spark.implicits._
     metas.map { m =>
-      (m.name, m.created_at, m.documents, m.queries,
-        m.dense_model.name, m.dense_model.dimension,
-        m.source.orNull, m.task.orNull, m.description.orNull)
-    }.toDF("name", "created_at", "documents", "queries",
-      "dense_model", "dimension", "source", "task", "description")
+      CatalogListing(
+        m.name, m.created_at, m.documents, m.queries,
+        m.source, m.license, m.bucket, m.task,
+        m.dense_model.name, m.dense_model.tokenizer, m.dense_model.dimension,
+        m.sparse_model.map(_.name), m.sparse_model.flatMap(_.tokenizer),
+        m.description, m.tags,
+        m.args.map(a => org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(a))))
+    }.toDF()
   }
 
   /** `Dataset.from_path(join(base, id))` (reference `catalog.py:82-85`). */
@@ -73,6 +81,26 @@ final class Catalog(val spark: SparkSession, val basePath: String) extends Loggi
     cached = None // listing is stale after a write
   }
 }
+
+/** One row of [[Catalog.listDatasetsDF]] — full [[DatasetMetadata]] parity
+  * (reference `catalog.py:70-80`). */
+private[sources] final case class CatalogListing(
+    name: String,
+    created_at: String,
+    documents: Long,
+    queries: Long,
+    source: Option[String],
+    license: Option[String],
+    bucket: Option[String],
+    task: Option[String],
+    dense_model: String,
+    dense_tokenizer: Option[String],
+    dimension: Int,
+    sparse_model: Option[String],
+    sparse_tokenizer: Option[String],
+    description: Option[String],
+    tags: Option[List[String]],
+    args: Option[String])
 
 /** Module-level convenience API (reference `public.py:8-56`): a lazily
   * created default catalog whose base path comes from the

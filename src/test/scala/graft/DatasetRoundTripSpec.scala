@@ -93,6 +93,31 @@ class DatasetRoundTripSpec extends SparkSpec {
     assert(c.loadDataset("good-ds").count() == 2)
   }
 
+  test("catalog listDatasetsDF carries the full metadata record (catalog.py:70-80 parity)") {
+    import org.json4s.JsonDSL._
+    val base = Files.createTempDirectory("cat-full").toString
+    val c = new Catalog(spark, base)
+    val full = meta("full-ds").copy(
+      source = Some("src"), license = Some("MIT"), bucket = Some("gs://b"),
+      task = Some("QA"),
+      sparse_model = Some(graft.meta.SparseModelMetadata("splade", Some("tok"))),
+      description = Some("desc"), tags = Some(List("t1", "t2")),
+      args = Some(("alpha" -> 1) ~ ("beta" -> "x")))
+    c.saveDataset(PineconeDataset.fromDataFrames(fixtureDocs, full))
+    val df = c.listDatasetsDF()
+    // every DatasetMetadata field is a column — nothing projected away
+    assert(df.columns.toSet == Set(
+      "name", "created_at", "documents", "queries", "source", "license",
+      "bucket", "task", "dense_model", "dense_tokenizer", "dimension",
+      "sparse_model", "sparse_tokenizer", "description", "tags", "args"))
+    val r = df.head()
+    assert(r.getAs[String]("license") == "MIT")
+    assert(r.getAs[String]("bucket") == "gs://b")
+    assert(r.getAs[String]("sparse_model") == "splade")
+    assert(r.getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("t1", "t2"))
+    assert(r.getAs[String]("args") == """{"alpha":1,"beta":"x"}""")
+  }
+
   test("iteration: batches, indexes, batch_size validation, blob excluded") {
     val ds = PineconeDataset.fromDataFrames(fixtureDocs, meta("it"), queries = Some(fixtureQueries))
     val batches = ds.iterDocuments(batchSize = 1).toSeq

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Round-2 selection guarantees: every search path selects via the
+  * bounded-heap aggregate (no Window/Sort of the scored stream in any
+  * physical plan), per-row `top_k` is honored, the sparse struct surface
+  * searches end-to-end, and the cosine near-dup block guard holds.
+  */
+class SearchSelectionSpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private def queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def cands = emb.filter(col("vec_id") >= 5)
+    .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+
+  private def assertNoWindowSort(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"Window survives in plan:\n$plan")
+    assert(!plan.contains("row_number"), s"row_number survives in plan:\n$plan")
+  }
+
+  test("all four IVF search paths select by heap: no Window in any physical plan") {
+    assertNoWindowSort(Similarity.ivfTopK(queries, cands, k = 5))
+    assertNoWindowSort(Similarity.ivfTopKMultiProbe(queries, cands, k = 5))
+    val idx = graft.operators.IvfIndex.build(cands)
+    try assertNoWindowSort(idx.search(queries, k = 5))
+    finally idx.unpersist()
+    val trained = graft.operators.IvfIndex.buildTrained(cands, nlist = 4, iters = 2)
+    try assertNoWindowSort(trained.search(queries, k = 5, nprobe = 2))
+    finally trained.unpersist()
+  }
+
+  test("heap-selected IVF equals the Window cross-check formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // reference formulation: same cell pruning, Window selection
+    def cellOf(vec: String) =
+      (0 until 4).map { i =>
+        when(element_at(col(vec), i + 1) >= 0, 1 << i).otherwise(0)
+      }.reduce(_ + _)
+    val q = queries.select(col("qid"), col("qvec").cast("array<double>").as("qv"))
+      .withColumn("cell", cellOf("qv"))
+    val c = cands.select(col("nid"), col("nvec").cast("array<double>").as("v"))
+      .withColumn("cell", cellOf("v"))
+    val w = Window.partitionBy("qid").orderBy(col("score_raw").desc, col("nid").asc)
+    val viaWindow = c.join(q, "cell")
+      .withColumn("score_raw",
+        graft.functions.GraftFunctions.vecCosine(col("qv"), col("v")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaHeap = Similarity.ivfTopK(queries, cands, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaHeap == viaWindow)
+  }
+
+  test("per-row top_k: each query gets exactly its own k rows") {
+    val qs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .withColumn("filter", lit(null).cast("string")) // match-all
+      .withColumn("top_k", (col("qid") % 3 + 1).cast("int")) // 1, 2 or 3
+    val cmeta = cands.withColumn("metadata", lit("""{}"""))
+    val out = Similarity.filteredTopKPerQuery(qs, cmeta)
+      .groupBy("qid").agg(count(lit(1)).as("n"), max("rnk").as("max_rnk"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    out.foreach { case (qid, (n, maxRnk)) =>
+      val expected = (qid % 3 + 1).toInt
+      assert(n == expected && maxRnk == expected,
+        s"qid=$qid expected $expected rows, got $n (max rnk $maxRnk)")
+    }
+  }
+
+  test("sparse struct top-k scores only index-overlapping pairs, ranks correctly") {
+    import spark.implicits._
+    // hand-built sparse vectors with known dot products
+    val qs = Seq(
+      (0L, Array(1L, 3L, 5L), Array(1.0f, 2.0f, 3.0f), 2)
+    ).toDF("qid", "indices", "values", "top_k")
+      .select(col("qid"),
+        struct(col("indices"), col("values")).as("sparse_vector"), col("top_k"))
+    val cs = Seq(
+      (10L, Array(1L, 5L), Array(1.0f, 1.0f)),   // dot = 1 + 3 = 4
+      (11L, Array(3L), Array(10.0f)),            // dot = 20
+      (12L, Array(2L, 4L), Array(9.0f, 9.0f)),   // no overlap → dropped
+      (13L, Array(5L), Array(0.5f))              // dot = 1.5
+    ).toDF("nid", "indices", "values")
+      .select(col("nid"),
+        struct(col("indices"), col("values")).as("sparse_values"))
+    val out = Similarity.sparseTopKPerQuery(qs, cs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq.sortBy(_._4) == Seq(
+      (0L, 11L, 20.0, 1), (0L, 10L, 4.0, 2))) // top_k=2 trims 13L
+  }
+
+  test("cosine near-dup block guard drops oversized blocks, keeps the rest") {
+    import spark.implicits._
+    val vecs = (0 until 30).map { i =>
+      // block 0 is degenerate (identical vectors); block 1 is small
+      val blk = if (i < 25) 0 else 1
+      (i.toLong, Array(1.0f, 2.0f, 3.0f), blk)
+    }.toDF("id", "vec", "blk")
+    val capped = Dedup.cosineNearDupPairs(
+      vecs, col("id"), col("vec"), col("blk"), threshold = 0.9, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // block 0 (25 rows > cap) contributes nothing; block 1 (5 rows) pairs fully
+    assert(capped.nonEmpty && capped.forall { case (a, b) => a >= 25 && b >= 25 })
+    assert(capped.length == 5 * 4 / 2)
+    // default cap leaves the sf0.001 q16-shaped result unchanged
+    val unconstrained = Dedup.cosineNearDupPairs(
+      emb, col("vec_id"), col("embedding"), col("label"), threshold = 0.3)
+    val legacy = Dedup.cosineNearDupPairs(
+      emb, col("vec_id"), col("embedding"), col("label"), threshold = 0.3,
+      maxBlockSize = Int.MaxValue)
+    assert(unconstrained.collect().toSet == legacy.collect().toSet)
+  }
+}
