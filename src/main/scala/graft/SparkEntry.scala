@@ -606,6 +606,34 @@ object SparkEntry {
       graft.operators.Similarity.sparseTopKPerQuery(qs, cands)
     }),
 
+    // Hybrid dense+sparse filtered search: the COMPLETE reference query-row
+    // surface (vector + sparse_vector + filter + top_k, cfg.py:30-36) in
+    // one operator; score = 0.5·cosine + 0.5·sparseDot (0.5 is exact in
+    // both engines' literal parsing, keeping the blend bit-stable).
+    "q57_hybrid_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      def sparse(of: Column): Column = struct(
+        transform(
+          filter(sequence(lit(0), size(of) - 1),
+            i => element_at(of, i + 1) > 0.1),
+          i => i.cast("long")).as("indices"),
+        filter(of, x => x > 0.1).as("values"))
+      val cands = e.filter(col("vec_id") >= 10)
+        .join(table(s, dir, "documents"), col("doc_id") === col("vec_id"))
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+          sparse(col("embedding")).as("sparse_values"),
+          to_json(struct(col("lang"), col("n_chars"))).as("metadata"))
+      val qs = e.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          sparse(col("embedding")).as("sparse_vector"))
+        .withColumn("filter",
+          when(col("qid") % 3 === 0, lit("""{"lang": {"$eq": "en"}}"""))
+            .when(col("qid") % 3 === 1, lit("""{"lang": {"$in": ["de", "fr"]}}"""))
+            .otherwise(lit("""{"n_chars": {"$gt": 300}}""")))
+        .withColumn("top_k", (col("qid") % 3 + 3).cast("int"))
+      graft.operators.Similarity.hybridTopKPerQuery(qs, cands, alpha = 0.5)
+    }),
+
     // BM25 keyword relevance: per-doc TFs are closed-form array exprs (no
     // explode), corpus stats one broadcast agg row, contributions summed in
     // fixed term order for cross-engine bit-stability.
@@ -1125,6 +1153,27 @@ object SparkEntry {
         |  SELECT a.vec_id AS qid, b.vec_id AS nid, list_dot_product(a.mv, b.mv) AS score
         |  FROM m a JOIN m b ON a.vec_id < 6 AND b.vec_id >= 10
         |  WHERE list_dot_product(a.mv, b.mv) > 0),
+        |r AS (SELECT qid, nid, score,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+        |      FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= qid % 3 + 3""".stripMargin,
+
+    "q57_hybrid_topk" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS dv,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CASE WHEN x > 0.1 THEN x ELSE 0 END) AS mv
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, dv AS qv, mv AS qmv FROM m WHERE vec_id < 6),
+        |d AS (SELECT e.vec_id AS nid, e.dv AS v, e.mv AS nmv, doc.lang, doc.n_chars
+        |      FROM m e JOIN documents doc ON doc.doc_id = e.vec_id
+        |      WHERE e.vec_id >= 10),
+        |s AS (SELECT qid, nid,
+        |        0.5 * list_cosine_similarity(qv, v) + 0.5 * list_dot_product(qmv, nmv) AS score
+        |      FROM q JOIN d ON
+        |        CASE qid % 3 WHEN 0 THEN lang = 'en'
+        |                     WHEN 1 THEN lang IN ('de', 'fr')
+        |                     ELSE n_chars > 300 END),
         |r AS (SELECT qid, nid, score,
         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
         |      FROM s)

@@ -152,6 +152,42 @@ object Similarity {
     heapSelectPerQuery(scored, maxK)
   }
 
+  /** Hybrid dense+sparse filtered top-k — the COMPLETE reference query-row
+    * surface in one search: each query row carries `vector`,
+    * `sparse_vector`, `filter` and `top_k` (reference `cfg.py:30-36`), and
+    * candidates carry `values`-shaped `nvec`, `sparse_values` and
+    * `metadata`. The score is the convex combination
+    * `alpha * cosine(dense) + (1 - alpha) * sparseDot(sparse)` — the
+    * standard hybrid-search blend. `alpha = 1` degenerates to
+    * [[filteredTopKPerQuery]]; `alpha = 0` to pure sparse relevance.
+    * Filtering happens before scoring; selection is the per-row-k heap.
+    */
+  def hybridTopKPerQuery(
+      queries: DataFrame,
+      candidates: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val maxK = maxTopK(queries)
+    val q = broadcast(queries.select(
+      col("qid"), col("qvec").cast("array<double>").as("qv"),
+      col("sparse_vector.indices").cast("array<long>").as("qi"),
+      col("sparse_vector.values").cast("array<double>").as("qw"),
+      col("filter"), col("top_k").cast("int").as("top_k")))
+    val scored = candidates
+      .select(col("nid"), col("nvec").cast("array<double>").as("v"),
+        col("sparse_values.indices").cast("array<long>").as("ni"),
+        col("sparse_values.values").cast("array<double>").as("nw"),
+        col("metadata"))
+      .crossJoin(q)
+      .filter(GraftFunctions.jsonFilterMatch(col("filter"), col("metadata")))
+      .select(col("qid"), col("top_k"), col("nid"),
+        (lit(alpha) * GraftFunctions.vecCosine(col("qv"), col("v")) +
+          lit(1.0 - alpha) *
+            GraftFunctions.sparseDot(col("qi"), col("qw"), col("ni"), col("nw")))
+          .as("score_raw"))
+    heapSelectPerQuery(scored, maxK)
+  }
+
   /** IVF-style approximate top-k: assign each candidate to one of `nlist`
     * cells, compute per-query cell affinity against broadcast centroids,
     * score only candidates in the query's best `nprobe` cells.

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Cloud-path policy (reference `fs.py:16-81`): URL-alias normalization,
+  * the cloud-path predicate, and the anonymous-access rule — mapped onto
+  * Hadoop filesystem configuration instead of fsspec constructors.
+  *
+  * Reference semantics reproduced:
+  *   - `is_cloud_path` is a prefix test over `gs://`, `s3://` and the two
+  *     HTTPS endpoint aliases (`fs.py:16-31`);
+  *   - HTTPS aliases dispatch to the same backends as their native
+  *     schemes (`fs.py:69,75`) — here rewritten to the native scheme,
+  *     since Hadoop's connectors register by scheme;
+  *   - anonymous access is used iff the path IS the public catalog
+  *     endpoint (`fs.py:67`, endpoint default `cfg.py:7`) — everything
+  *     else uses ambient credentials;
+  *   - local paths pass through untouched (`fs.py:78-80`).
+  *
+  * The byte-resume cache the reference layers on top (`fs.py:84-107`) is
+  * deliberately not ported: executors stream parquet splits directly and
+  * task retry covers transience (SURVEY §2A F3).
+  */
+object CloudFs {
+
+  /** The reference's public catalog endpoint (`cfg.py:7`). */
+  val PublicEndpoint = "gs://pinecone-datasets-dev"
+
+  private val GcsHttps = "https://storage.googleapis.com/"
+  private val S3Https = "https://s3.amazonaws.com/"
+
+  /** Cloud-path predicate (reference `is_cloud_path`, `fs.py:16-31`). */
+  def isCloudPath(path: String): Boolean =
+    path.startsWith("gs://") || path.startsWith("s3://") ||
+      path.startsWith("s3a://") ||
+      path.startsWith(GcsHttps) || path.startsWith(S3Https)
+
+  /** Rewrite endpoint aliases to the scheme Hadoop's connectors register:
+    * `https://storage.googleapis.com/b/p` → `gs://b/p`,
+    * `https://s3.amazonaws.com/b/p` → `s3a://b/p`, and the reference's
+    * `s3://` spelling → Hadoop's `s3a://`. Everything else is unchanged.
+    */
+  def normalizeUrl(path: String): String =
+    if (path.startsWith(GcsHttps)) "gs://" + path.stripPrefix(GcsHttps)
+    else if (path.startsWith(S3Https)) "s3a://" + path.stripPrefix(S3Https)
+    else if (path.startsWith("s3://")) "s3a://" + path.stripPrefix("s3://")
+    else path
+
+  /** Anonymous iff the (normalized) path is the public endpoint —
+    * reference `fs.py:67`: `is_anon = path == cfg.Storage.endpoint`.
+    */
+  def isAnonymous(path: String, endpoint: String = PublicEndpoint): Boolean =
+    normalizeUrl(path) == normalizeUrl(endpoint)
+
+  /** Hadoop configuration for a path under this policy. Anonymous access
+    * maps to the connectors' public unauthenticated modes; authenticated
+    * access leaves the ambient credential chain untouched (empty map).
+    */
+  def hadoopConfFor(path: String, endpoint: String = PublicEndpoint): Map[String, String] = {
+    val p = normalizeUrl(path)
+    if (!isAnonymous(p, endpoint)) Map.empty
+    else if (p.startsWith("gs://"))
+      Map("fs.gs.auth.type" -> "UNAUTHENTICATED")
+    else if (p.startsWith("s3a://"))
+      Map("fs.s3a.aws.credentials.provider" ->
+        "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
+    else Map.empty
+  }
+
+  /** Apply the policy for `path` to the session's Hadoop configuration and
+    * return the normalized URL to read from. The credential scope is the
+    * whole Hadoop conf (per-bucket scoping would use the connectors'
+    * `fs.gs.bucket.*` / `fs.s3a.bucket.*` forms on a real cluster).
+    */
+  def configure(spark: SparkSession, path: String,
+      endpoint: String = PublicEndpoint): String = {
+    val p = normalizeUrl(path)
+    hadoopConfFor(p, endpoint).foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+    p
+  }
+}

@@ -99,6 +99,29 @@ class SearchSelectionSpec extends SparkSpec {
       (0L, 11L, 20.0, 1), (0L, 10L, 4.0, 2))) // top_k=2 trims 13L
   }
 
+  test("hybrid search: alpha=1 degenerates to dense filtered top-k") {
+    def sparse(of: org.apache.spark.sql.Column) = struct(
+      transform(
+        filter(sequence(lit(0), size(of) - 1),
+          i => element_at(of, i + 1) > 0.1),
+        i => i.cast("long")).as("indices"),
+      filter(of, x => x > 0.1).as("values"))
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        sparse(col("embedding")).as("sparse_vector"))
+      .withColumn("filter", lit(null).cast("string"))
+      .withColumn("top_k", lit(3))
+    val cs = cands
+      .withColumn("sparse_values", sparse(col("nvec")))
+      .withColumn("metadata", lit("{}"))
+    val hybrid = Similarity.hybridTopKPerQuery(qs, cs, alpha = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val dense = Similarity.filteredTopKPerQuery(
+      qs.select("qid", "qvec", "filter", "top_k"), cs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(hybrid == dense && hybrid.size == 12)
+  }
+
   test("cosine near-dup block guard drops oversized blocks, keeps the rest") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>
