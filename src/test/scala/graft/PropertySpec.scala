@@ -117,6 +117,42 @@ class PropertySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("property: per-row top_k search equals per-query sort/take on random data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // candidates are 2-d unit-ish vectors [c, sqrt(1-c²)] against the query
+    // [1, 0], so each candidate's cosine is directly controlled by c
+    val gen = for {
+      nq <- Gen.choose(1, 5)
+      nc <- Gen.choose(1, 40)
+      ks <- Gen.listOfN(nq, Gen.choose(1, 7))
+      cs <- Gen.listOfN(nc, Gen.choose(-0.99, 0.99))
+    } yield (ks, cs)
+    forAll(gen, trials = 10) { case (ks, cs) =>
+      val qs = ks.zipWithIndex
+        .map { case (k, q) => (q.toLong, Seq(1.0f, 0.0f), null: String, k) }
+        .toDF("qid", "qvec", "filter", "top_k")
+      val cands = cs.zipWithIndex.map { case (c, i) =>
+        (i.toLong, Seq(c.toFloat, math.sqrt(1 - c * c).toFloat), "{}")
+      }.toDF("nid", "nvec", "metadata")
+      val got = graft.operators.Similarity.filteredTopKPerQuery(qs, cands)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+      // replicate the scoring exactly: float-stored components widened to
+      // double, fused dot/norm pass (VectorCosineSimilarity)
+      val scored = cs.zipWithIndex.map { case (c, i) =>
+        val x = c.toFloat.toDouble
+        val y = math.sqrt(1 - c * c).toFloat.toDouble
+        (i.toLong, x / (math.sqrt(1.0) * math.sqrt(x * x + y * y)))
+      }
+      val ranked = scored.sortBy { case (nid, s) => (-s, nid) }.map(_._1)
+      ks.zipWithIndex.foreach { case (k, q) =>
+        assert(got.getOrElse(q.toLong, Seq.empty) == ranked.take(k),
+          s"qid=$q k=$k")
+      }
+    }
+  }
+
   test("property: native ngram hashes equal HOF formulation on random word texts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

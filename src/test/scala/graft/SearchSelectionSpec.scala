@@ -99,6 +99,28 @@ class SearchSelectionSpec extends SparkSpec {
       (0L, 11L, 20.0, 1), (0L, 10L, 4.0, 2))) // top_k=2 trims 13L
   }
 
+  test("disk IVF layout: partition-pruned search equals the in-memory index") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-layout").toString
+    val trained = graft.operators.IvfIndex.buildTrained(cands, nlist = 8, iters = 2)
+    try {
+      val expected = trained.search(queries, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      trained.save(spark, tmp)
+      // reopen cold, as a fresh session/job would
+      val disk = graft.operators.IvfIndex.load(spark, tmp)
+      assert(disk.centroids.map(_.toSeq).toSeq == trained.centroids.map(_.toSeq).toSeq)
+      val df = disk.search(queries, k = 5, nprobe = 2)
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got == expected)
+      // probed-cell pruning reaches the scan as a non-empty PartitionFilters
+      val plan = df.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+      // and the layout is one directory per cell
+      val cellDirs = new java.io.File(tmp).listFiles().count(_.getName.startsWith("cell="))
+      assert(cellDirs > 1)
+    } finally trained.unpersist()
+  }
+
   test("hybrid search: alpha=1 degenerates to dense filtered top-k") {
     def sparse(of: org.apache.spark.sql.Column) = struct(
       transform(
