@@ -706,6 +706,31 @@ object SparkEntry {
       Multimodal.decode(
         Multimodal.mediaFromText(table(s, dir, "documents"), "doc_id", "text"))
         .toDF()
+    }),
+
+    // Frame-sampling stage: decode → one row per sampled frame (stride 25)
+    // — the row-explosion shape of real frame extraction, oracle-checked
+    // against the replicated decode arithmetic.
+    "q58_media_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.sampleFrames(
+        Multimodal.decode(
+          Multimodal.mediaFromText(table(s, dir, "documents"), "doc_id", "text")),
+        stride = 25)
+    }),
+
+    // Feature-extraction stage: per-partition batched pseudo-embedding
+    // (the inference batch shape); deterministic, so the oracle replicates
+    // it bit-for-bit. Emitted row-wise as (media_id, pos, val).
+    "q59_media_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromText(table(s, dir, "documents"), "doc_id", "text"),
+        dim = 16)
+        .toDF()
+        .select(col("media_id"), posexplode(col("feature")))
+        .select(col("media_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("val"))
     })
   )
 
@@ -1205,6 +1230,51 @@ object SparkEntry {
         |       WHEN 1 THEN 1 + (hu >> 31) % 48 ELSE 1 END AS INT) AS n_frames,
         |  hs AS checksum
         |FROM h""".stripMargin,
+
+    "q58_media_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+        |      (acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS hu
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, hu,
+        |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+        |         ELSE hu END AS BIGINT) AS hs
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(320 + ((hs % 1601) + 1601) % 1601 AS INT) AS width,
+        |    CAST(240 + (hu >> 17) % 841 AS INT) AS height,
+        |    CAST(CASE doc_id % 3 WHEN 2 THEN 1 + (hu >> 31) % 300
+        |         WHEN 1 THEN 1 + (hu >> 31) % 48 ELSE 1 END AS INT) AS n_frames
+        |  FROM h)
+        |SELECT media_id, CAST(unnest(range(0, n_frames, 25)) AS INT) AS frame_idx,
+        |  width, height
+        |FROM d""".stripMargin,
+
+    // feature value: x = h·(2i+1) + K·i (64-bit wraparound); 2048 divides
+    // 2^64, so floorMod(signed, 2048) = unsigned % 2048; /1024 − 1 is exact
+    // in both float and double (≤ 12 significant bits).
+    "q59_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
+        |      (acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS hu
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id AS media_id, CAST(unnest(range(0, 16)) AS BIGINT) AS pos, hu
+        |  FROM b),
+        |v AS (
+        |  SELECT media_id, pos,
+        |    (hu * (2 * pos + 1) + 11400714819323198485 * pos)
+        |      % 18446744073709551616 AS xu
+        |  FROM f)
+        |SELECT media_id, pos,
+        |  CAST(xu % 2048 AS DOUBLE) / 1024.0 - 1.0 AS val
+        |FROM v""".stripMargin,
 
     "q50_bm25" ->
       """WITH base AS (
