@@ -46,6 +46,9 @@ object SparkEntry {
     */
   @volatile private[graft] var q53Centroids: Option[Array[Array[Double]]] = None
 
+  /** Centroids trained by the last q60 run (same capture pattern). */
+  @volatile private[graft] var q60Centroids: Option[Array[Array[Double]]] = None
+
   private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     lastRunCtx = Some((spark, dir))
     spark.read.parquet(s"$dir/$name.parquet")
@@ -731,6 +734,18 @@ object SparkEntry {
         .select(col("media_id"), posexplode(col("feature")))
         .select(col("media_id"), col("pos").cast("long").as("pos"),
           col("col").cast("double").as("val"))
+    }),
+
+    // Self-blocking embedding near-dup: the block key is a trained coarse
+    // codebook, not a caller-chosen column — each vector probes its 2
+    // nearest cells, pairs co-occurring in a cell are exact-cosine
+    // verified. Centroids are captured for the oracle (q60OracleSql).
+    "q60_neardup_auto" -> ((s, dir) => {
+      val (pairs, cb) = graft.operators.Dedup.cosineNearDupAuto(
+        table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.3, nlist = 8, nprobe = 2, iters = 3)
+      q60Centroids = Some(cb)
+      pairs
     })
   )
 
@@ -738,7 +753,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = staticOracleSql +
     ("q23_simhash_hamming" -> q23OracleSql) +
-    ("q53_ivf_trained" -> q53OracleSql)
+    ("q53_ivf_trained" -> q53OracleSql) +
+    ("q60_neardup_auto" -> q60OracleSql)
+
+  private def centroidValues(cb: Array[Array[Double]]): String =
+    cb.zipWithIndex
+      .map { case (v, i) => s"($i, [${v.mkString(", ")}]::DOUBLE[])" }
+      .mkString(", ")
 
   /** Emitted when a data-dependent oracle is requested before any query has
     * run (only the key-parity spec does that); Verify always runs the
@@ -782,10 +803,7 @@ object SparkEntry {
     captured match {
       case None => unavailableOracle
       case Some(cb) =>
-        val cent = cb.zipWithIndex
-          .map { case (v, i) => s"($i, [${v.mkString(", ")}]::DOUBLE[])" }
-          .mkString(", ")
-        s"""WITH cent(cell, cvec) AS (VALUES $cent),
+        s"""WITH cent(cell, cvec) AS (VALUES ${centroidValues(cb)}),
            |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
            |      FROM embeddings WHERE vec_id >= 10),
            |assigned AS (
@@ -808,6 +826,38 @@ object SparkEntry {
            |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
            |      FROM s)
            |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
+    }
+  }
+
+  /** q60's oracle: captured codebook as literals; DuckDB replicates the
+    * 2-nearest-cell probing (same argmin metric and tie-break as
+    * CentroidOps.nearest), co-occurrence pair generation, and the exact
+    * cosine verification independently.
+    */
+  private def q60OracleSql: String = {
+    val captured = q60Centroids.orElse(lastRunCtx.map { case (s, dir) =>
+      val base = table(s, dir, "embeddings")
+        .select(col("embedding").cast("array<double>").as("v"))
+      graft.operators.KMeans.train(base, col("v"), k = 8, iters = 3)
+    })
+    captured match {
+      case None => unavailableOracle
+      case Some(cb) =>
+        s"""WITH cent(cell, cvec) AS (VALUES ${centroidValues(cb)}),
+           |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |probed AS (
+           |  SELECT id, cell FROM (
+           |    SELECT id, cell, ROW_NUMBER() OVER (PARTITION BY id
+           |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
+           |        cell ASC) AS pr
+           |    FROM v CROSS JOIN cent) WHERE pr <= 2),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM probed a JOIN probed b ON a.cell = b.cell AND a.id < b.id),
+           |s AS (
+           |  SELECT id_a, id_b, list_cosine_similarity(x.v, y.v) AS score
+           |  FROM cand JOIN v x ON x.id = id_a JOIN v y ON y.id = id_b)
+           |SELECT id_a, id_b, ROUND(score, 4) AS score FROM s WHERE score > 0.3""".stripMargin
     }
   }
 

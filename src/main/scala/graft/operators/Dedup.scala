@@ -60,4 +60,46 @@ object Dedup {
       .filter(col("score_raw") > threshold)
       .select(col("id_a"), col("id_b"), round(col("score_raw"), 4).as("score"))
   }
+
+  /** Self-blocking cosine near-dup: the blocking key is LEARNED from the
+    * data (a Lloyd-trained coarse codebook, [[KMeans.train]]) instead of
+    * supplied by the caller — the missing piece that makes embedding
+    * near-dup self-contained at scale. Every vector lands in its `nprobe`
+    * nearest cells, candidate pairs are ids co-occurring in a cell
+    * (grouped, capped — [[TextDedup.bucketPairs]]), and candidates are
+    * verified with the exact codegen cosine.
+    *
+    * Recall: near-duplicates are nearly coincident vectors, so they share
+    * a nearest cell unless they straddle a boundary — which `nprobe > 1`
+    * covers. Cost: corpus × nprobe rows through one bucket shuffle; no
+    * quadratic block unless the data collapses onto one cell, and the
+    * `maxBlockSize` cap bounds even that.
+    *
+    * Returns the trained centroids alongside the pairs so callers (and the
+    * correctness oracle) can replicate the blocking deterministically.
+    */
+  def cosineNearDupAuto(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      threshold: Double,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      iters: Int = 3,
+      maxBlockSize: Int = 10000): (DataFrame, Array[Array[Double]]) = {
+    val base = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+    val centroids = KMeans.train(base, col("v"), nlist, iters)
+    val probed = base.select(col("id"),
+      explode(KMeans.probeCells(col("v"), centroids, nprobe)).as("cell"))
+    // constant first key (bucketPairs groups on a key pair); an int literal
+    // would be read as a GROUP BY ordinal, so use a string
+    val cand = TextDedup.bucketPairs(probed, lit("all"), col("cell"), col("id"), maxBlockSize)
+    val pairs = cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("score_raw", GraftFunctions.vecCosine(col("va"), col("vb")))
+      .filter(col("score_raw") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("score_raw"), 4).as("score"))
+    (pairs, centroids)
+  }
 }

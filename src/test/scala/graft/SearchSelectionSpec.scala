@@ -144,6 +144,22 @@ class SearchSelectionSpec extends SparkSpec {
     assert(hybrid == dense && hybrid.size == 12)
   }
 
+  test("auto-blocked near-dup: exact-verified subset with bounded recall loss") {
+    val (auto, cb) = Dedup.cosineNearDupAuto(emb, col("vec_id"), col("embedding"),
+      threshold = 0.3, nlist = 8, nprobe = 2, iters = 3)
+    val got = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.cosineNearDupPairs(emb, col("vec_id"), col("embedding"),
+      lit("all"), threshold = 0.3, maxBlockSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cb.length == 8 && got.nonEmpty)
+    // candidates are exact-cosine verified → no false positives ever
+    assert(got.subsetOf(exact))
+    // blocking recall: even at this weak threshold (no pair in the corpus
+    // exceeds 0.5 cosine), 2-probe cell blocking keeps most pairs
+    assert(got.size.toDouble / exact.size >= 0.7,
+      s"recall ${got.size}/${exact.size}")
+  }
+
   test("cosine near-dup block guard drops oversized blocks, keeps the rest") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>
