@@ -61,8 +61,11 @@ object Bench {
     }
 
     // Outlier retry: anything far above the suite median is more likely a
-    // host window than a plan; measure again, keep the minimum.
-    val med = first.map(_._3).sorted.apply(first.length / 2)
+    // host window than a plan; measure again, keep the minimum. The median
+    // is over SUCCESSFUL runs only — a fast failure would deflate it and
+    // trigger spurious retries of healthy queries.
+    val succTimes = first.collect { case (_, _, t, true) => t }.sorted
+    val med = if (succTimes.isEmpty) 0.0 else succTimes(succTimes.length / 2)
     val results = first.map { case (name, fn, t, ok) =>
       if (ok && t > math.max(3.0, 5.0 * med)) {
         val (t2, ok2) = timeOne(name, fn)

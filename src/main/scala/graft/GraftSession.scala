@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Reads the capacity-guard observations (bucketPairs drop counts) and
+      // logs a WARN on any recall-trading drop — guards must never be silent.
+      .config("spark.sql.queryExecutionListeners",
+        "graft.tools.GuardMetricsListener")
 
   /** Local session with every graft SQL function registered. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

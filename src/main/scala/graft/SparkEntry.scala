@@ -761,10 +761,12 @@ object SparkEntry {
       .map { case (v, i) => s"($i, [${v.mkString(", ")}]::DOUBLE[])" }
       .mkString(", ")
 
-  /** Emitted when a data-dependent oracle is requested before any query has
-    * run (only the key-parity spec does that); Verify always runs the
-    * queries first, so the driver never sees this. */
-  private val unavailableOracle =
+  /** Emitted when a data-dependent oracle is requested before its query has
+    * run (only the key-parity spec does that legitimately). Verify runs
+    * every query first and FAILS LOUDLY if a succeeded query still renders
+    * this placeholder — a silent degenerate oracle would record a false
+    * red/green. */
+  private[graft] val unavailableOracle =
     "SELECT NULL AS unavailable WHERE FALSE"
 
   /** q23's oracle: the per-document simhash prints are rendered as literals
@@ -794,13 +796,11 @@ object SparkEntry {
     * selection independently.
     */
   private def q53OracleSql: String = {
-    val captured = q53Centroids.orElse(lastRunCtx.map { case (s, dir) =>
-      // deterministic retrain on the same slice if q53 itself didn't run
-      val base = table(s, dir, "embeddings").filter(col("vec_id") >= 10)
-        .select(col("embedding").cast("array<double>").as("v"))
-      graft.operators.KMeans.train(base, col("v"), k = 8, iters = 3)
-    })
-    captured match {
+    // Captured-run centroids ONLY — no retrain fallback: k-means centroid
+    // sums are FP-order (partition-order) dependent, so a retrain is not
+    // guaranteed to bit-match the run the parquet dump came from. Verify
+    // fails loudly if q53 succeeded but no capture exists.
+    q53Centroids match {
       case None => unavailableOracle
       case Some(cb) =>
         s"""WITH cent(cell, cvec) AS (VALUES ${centroidValues(cb)}),
@@ -835,15 +835,15 @@ object SparkEntry {
     * cosine verification independently.
     */
   private def q60OracleSql: String = {
-    val captured = q60Centroids.orElse(lastRunCtx.map { case (s, dir) =>
-      val base = table(s, dir, "embeddings")
-        .select(col("embedding").cast("array<double>").as("v"))
-      graft.operators.KMeans.train(base, col("v"), k = 8, iters = 3)
-    })
-    captured match {
+    // Captured-run centroids ONLY — same FP-order rationale as q53.
+    q60Centroids match {
       case None => unavailableOracle
       case Some(cb) =>
-        s"""WITH cent(cell, cvec) AS (VALUES ${centroidValues(cb)}),
+        s"""-- Models probing + pair generation without the bucket-size cap:
+           |-- the engine drops cells larger than maxBlockSize=10000 ids
+           |-- (observed + logged). nlist=8 cells over this SF stay well
+           |-- below the cap, so it does not bind here.
+           |WITH cent(cell, cvec) AS (VALUES ${centroidValues(cb)}),
            |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
            |probed AS (
            |  SELECT id, cell FROM (
@@ -966,7 +966,11 @@ object SparkEntry {
         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
 
     "q16_neardup_cosine" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """-- Models the blocked join only: the engine additionally drops blocks
+        |-- larger than maxBlockSize=10000 rows (logged, never silent). At the
+        |-- test SFs the largest label block is far below the cap, so the cap
+        |-- does not bind here; an SF where it binds needs the cap replicated.
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS score
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id

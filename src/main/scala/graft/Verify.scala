@@ -13,13 +13,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
-    }
+    }.toSet
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -32,7 +35,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracle = SparkEntry.oracleSql
+    // Fail loudly on inconsistent state: a query that ran successfully must
+    // never ship the degenerate placeholder oracle — that would record a
+    // false result for the round instead of surfacing the bug. (A FAILED
+    // query's placeholder is fine: its parquet dump is already missing, so
+    // the driver records the error either way.)
+    val degenerate = oracle.collect {
+      case (k, sql) if sql == SparkEntry.unavailableOracle && !failed(k) => k
+    }
+    if (degenerate.nonEmpty)
+      throw new IllegalStateException(
+        s"data-dependent oracle(s) missing their captured run context " +
+          s"despite the query succeeding: ${degenerate.mkString(", ")}")
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

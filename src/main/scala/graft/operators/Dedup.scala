@@ -14,6 +14,8 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact content dedup: group by a 128-bit content digest, keep the
     * minimum id as the canonical representative. One shuffle on the digest;
     * map-side partial aggregation collapses local duplicates first.
@@ -37,9 +39,14 @@ object Dedup {
     * choice, heavy skew) would make its self-join quadratic — 10⁶ rows in
     * one block is 10¹² pairs in one task. Oversized blocks are dropped,
     * mirroring [[TextDedup.bucketPairs]]; the size pre-pass is one partial
-    * aggregation on the (tiny) key column and the oversized-key set is
-    * broadcast, so the guard costs one cheap scan, never a shuffle of the
-    * vectors.
+    * aggregation on the (tiny) key column, so the guard costs one cheap
+    * scan, never a shuffle of the vectors.
+    *
+    * Dropping trades recall for boundedness, so it is never silent: the
+    * oversized key set is collected (the broadcast anti-join would have
+    * collected it to the driver regardless — pigeonhole bounds it to
+    * rows/maxBlockSize keys) and logged with per-key counts so the caller
+    * can rebalance the blocking key.
     */
   def cosineNearDupPairs(
       df: DataFrame,
@@ -49,10 +56,25 @@ object Dedup {
       threshold: Double,
       maxBlockSize: Int = 10000): DataFrame = {
     val keyed = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"), blockCol.as("blk"))
-    val oversized = keyed.groupBy("blk")
+    val oversizedRows = keyed.groupBy("blk")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBlockSize)
-      .select("blk")
-    val kept = keyed.join(broadcast(oversized), Seq("blk"), "left_anti")
+      .collect()
+    if (oversizedRows.nonEmpty) {
+      val sample = oversizedRows.take(20)
+        .map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ")
+      log.warn(s"cosineNearDupPairs: dropping ${oversizedRows.length} block(s) " +
+        s"larger than maxBlockSize=$maxBlockSize (recall loss — rebalance the " +
+        s"blocking key): $sample${if (oversizedRows.length > 20) ", ..." else ""}")
+    }
+    val kept =
+      if (oversizedRows.isEmpty) keyed
+      else {
+        val spark = df.sparkSession
+        val oversized = spark.createDataFrame(
+          java.util.Arrays.asList(oversizedRows: _*),
+          oversizedRows.head.schema).select("blk")
+        keyed.join(broadcast(oversized), Seq("blk"), "left_anti")
+      }
     val a = kept.select(col("id").as("id_a"), col("v").as("va"), col("blk"))
     val b = kept.select(col("id").as("id_b"), col("v").as("vb"), col("blk").as("blk_r"))
     a.join(b, col("blk") === col("blk_r") && col("id_a") < col("id_b"))

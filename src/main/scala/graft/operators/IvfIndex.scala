@@ -130,13 +130,20 @@ final class DiskIvfIndex(
     val centroids: Array[Array[Double]]) {
 
   def search(queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    val probed = queries
+    // Collect the probed query batch ONCE (queries × nprobe rows — tiny and
+    // driver-safe at any corpus size) and reuse it for both the partition
+    // filter and the broadcast join side; evaluating the probe plan twice
+    // would re-run probeCells over the query batch per search.
+    val probedPlan = queries
       .select(col("qid"), col("qvec").cast("array<double>").as("qv"))
       .select(col("qid"), col("qv"),
         explode(KMeans.probeCells(col("qv"), centroids, nprobe)).as("cell"))
+    val probedRows = probedPlan.collect()
+    val probeSet = probedRows.map(_.getAs[Int]("cell")).distinct
+    val probed = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
     // the probe-cell union is tiny and data-independent of the corpus —
     // folding it into the plan is what turns probing into pruning
-    val probeSet = probed.select("cell").distinct().collect().map(_.getInt(0))
     val cells = spark.read.parquet(dir)
       .filter(col("cell").isin(probeSet.map(Integer.valueOf): _*))
     val scored = cells.join(broadcast(probed), "cell")

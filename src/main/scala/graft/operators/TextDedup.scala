@@ -136,11 +136,21 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  private val guardSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Distinct unordered id pairs co-occurring in a (key1, key2) bucket:
     * group → sorted id list → explode i<j combinations. One shuffle on the
     * bucket key; bucket size capped so a degenerate bucket (a "stop
     * shingle" every document shares) cannot go quadratic — at 100 TB that
     * cap is the difference between a bounded job and a runaway one.
+    *
+    * Dropping an oversized bucket is a recall trade, so it is observed, not
+    * silent: an `observe` aggregation rides the bucket agg (no extra job)
+    * counting dropped buckets and the largest seen, and
+    * [[graft.tools.GuardMetricsListener]] logs a WARN whenever a run
+    * dropped anything. The observation name carries a sequence number so a
+    * plan composing several bucketPairs calls (e.g. the curation pipeline)
+    * keeps each observation distinct.
     */
   private[graft] def bucketPairs(
       df: DataFrame,
@@ -150,6 +160,11 @@ object TextDedup {
       maxBucketSize: Int = 10000): DataFrame = {
     val buckets = df.groupBy(key1, key2)
       .agg(array_sort(collect_set(idCol)).as("ids"))
+      .observe(s"bucket_pairs_guard_${guardSeq.incrementAndGet()}",
+        coalesce(sum(when(size(col("ids")) > maxBucketSize, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_buckets"),
+        coalesce(max(size(col("ids"))), lit(0)).as("max_bucket_size"),
+        lit(maxBucketSize).as("max_allowed"))
       .filter(size(col("ids")).between(2, maxBucketSize))
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>

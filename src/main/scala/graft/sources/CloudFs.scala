@@ -52,9 +52,17 @@ object CloudFs {
   def isAnonymous(path: String, endpoint: String = PublicEndpoint): Boolean =
     normalizeUrl(path) == normalizeUrl(endpoint)
 
+  private def bucketOf(p: String): String =
+    p.dropWhile(_ != '/').drop(2).takeWhile(_ != '/')
+
   /** Hadoop configuration for a path under this policy. Anonymous access
     * maps to the connectors' public unauthenticated modes; authenticated
     * access leaves the ambient credential chain untouched (empty map).
+    * The s3a key uses the connector's per-bucket override form
+    * (`fs.s3a.bucket.<bucket>.*`), so anonymizing the public bucket can
+    * never affect reads of other buckets. The GCS connector has no
+    * per-bucket form, so its key is global — [[configure]] compensates by
+    * clearing it when a non-anonymous `gs://` path is configured.
     */
   def hadoopConfFor(path: String, endpoint: String = PublicEndpoint): Map[String, String] = {
     val p = normalizeUrl(path)
@@ -62,22 +70,40 @@ object CloudFs {
     else if (p.startsWith("gs://"))
       Map("fs.gs.auth.type" -> "UNAUTHENTICATED")
     else if (p.startsWith("s3a://"))
-      Map("fs.s3a.aws.credentials.provider" ->
+      Map(s"fs.s3a.bucket.${bucketOf(p)}.aws.credentials.provider" ->
         "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
     else Map.empty
   }
 
-  /** Apply the policy for `path` to the session's Hadoop configuration and
-    * return the normalized URL to read from. The credential scope is the
-    * whole Hadoop conf (per-bucket scoping would use the connectors'
-    * `fs.gs.bucket.*` / `fs.s3a.bucket.*` forms on a real cluster).
+  /** Keys a non-anonymous configure() must clear so an earlier anonymous
+    * configure() cannot leak into authenticated reads in the same session
+    * (last-configure-wins, never sticky-anon).
     */
-  def configure(spark: SparkSession, path: String,
-      endpoint: String = PublicEndpoint): String = {
+  def clearedKeysFor(path: String): Seq[String] = {
     val p = normalizeUrl(path)
-    hadoopConfFor(p, endpoint).foreach { case (k, v) =>
-      spark.sparkContext.hadoopConfiguration.set(k, v)
-    }
+    if (p.startsWith("gs://")) Seq("fs.gs.auth.type")
+    else if (p.startsWith("s3a://"))
+      Seq(s"fs.s3a.bucket.${bucketOf(p)}.aws.credentials.provider")
+    else Seq.empty
+  }
+
+  /** Apply the policy for `path` to a Hadoop configuration and return the
+    * normalized URL to read from. Anonymous paths get the unauthenticated
+    * override (per-bucket for s3a); non-anonymous paths *clear* the keys an
+    * earlier anonymous configure() may have set, restoring the ambient
+    * credential chain — otherwise a session that touched the public
+    * endpoint would silently read private buckets unauthenticated forever.
+    */
+  def configure(conf: org.apache.hadoop.conf.Configuration, path: String,
+      endpoint: String): String = {
+    val p = normalizeUrl(path)
+    val anon = hadoopConfFor(p, endpoint)
+    if (anon.nonEmpty) anon.foreach { case (k, v) => conf.set(k, v) }
+    else clearedKeysFor(p).foreach(conf.unset)
     p
   }
+
+  def configure(spark: SparkSession, path: String,
+      endpoint: String = PublicEndpoint): String =
+    configure(spark.sparkContext.hadoopConfiguration, path, endpoint)
 }

@@ -40,11 +40,29 @@ class CloudFsSpec extends AnyFunSuite {
   test("anon access maps to the connectors' unauthenticated modes") {
     assert(CloudFs.hadoopConfFor("gs://pinecone-datasets-dev") ==
       Map("fs.gs.auth.type" -> "UNAUTHENTICATED"))
+    // s3a scopes per-bucket, so the anon override can't leak across buckets
     assert(CloudFs.hadoopConfFor("s3://pub", endpoint = "s3://pub") ==
-      Map("fs.s3a.aws.credentials.provider" ->
+      Map("fs.s3a.bucket.pub.aws.credentials.provider" ->
         "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"))
     // authenticated paths leave the ambient credential chain untouched
     assert(CloudFs.hadoopConfFor("gs://private/ds").isEmpty)
     assert(CloudFs.hadoopConfFor("/local/ds").isEmpty)
+  }
+
+  test("configure is last-wins, never sticky-anon") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    // anon endpoint first: sets the gs unauthenticated mode
+    CloudFs.configure(conf, "gs://pinecone-datasets-dev", CloudFs.PublicEndpoint)
+    assert(conf.get("fs.gs.auth.type") == "UNAUTHENTICATED")
+    // a later authenticated gs path clears it (the sticky-anon regression)
+    CloudFs.configure(conf, "gs://private-bucket/ds", CloudFs.PublicEndpoint)
+    assert(conf.get("fs.gs.auth.type") == null)
+    // s3a anon is per-bucket: anonymizing one bucket leaves others alone
+    CloudFs.configure(conf, "s3://pub", "s3://pub")
+    assert(conf.get("fs.s3a.bucket.pub.aws.credentials.provider") != null)
+    assert(conf.get("fs.s3a.bucket.other.aws.credentials.provider") == null)
+    CloudFs.configure(conf, "s3://pub/sub", "s3://pub")
+    assert(conf.get("fs.s3a.bucket.pub.aws.credentials.provider") == null,
+      "non-endpoint path under the same bucket restores ambient creds")
   }
 }
