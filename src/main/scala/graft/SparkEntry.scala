@@ -49,6 +49,9 @@ object SparkEntry {
   /** Centroids trained by the last q60 run (same capture pattern). */
   @volatile private[graft] var q60Centroids: Option[Array[Array[Double]]] = None
 
+  /** PQ codebook trained by the last q64 run (same capture pattern). */
+  @volatile private[graft] var q64Codebook: Option[graft.operators.ProductQuantization.PQCodebook] = None
+
   private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     lastRunCtx = Some((spark, dir))
     spark.read.parquet(s"$dir/$name.parquet")
@@ -746,6 +749,53 @@ object SparkEntry {
         threshold = 0.3, nlist = 8, nprobe = 2, iters = 3)
       q60Centroids = Some(cb)
       pairs
+    }),
+
+    // Near-dup pairs → dedup GROUPS: connected components assign every doc
+    // the minimum reachable id, making "keep one per cluster" a filter on
+    // is_canonical. Min-label propagation: one (long, long) shuffle per
+    // round, rounds bounded by cluster diameter (tiny for threshold-join
+    // graphs); the oracle replays the closure with a recursive CTE.
+    "q61_dedup_clusters" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pairs = graft.operators.TextDedup.minhashNearDupPairs(
+        docs, col("doc_id"), col("text"), threshold = 0.5)
+      graft.operators.ConnectedComponents.clusterPairs(pairs, docs, col("doc_id"))
+    }),
+
+    // RAG chunking: fixed 200-char windows, 50 overlap. Pure codegen row
+    // explosion (Scan → Project → Generate), zero shuffle — the shape that
+    // chunks 100 TB in a single map stage.
+    "q62_chunk_chars" -> ((s, dir) =>
+      graft.operators.Chunking.chunkByChars(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        chunkSize = 200, overlap = 50)),
+
+    // Per-document top-3 TF-IDF terms (ratio idf — exact rational
+    // arithmetic, bit-equal across engines; see TextAnalysis.tfidfTopTerms).
+    "q63_tfidf" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tfidfTopTerms(
+        table(s, dir, "documents"), col("doc_id"), col("text"), topN = 3)),
+
+    // Product quantization ADC search: 64-dim floats → 4 code bytes per
+    // vector (m=4 subspaces × k=16 cells); scoring never touches the
+    // original candidate vectors. Training is deterministic, so the
+    // captured codebook lets DuckDB replicate encode + reconstruct + score
+    // bit-for-bit (q64OracleSql).
+    "q64_pq_adc" -> ((s, dir) => {
+      import graft.operators.ProductQuantization
+      val emb = table(s, dir, "embeddings")
+      val candidates = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val cb = ProductQuantization.train(candidates, col("nvec"),
+        dim = 64, m = 4, k = 16, iters = 3)
+      q64Codebook = Some(cb)
+      val enc = candidates.select(col("nid"),
+        ProductQuantization.encode(col("nvec"), cb).as("codes"))
+      ProductQuantization.adcTopK(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        enc, cb, k = 10)
     })
   )
 
@@ -754,7 +804,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = staticOracleSql +
     ("q23_simhash_hamming" -> q23OracleSql) +
     ("q53_ivf_trained" -> q53OracleSql) +
-    ("q60_neardup_auto" -> q60OracleSql)
+    ("q60_neardup_auto" -> q60OracleSql) +
+    ("q64_pq_adc" -> q64OracleSql)
 
   private def centroidValues(cb: Array[Array[Double]]): String =
     cb.zipWithIndex
@@ -861,7 +912,91 @@ object SparkEntry {
     }
   }
 
+  /** q64's oracle: the captured per-subspace codebooks as literals; DuckDB
+    * independently replicates subvector slicing, nearest-cell encoding
+    * (same argmin metric and tie-break as CentroidOps.nearest),
+    * reconstruction, and the ADC dot-product top-10.
+    */
+  private def q64OracleSql: String = q64Codebook match {
+    case None => unavailableOracle
+    case Some(cb) =>
+      val sd = cb.subDim
+      val vals = (for {
+        s <- cb.codebooks.indices
+        c <- cb.codebooks(s).indices
+      } yield s"($s, $c, [${cb.codebooks(s)(c).mkString(", ")}]::DOUBLE[])")
+        .mkString(", ")
+      s"""WITH cb(sub, cell, cvec) AS (VALUES $vals),
+         |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+         |subv AS (
+         |  SELECT nid, s.sub, v[s.sub*$sd + 1 : s.sub*$sd + $sd] AS sv
+         |  FROM c CROSS JOIN (SELECT unnest(range(${cb.m})) AS sub) s),
+         |codes AS (
+         |  SELECT nid, sub,
+         |    (SELECT cell FROM cb WHERE cb.sub = subv.sub
+         |     ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(sv, cvec) ASC,
+         |       cell ASC LIMIT 1) AS cell
+         |  FROM subv),
+         |recon AS (
+         |  SELECT nid, flatten(list(cvec ORDER BY codes.sub ASC)) AS rv
+         |  FROM codes JOIN cb ON cb.sub = codes.sub AND cb.cell = codes.cell
+         |  GROUP BY nid),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+         |s AS (SELECT qid, nid, list_dot_product(qv, rv) AS score FROM q CROSS JOIN recon),
+         |r AS (SELECT qid, nid, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
+         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
+  }
+
   private def staticOracleSql: Map[String, String] = Map(
+
+    "q61_dedup_clusters" ->
+      """WITH RECURSIVE big AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
+        |  FROM documents),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM (SELECT doc_id, unnest(bg) AS g FROM big) a
+        |  JOIN (SELECT doc_id, unnest(bg) AS g FROM big) b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      CAST(len(list_intersect(x.bg, y.bg)) AS DOUBLE) / len(list_distinct(list_concat(x.bg, y.bg))) AS jac
+        |    FROM cand JOIN big x ON x.doc_id = id_a JOIN big y ON y.doc_id = id_b)
+        |  WHERE jac >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT d.doc_id AS id,
+        |  LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS component,
+        |  LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) = d.doc_id AS is_canonical
+        |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "q62_chunk_chars" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, greatest((len(text) + 149) // 150, 1) AS nc FROM documents),
+        |c AS (SELECT doc_id, text, unnest(range(nc)) AS i FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(i*150 AS BIGINT) AS chunk_start,
+        |  substring(text, CAST(i*150 + 1 AS INT), 200) AS chunk_text
+        |FROM c""".stripMargin,
+
+    "q63_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf * (n_docs + 1.0) / (df + 1.0) AS tfidf
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+        |      FROM s)
+        |SELECT doc_id, term, ROUND(tfidf, 4) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
 
     "q02_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Product quantization (PQ) for inner-product ANN at 100 TB.
+  *
+  * Where int8 quantization ([[Quantization]]) compresses 4×, PQ compresses
+  * dim×4-bytes down to `m` CODE BYTES per vector (64-dim float → 4 bytes at
+  * m=4,k=16): the vector is split into `m` subvectors, each quantized to
+  * its nearest cell of a per-subspace Lloyd codebook. Search never touches
+  * the original vectors — scores come from the codes plus the (tiny)
+  * codebook — so the 100 TB corpus becomes a ~1.6 TB code table and the
+  * scan/shuffle cost drops by the same factor.
+  *
+  * Scoring uses the asymmetric-distance identity for inner product: the
+  * dot of a query against a PQ-reconstructed vector equals the SUM of
+  * per-subspace dots against the coded centroids, so reconstruct-then-dot
+  * (one `flatten(transform(codes, ...))` over a single nested-array
+  * codebook literal, then the codegen dot kernel) IS the classic ADC
+  * lookup-table formulation, expressed with built-in expressions. The
+  * codebook rides into the plan as ONE literal object (m × k × subDim
+  * doubles), not a k×dim expression tree — plans stay O(1) like
+  * [[KMeans]]'s.
+  *
+  * Training is deterministic ([[KMeans.train]]: seeded init, fixed iters),
+  * so a captured codebook lets an independent engine replicate encoding
+  * and scoring bit-for-bit — which is exactly how the q64 oracle checks
+  * this operator.
+  */
+object ProductQuantization {
+
+  /** Per-subspace codebooks: `codebooks(sub)(cell)` is a subDim-length
+    * centroid. `dim = m * subDim` must hold for encoded vectors.
+    */
+  final case class PQCodebook(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+  }
+
+  /** Train m Lloyd codebooks of k cells each over `df(vecCol)`'s subvector
+    * slices. Driver state: m × k × subDim doubles — the codebook a real PQ
+    * index persists. `dim` is the (fixed) vector dimensionality; it must be
+    * divisible by `m`.
+    */
+  def train(
+      df: DataFrame,
+      vecCol: Column,
+      dim: Int,
+      m: Int = 4,
+      k: Int = 16,
+      iters: Int = 3): PQCodebook = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val subDim = dim / m
+    val v = vecCol.cast("array<double>")
+    val codebooks = (0 until m).map { s =>
+      KMeans.train(df, slice(v, s * subDim + 1, subDim), k, iters)
+    }.toArray
+    PQCodebook(subDim, codebooks)
+  }
+
+  /** `m`-byte PQ codes (as `array<int>`, one cell id per subspace) for a
+    * vector column. Pure projection — no shuffle; the nearest-cell search
+    * per subspace is the same codegen expression k-means assignment uses.
+    */
+  def encode(vec: Column, cb: PQCodebook): Column = {
+    val v = vec.cast("array<double>")
+    array((0 until cb.m).map { s =>
+      KMeans.assignCell(slice(v, s * cb.subDim + 1, cb.subDim), cb.codebooks(s))
+    }: _*)
+  }
+
+  /** PQ-reconstructed vector from a codes column: per subspace, the coded
+    * centroid, concatenated. The codebook is one nested-array literal.
+    */
+  def decode(codes: Column, cb: PQCodebook): Column = {
+    val cbLit = typedlit(cb.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(codes, (code, s) =>
+      element_at(element_at(cbLit, s + 1), code + 1)))
+  }
+
+  /** Asymmetric (query-exact, candidate-coded) inner-product top-k.
+    * Expects `queries(qid, qvec)` and `encoded(nid, codes)` (from
+    * [[encode]]). Scores = dot(query, reconstruction) — the ADC identity —
+    * selected per query by the bounded-heap aggregate (no sort of the
+    * scored stream). Returns `(qid, nid, score, rnk)`.
+    */
+  def adcTopK(queries: DataFrame, encoded: DataFrame, cb: PQCodebook, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("qvec").cast("array<double>").as("qv")))
+    val scored = encoded
+      .withColumn("rv", decode(col("codes"), cb))
+      .crossJoin(q)
+      .select(col("qid"), col("nid"),
+        GraftFunctions.vecDot(col("qv"), col("rv")).as("score_raw"))
+    Similarity.heapSelect(scored, k)
+  }
+}

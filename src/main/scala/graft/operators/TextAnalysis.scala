@@ -84,6 +84,43 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")
 
+  /** Top-`topN` most-distinctive terms per document by TF-IDF — the
+    * vocabulary/keyword-extraction step of a corpus-analysis pipeline.
+    *
+    * Scale shape: explode → (doc, term) count (one shuffle, partial-agg) →
+    * term document-frequency (second shuffle over the much smaller distinct
+    * doc-term set) → join back on term. The per-doc top-N selection is a
+    * Window over `doc_id` — unlike a scored SEARCH stream, each partition
+    * here is bounded by one document's own distinct-term count, never
+    * corpus-proportional, so the sort is safe at any corpus size.
+    *
+    * IDF uses the smoothed RATIO form `(N+1)/(df+1)` rather than its log:
+    * ranking and value stay in exact IEEE rational arithmetic, bit-equal
+    * across engines (a transcendental `ln` can differ in the last ulp
+    * between libm implementations, flipping ranks at ties). The classic
+    * `ln` form is a one-line swap and order-equivalent per fixed tf.
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      topN: Int = 3): DataFrame = {
+    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
+    val tf = df.select(idCol.as("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (col("n_docs") + 1.0) / (col("df") + 1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   /** BM25 keyword relevance of each document for a literal term set.
     *
     * Scale shape: per-document term frequencies are closed-form array

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunking, ConnectedComponents, ProductQuantization, TextAnalysis}
+
+/** Training-pipeline operators added in round 3: dedup clustering
+  * (connected components), document chunking, TF-IDF keyword extraction,
+  * and product quantization.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- connected components
+
+  test("connected components: chain + clique + singleton") {
+    // chain 1-2-3-4, clique {10,11,12}, singleton 20
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val got = ConnectedComponents.run(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("connected components: non-convergence is an error, not a wrong answer") {
+    // a 6-chain needs >1 min-propagation round; maxIters=1 must throw
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val vertices = (1L to 6L).toDF("id")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, vertices, maxIters = 1)
+    }
+  }
+
+  test("clusterPairs marks the minimum id canonical") {
+    val pairs = Seq((5L, 3L, 0.9), (3L, 8L, 0.8)).toDF("id_a", "id_b", "jac")
+    val ids = Seq(1L, 3L, 5L, 8L).toDF("doc_id")
+    val got = ConnectedComponents.clusterPairs(pairs, ids, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set((1L, 1L, true), (3L, 3L, true), (5L, 3L, false), (8L, 3L, false)))
+  }
+
+  // ------------------------------------------------------------- chunking
+
+  test("chunkByChars: windows, overlap, tail, empty doc") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    // chunkSize=4, overlap=2 → step=2; len 10 → 5 chunks
+    val got = Chunking.chunkByChars(docs, col("doc_id"), col("text"), 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    val doc1 = got.filter(_._1 == 1L).map(t => (t._3, t._4))
+    assert(doc1.toSeq == Seq((0L, "abcd"), (2L, "cdef"), (4L, "efgh"),
+      (6L, "ghij"), (8L, "ij")))
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq == Seq("xy"))
+    assert(got.filter(_._1 == 3L).map(_._4).toSeq == Seq(""),
+      "empty doc still emits its single empty chunk")
+  }
+
+  test("chunkByTokens: token windows with counts") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // chunkSize=3, overlap=1 → step=2; 5 tokens → ceil(5/2)=3 chunks
+    val got = Chunking.chunkByTokens(docs, col("doc_id"), col("text"), 3, 1)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a b c", 3L), ("c d e", 3L), ("e", 1L)))
+  }
+
+  test("chunkByChars rejects degenerate overlap") {
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByChars(docs, col("doc_id"), col("text"), 4, 4)
+    }
+  }
+
+  // --------------------------------------------------------------- tf-idf
+
+  test("tfidf: corpus-wide terms rank below distinctive ones") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana date date")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), topN = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "banana" appears in every doc (df=3) — never the top term
+    assert(got == Map(1L -> "apple", 2L -> "cherry", 3L -> "date"))
+    // value check: doc 1 "apple": tf=2, df=1, N=3 → 2 * 4/2 = 4.0
+    val v = TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), topN = 1)
+      .filter(col("doc_id") === 1L).head().getDouble(2)
+    assert(v == 4.0)
+  }
+
+  // ------------------------------------------------- product quantization
+
+  private def clusteredVecs(n: Int, dim: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      val center = i % 4
+      val v = Array.tabulate(dim)(d =>
+        (if (d % 4 == center) 1.0f else 0.0f) + rnd.nextFloat() * 0.2f)
+      (i.toLong, v)
+    }
+  }
+
+  test("pq: codes in range, deterministic training, bounded reconstruction error") {
+    val data = clusteredVecs(200, 16).toDF("id", "v")
+    val cb = ProductQuantization.train(data, col("v"), dim = 16, m = 4, k = 8, iters = 3)
+    val cb2 = ProductQuantization.train(data, col("v"), dim = 16, m = 4, k = 8, iters = 3)
+    assert(cb.codebooks.flatten.flatten.toSeq == cb2.codebooks.flatten.flatten.toSeq,
+      "training must be deterministic (seeded init, fixed iters)")
+    assert(cb.m == 4 && cb.k == 8 && cb.subDim == 4)
+
+    val enc = data.select(col("id"), ProductQuantization.encode(col("v"), cb).as("codes"))
+    val codes = enc.select(explode(col("codes"))).collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c < 8))
+
+    // mean squared reconstruction error well below the mean squared norm
+    val err = data
+      .withColumn("rv", ProductQuantization.decode(
+        ProductQuantization.encode(col("v"), cb), cb))
+      .select(avg(expr(
+        "aggregate(zip_with(cast(v as array<double>), rv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)")))
+      .head().getDouble(0)
+    assert(err < 0.2, s"reconstruction MSE too high: $err")
+  }
+
+  test("pq adc: top-k recall against exact dot-product search") {
+    val data = clusteredVecs(220, 16)
+    val candidates = data.filter(_._1 >= 20).toDF("nid", "nvec")
+    val queries = data.filter(_._1 < 20).toDF("qid", "qvec")
+    val cb = ProductQuantization.train(candidates, col("nvec"), dim = 16, m = 4, k = 16, iters = 3)
+    val enc = candidates.select(col("nid"),
+      ProductQuantization.encode(col("nvec"), cb).as("codes"))
+    val pq = ProductQuantization.adcTopK(queries, enc, cb, k = 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    import graft.functions.GraftFunctions
+    val exact = candidates.crossJoin(broadcast(queries))
+      .select(col("qid"), col("nid"),
+        GraftFunctions.vecDot(col("qvec").cast("array<double>"),
+          col("nvec").cast("array<double>")).as("score_raw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score_raw").desc, col("nid").asc)
+    val exactTop = exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val recalls = pq.map { case (q, ids) => ids.intersect(exactTop(q)).size / 10.0 }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, s"ADC recall@10 too low: $meanRecall")
+  }
+}
