@@ -796,7 +796,33 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         enc, cb, k = 10)
-    })
+    }),
+
+    // One-pass table profiling: every column's row/null/distinct/min/max
+    // from a single partial-aggregated job, unpivoted to one row per
+    // column (exact distinct here; approx_count_distinct at 100 TB).
+    "q65_profile" -> ((s, dir) =>
+      graft.operators.Profiling.profile(
+        table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"))),
+
+    // Curation selection: best-3 documents per language by quality score,
+    // chosen by the bounded-heap aggregate (≤k rows per group cross the
+    // shuffle; no Window sort of the scored corpus).
+    "q66_best_per_group" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Ranking.topKPerGroup(docs, col("lang"), col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text")), k = 3)
+    }),
+
+    // Source-weighted corpus mixing: per-language keep fractions as one
+    // deterministic md5 scan filter — no shuffle, byte-identical in any
+    // engine (zh is absent from the weights → dropped; fr weight 0).
+    "q67_weighted_mix" -> ((s, dir) =>
+      graft.operators.Sampling.weightedMix(
+        table(s, dir, "documents"), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.0))
+        .select("doc_id", "lang"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -949,6 +975,53 @@ object SparkEntry {
   }
 
   private def staticOracleSql: Map[String, String] = Map(
+
+    "q67_weighted_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 3) <
+        |  CASE lang WHEN 'en' THEN '800' WHEN 'de' THEN 'g'
+        |            WHEN 'es' THEN '400' ELSE '000' END""".stripMargin,
+
+    "q65_profile" ->
+      """WITH t AS (SELECT * FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(l_orderkey) AS null_count,
+        |  COUNT(DISTINCT l_orderkey) AS distinct_count,
+        |  CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(MAX(l_orderkey) AS VARCHAR) AS max_value FROM t
+        |UNION ALL
+        |SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+        |  COUNT(DISTINCT l_linenumber),
+        |  CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+        |  COUNT(DISTINCT l_returnflag),
+        |  CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+        |  COUNT(DISTINCT l_linestatus),
+        |  CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+        |  COUNT(DISTINCT l_shipdate),
+        |  CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR) FROM t""".stripMargin,
+
+    "q66_best_per_group" ->
+      """WITH s AS (
+        |  SELECT lang AS "group", doc_id AS id,
+        |    ROUND(
+        |      (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.4
+        |      + (CASE WHEN CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |                / greatest(len(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.3
+        |      + (CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+        |            w -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'], w))) AS DOUBLE)
+        |                / greatest(len(string_split(lower(text), ' ')), 1) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.3,
+        |    4) AS score
+        |  FROM documents),
+        |r AS (SELECT "group", id, score,
+        |        ROW_NUMBER() OVER (PARTITION BY "group" ORDER BY score DESC, id ASC) AS rnk
+        |      FROM s)
+        |SELECT "group", id, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
     "q61_dedup_clusters" ->
       """WITH RECURSIVE big AS (

@@ -151,6 +151,20 @@ final class DiskIvfIndex(
         GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
     Similarity.heapSelect(scored, k)
   }
+
+  /** Incrementally add vectors to the on-disk layout without a rebuild:
+    * new rows are assigned their trained cell and appended as new files
+    * under the existing `cell=<id>` partition directories. The codebook
+    * and already-written files are untouched, so daily ingest costs one
+    * map stage over the BATCH — never a corpus reshuffle. Cell balance
+    * drifts as the data distribution shifts; retrain + re-layout when
+    * recall sags (the classic IVF maintenance trade).
+    */
+  def append(newCandidates: DataFrame): Unit =
+    newCandidates
+      .select(col("nid"), col("nvec").cast("array<double>").as("v"))
+      .withColumn("cell", KMeans.assignCell(col("v"), centroids))
+      .write.mode("append").partitionBy("cell").parquet(dir)
 }
 
 object DiskIvfIndex {

@@ -37,4 +37,31 @@ object Sampling {
   def stratifiedHashSample(
       df: DataFrame, key: Column, stratum: Column, keep: Int, buckets: Int = 100): DataFrame =
     df.filter(pmod(xxhash64(stratum, key), lit(buckets)) < lit(keep))
+
+  /** Source-weighted corpus mixing: keep a per-source FRACTION of rows
+    * (`{web → 0.5, code → 1.0, forums → 0.25}`) — how training mixes are
+    * rebalanced without materializing intermediate corpora. Membership
+    * compares the first 3 md5 hex digits of the key (uniform over 4096
+    * buckets, byte-identical in any engine with a standard md5) against a
+    * per-source threshold selected by a `when`-chain over the tiny weight
+    * map — a codegen'd scan filter: no shuffle, no join, reproducible
+    * across engines/reruns/repartitioning. Sources absent from `weights`
+    * are dropped. Weight granularity is 1/4096.
+    */
+  def weightedMix(
+      df: DataFrame,
+      key: Column,
+      srcCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      "weights must be fractions in [0, 1]")
+    // threshold as a 3-hex-digit string; "g" sorts above every hex digit,
+    // so weight 1.0 keeps everything
+    val thr = weights.foldLeft(lit("000")) { case (acc, (s, w)) =>
+      when(srcCol === s,
+        if (w >= 1.0) lit("g") else lit(f"${math.floor(w * 4096).toInt}%03x"))
+        .otherwise(acc)
+    }
+    df.filter(substring(md5(key.cast("string")), 1, 3) < thr)
+  }
 }

@@ -68,4 +68,23 @@ class MergeSamplingSpec extends SparkSpec {
       assert(kept > 0.2 && kept < 0.8, s"stratum $lang kept $kept")
     }
   }
+
+  test("weightedMix keeps ~weight per source, drops unknown and zero-weight sources") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = Sampling.weightedMix(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.0))
+    val kept = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse("de", 0L) == full("de"), "weight 1.0 keeps everything")
+    assert(!kept.contains("es"), "weight 0 drops the source")
+    assert(!kept.contains("fr") && !kept.contains("zh"),
+      "sources absent from the weight map are dropped")
+    val enFrac = kept.getOrElse("en", 0L).toDouble / full("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en kept $enFrac, want ~0.5")
+    // deterministic across evaluations
+    assert(mixed.count() == Sampling.weightedMix(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.0)).count())
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, ConnectedComponents, ProductQuantization, TextAnalysis}
+import graft.operators.{Chunking, ConnectedComponents, ProductQuantization, Profiling, Ranking, TextAnalysis}
 
 /** Training-pipeline operators added in round 3: dedup clustering
   * (connected components), document chunking, TF-IDF keyword extraction,
@@ -88,6 +88,52 @@ class PipelineOpsSpec extends SparkSpec {
     val v = TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), topN = 1)
       .filter(col("doc_id") === 1L).head().getDouble(2)
     assert(v == 4.0)
+  }
+
+  // ----------------------------------------------------- ranking/profiling
+
+  test("topKPerGroup: heap selection per group with deterministic ties") {
+    val rows = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.7), ("en", 3L, 0.9), ("en", 4L, 0.1),
+      ("de", 5L, 0.5), ("de", 6L, 0.8)).toDF("lang", "doc_id", "q")
+    val got = Ranking.topKPerGroup(rows, col("lang"), col("doc_id"), col("q"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    // en ties at 0.9 break toward the smaller id: 1 then 3
+    assert(got == Set(("en", 1L, 1L), ("en", 3L, 2L), ("de", 6L, 1L), ("de", 5L, 2L)))
+    // plan discipline: heap aggregate, no Window/Sort of the scored rows
+    val plan = Ranking.topKPerGroup(rows, col("lang"), col("doc_id"), col("q"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-group top-k must not plan a Window")
+  }
+
+  test("profile: one row per column with exact stats") {
+    val rows = Seq((1L, Some("a")), (2L, None), (2L, Some("b")))
+      .toDF("k", "s")
+    val got = Profiling.profile(rows, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("k") == ((3L, 0L, 2L, "1", "2")))
+    assert(got("s") == ((3L, 1L, 2L, "a", "b")))
+  }
+
+  test("disk IVF append: new vectors searchable without rebuild") {
+    import graft.operators.IvfIndex
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 100).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("nid", "nvec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
+    val disk = IvfIndex.buildTrained(base, nlist = 4, iters = 2).save(spark, dir)
+
+    // append a distinctive new vector, then query AT it: must be rank 1
+    val probe = Array.fill(dim)(0.9f)
+    disk.append(Seq((999L, probe)).toDF("nid", "nvec"))
+    assert(spark.read.parquet(dir).count() == 101)
+    val hit = disk.search(
+      Seq((1L, probe)).toDF("qid", "qvec"), k = 3, nprobe = 2)
+      .filter(col("rnk") === 1).head()
+    assert(hit.getAs[Long]("nid") == 999L,
+      s"appended vector should top its own query, got $hit")
   }
 
   // ------------------------------------------------- product quantization

@@ -174,6 +174,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunking runs unchanged as a stateless streaming stage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // the batch operator IS the streaming operator: a stateless
+    // Project+Generate stage needs no watermark and no state store
+    val chunks = graft.operators.Chunking.chunkByChars(
+      in.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      chunkSize = 4, overlap = 2)
+    val q = chunks.writeStream.format("memory").queryName("chunks_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "abcdefghij"))
+      q.processAllAvailable()
+      val got = spark.table("chunks_sink").orderBy("chunk_idx")
+        .collect().map(_.getString(3)).toSeq
+      assert(got == Seq("abcd", "cdef", "efgh", "ghij", "ij"))
+    } finally q.stop()
+  }
+
   test("typed sessionization matches the window/lag SQL formulation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
