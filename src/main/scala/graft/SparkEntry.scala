@@ -822,7 +822,36 @@ object SparkEntry {
       graft.operators.Sampling.weightedMix(
         table(s, dir, "documents"), col("doc_id"), col("lang"),
         Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.0))
-        .select("doc_id", "lang"))
+        .select("doc_id", "lang")),
+
+    // Hybrid-retrieval rank fusion: dense cosine top-20 and sparse-overlap
+    // top-20 per query fused by reciprocal rank (c=60), re-selected to
+    // top-10 — the calibration-free combiner of production hybrid search.
+    // All three selections are bounded heaps; fusion touches only the
+    // already-bounded lists.
+    "q68_rrf_fusion" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      def sparse(of: Column): Column = struct(
+        transform(
+          filter(sequence(lit(0), size(of) - 1),
+            i => element_at(of, i + 1) > 0.1),
+          i => i.cast("long")).as("indices"),
+        filter(of, x => x > 0.1).as("values"))
+      val dense = graft.operators.Similarity.bruteForceTopKHeap(
+        e.filter(col("vec_id") < 6)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        k = 20)
+      val sparseRank = graft.operators.Similarity.sparseTopKPerQuery(
+        e.filter(col("vec_id") < 6)
+          .select(col("vec_id").as("qid"), sparse(col("embedding")).as("sparse_vector"),
+            lit(20).cast("int").as("top_k")),
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), sparse(col("embedding")).as("sparse_values")))
+      graft.operators.Ranking.reciprocalRankFusionPerQuery(
+        Seq(dense, sparseRank), k = 10)
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -981,6 +1010,30 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 3) <
         |  CASE lang WHEN 'en' THEN '800' WHEN 'de' THEN 'g'
         |            WHEN 'es' THEN '400' ELSE '000' END""".stripMargin,
+
+    "q68_rrf_fusion" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 6),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+        |dense AS (
+        |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+        |  FROM q CROSS JOIN c),
+        |m AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |        x -> CASE WHEN x > 0.1 THEN x ELSE 0 END) AS mv FROM embeddings),
+        |ssc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, list_dot_product(a.mv, b.mv) AS score
+        |        FROM m a JOIN m b ON a.vec_id < 6 AND b.vec_id >= 10
+        |        WHERE list_dot_product(a.mv, b.mv) > 0),
+        |sparse AS (SELECT qid, nid,
+        |             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+        |           FROM ssc),
+        |u AS (
+        |  SELECT qid, nid, 1.0/(60 + rnk) AS contrib FROM dense WHERE rnk <= 20
+        |  UNION ALL
+        |  SELECT qid, nid, 1.0/(60 + rnk) AS contrib FROM sparse WHERE rnk <= 20),
+        |f AS (SELECT qid, nid, SUM(contrib) AS score FROM u GROUP BY qid, nid),
+        |r AS (SELECT qid, nid, score,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM f)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
 
     "q65_profile" ->
       """WITH t AS (SELECT * FROM lineitem)

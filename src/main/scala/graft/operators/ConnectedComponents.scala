@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   * round for that guarantee; min-propagation is the better default for
   * dedup-shaped graphs.)
   *
-  * Lineage discipline: each round's labels are persisted and the previous
-  * round unpersisted — without that, round t's plan would embed rounds
-  * 1..t-1 and re-execute them all, turning a linear loop quadratic.
+  * Lineage discipline: each round's labels are eagerly local-checkpointed
+  * — without truncation, round t's plan would embed rounds 1..t-1 (a
+  * 25-round loop plans 100 exchanges) and any recompute would replay them
+  * all. `localCheckpoint` cuts the plan at materialized blocks; on a
+  * cluster where executor loss must survive the loop, swap in reliable
+  * `checkpoint()` — same shape, storage-backed.
   */
 object ConnectedComponents {
 
@@ -40,8 +43,9 @@ object ConnectedComponents {
     val sym = edges
       .select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
-    var labels = vertices.select(col("id"), col("id").as("component")).persist()
-    labels.count() // materialize so each round starts from a flat lineage
+    // eager checkpoint: materializes AND truncates lineage in one step
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
 
     var converged = false
     var iter = 0
@@ -51,14 +55,14 @@ object ConnectedComponents {
         .select(sym("u").as("id"), col("component"))
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .persist()
-      // one action drives the round AND the convergence test: a vertex
-      // whose label shrank this round means another round is needed
+        .localCheckpoint()
+      // the round is already materialized; the convergence test joins two
+      // checkpointed frames — a vertex whose label shrank means another
+      // round is needed
       val changed = next.as("n")
         .join(labels.as("p"), "id")
         .filter(col("n.component") =!= col("p.component"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

@@ -32,4 +32,30 @@ object Ranking {
       .select(col("group"), posexplode(col("tk")))
       .select(col("group"), col("col.id").as("id"),
         round(col("col.score"), 4).as("score"), (col("pos") + 1).as("rnk"))
+
+  /** Reciprocal-rank fusion of per-query rankings — the standard combiner
+    * for hybrid retrieval (dense ∪ sparse ∪ keyword): each ranking
+    * contributes `1/(c + rank)` per (query, candidate) and the fused lists
+    * are re-ranked on the summed score. Rank-based, so modalities with
+    * incomparable score scales fuse without calibration — the property
+    * that makes RRF the default in production hybrid search.
+    *
+    * Scale shape: inputs are already bounded (≤k rows per query from the
+    * heap selectors), so the union + `groupBy(qid, nid)` aggregate touches
+    * O(#queries × k × #rankings) rows regardless of corpus size, and the
+    * final selection is the same bounded heap. Expects rankings shaped
+    * `(qid, nid, rnk)`; returns `(qid, nid, score, rnk)`.
+    */
+  def reciprocalRankFusionPerQuery(
+      rankings: Seq[DataFrame],
+      k: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "fusion needs at least two rankings")
+    val contribs = rankings.map(_.select(col("qid"), col("nid"),
+        (lit(1.0) / (lit(c.toDouble) + col("rnk").cast("double"))).as("contrib")))
+      .reduce(_ unionByName _)
+    val fused = contribs.groupBy("qid", "nid")
+      .agg(sum("contrib").as("score_raw"))
+    Similarity.heapSelect(fused, k)
+  }
 }

@@ -106,6 +106,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), "per-group top-k must not plan a Window")
   }
 
+  test("rrf fusion: rank-sum ordering, single-list candidates survive") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "nid", "rnk")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("qid", "nid", "rnk")
+    val got = Ranking.reciprocalRankFusionPerQuery(Seq(a, b), k = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getAs[Long]("nid"), r.getAs[Int]("rnk")))
+    // 11 is in both lists (1/62 + 1/61) > 10 (1/61) > 12 (1/62)
+    assert(got.toSeq == Seq((11L, 1), (10L, 2), (12L, 3)))
+  }
+
   test("profile: one row per column with exact stats") {
     val rows = Seq((1L, Some("a")), (2L, None), (2L, Some("b")))
       .toDF("k", "s")
