@@ -153,6 +153,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: connected components equal a local union-find") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 16)
+      m <- Gen.choose(0, 20)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield (n.toLong, edges.filter(e => e._1 != e._2))
+    forAll(gen, trials = 8) { case (n, edges) =>
+      // union-find merging larger root under smaller: root == set minimum
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
+      val got = graft.operators.ConnectedComponents
+        .run(edges.toDF("src", "dst"), (0L until n).toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
+
+  test("property: chunk grammar covers every char and reassembles the text") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      cs <- Gen.choose(2, 10)
+      ov <- Gen.choose(0, 9).map(o => math.min(o, cs - 1))
+      text <- Gen.listOf(Gen.alphaChar).map(_.mkString)
+    } yield (cs, ov, text)
+    forAll(gen, trials = 12) { case (cs, ov, text) =>
+      val step = cs - ov
+      val rows = graft.operators.Chunking
+        .chunkByChars(Seq((1L, text)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), cs, ov)
+        .orderBy("chunk_idx").collect()
+        .map(r => (r.getLong(2), r.getString(3)))
+      assert(rows.length == math.max(1, (text.length + step - 1) / step))
+      rows.foreach { case (start, t) =>
+        assert(t == text.slice(start.toInt, start.toInt + cs))
+      }
+      // concatenating each chunk's non-overlap prefix plus the full last
+      // chunk reproduces the document exactly — no char lost or duplicated
+      val rebuilt = rows.init.map(_._2.take(step)).mkString + rows.last._2
+      assert(rebuilt == text, s"cs=$cs ov=$ov len=${text.length}")
+    }
+  }
+
   test("property: native ngram hashes equal HOF formulation on random word texts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
