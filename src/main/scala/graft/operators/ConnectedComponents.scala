@@ -40,9 +40,14 @@ object ConnectedComponents {
     *         a truncated closure would silently merge or split clusters.
     */
   def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 25): DataFrame = {
+    // checkpoint the symmetrized edge list ONCE: `edges` is typically the
+    // output of a near-dup pipeline (minhash + verify joins), and every
+    // propagation round joins against it — without materialization each
+    // round would re-execute the whole upstream pipeline
     val sym = edges
       .select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint()
     // eager checkpoint: materializes AND truncates lineage in one step
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint()

@@ -44,6 +44,15 @@ object ProductQuantization {
     * slices. Driver state: m × k × subDim doubles — the codebook a real PQ
     * index persists. `dim` is the (fixed) vector dimensionality; it must be
     * divisible by `m`.
+    *
+    * All m subspaces train TOGETHER: each Lloyd iteration is ONE
+    * distributed pass that explodes every vector into its m (subspace,
+    * cell, subvector) assignments and partial-aggregates per (subspace,
+    * cell) — m× fewer corpus passes than training the codebooks
+    * independently, which is the difference between 3 and 12 scans of a
+    * 100 TB corpus. Initialization matches [[KMeans.train]]'s seeded
+    * deterministic sample per subspace (the k subvectors with the smallest
+    * xxhash64 rendering).
     */
   def train(
       df: DataFrame,
@@ -55,9 +64,41 @@ object ProductQuantization {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val subDim = dim / m
     val v = vecCol.cast("array<double>")
-    val codebooks = (0 until m).map { s =>
-      KMeans.train(df, slice(v, s * subDim + 1, subDim), k, iters)
+    val vecs = df.select(v.as("v")).where(v.isNotNull)
+    def sub(s: Int): Column = slice(col("v"), s * subDim + 1, subDim)
+
+    // deterministic per-subspace seeds (same rule as KMeans.train)
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { s =>
+      vecs.select(sub(s).as("sv"))
+        .withColumn("h", xxhash64(col("sv").cast("string")))
+        .orderBy("h").limit(k)
+        .select("sv").collect()
+        .map(_.getSeq[Double](0).toArray)
     }.toArray
+
+    import graft.functions.CentroidFunctions
+    for (_ <- 1 to iters) {
+      // one pass: every vector contributes m (subspace, cell, subvector)
+      // rows; the update is a single partial-aggregated groupBy
+      val probes = (0 until m).map { s =>
+        struct(lit(s).as("sub"),
+          element_at(CentroidFunctions.nearestCentroids(sub(s), codebooks(s), 1), 1)
+            .as("cell"),
+          sub(s).as("sv"))
+      }
+      val sums = vecs
+        .select(explode(array(probes: _*)).as("p"))
+        .groupBy(col("p.sub"), col("p.cell"))
+        .agg(count(lit(1)).as("n"), CentroidFunctions.vecSum(col("p.sv")).as("s"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val (s, cell) = (r.getInt(0), r.getInt(1))
+        val n = r.getLong(2).toDouble
+        next(s)(cell) = r.getSeq[Double](3).map(_ / n).toArray
+      }
+      for (s <- 0 until m; c <- 0 until k) codebooks(s)(c) = next(s)(c)
+    }
     PQCodebook(subDim, codebooks)
   }
 
