@@ -70,6 +70,22 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Sparse `struct<indices, values>` (the schema's `sparse_values` shape,
+    * cfg.py:26) derived by thresholding a dense vector — shared by the
+    * sparse/hybrid/fusion queries so the threshold can never drift between
+    * them. Empty-input-safe: the index sequence is only built for
+    * non-empty arrays (`sequence(0, -1)` would DESCEND, and
+    * `element_at(_, 0)` errors under ANSI).
+    */
+  private def sparseStruct(of: Column): Column =
+    struct(
+      when(size(of) > 0,
+        transform(
+          filter(sequence(lit(0), size(of) - 1), i => element_at(of, i + 1) > 0.1),
+          i => i.cast("long")))
+        .otherwise(slice(transform(of, x => lit(0L)), 1, 0)).as("indices"),
+      filter(of, x => x > 0.1).as("values"))
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -598,16 +614,10 @@ object SparkEntry {
     // merge-join codegen sparse dot, selected per-row-top_k by the heap.
     "q56_sparse_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      def sparse(of: Column): Column = struct(
-        transform(
-          filter(sequence(lit(0), size(of) - 1),
-            i => element_at(of, i + 1) > 0.1),
-          i => i.cast("long")).as("indices"),
-        filter(of, x => x > 0.1).as("values"))
       val cands = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("nid"), sparse(col("embedding")).as("sparse_values"))
+        .select(col("vec_id").as("nid"), sparseStruct(col("embedding")).as("sparse_values"))
       val qs = e.filter(col("vec_id") < 6)
-        .select(col("vec_id").as("qid"), sparse(col("embedding")).as("sparse_vector"),
+        .select(col("vec_id").as("qid"), sparseStruct(col("embedding")).as("sparse_vector"),
           (col("vec_id") % 3 + 3).cast("int").as("top_k"))
       graft.operators.Similarity.sparseTopKPerQuery(qs, cands)
     }),
@@ -618,20 +628,14 @@ object SparkEntry {
     // both engines' literal parsing, keeping the blend bit-stable).
     "q57_hybrid_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      def sparse(of: Column): Column = struct(
-        transform(
-          filter(sequence(lit(0), size(of) - 1),
-            i => element_at(of, i + 1) > 0.1),
-          i => i.cast("long")).as("indices"),
-        filter(of, x => x > 0.1).as("values"))
       val cands = e.filter(col("vec_id") >= 10)
         .join(table(s, dir, "documents"), col("doc_id") === col("vec_id"))
         .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
-          sparse(col("embedding")).as("sparse_values"),
+          sparseStruct(col("embedding")).as("sparse_values"),
           to_json(struct(col("lang"), col("n_chars"))).as("metadata"))
       val qs = e.filter(col("vec_id") < 6)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          sparse(col("embedding")).as("sparse_vector"))
+          sparseStruct(col("embedding")).as("sparse_vector"))
         .withColumn("filter",
           when(col("qid") % 3 === 0, lit("""{"lang": {"$eq": "en"}}"""))
             .when(col("qid") % 3 === 1, lit("""{"lang": {"$in": ["de", "fr"]}}"""))
@@ -831,12 +835,6 @@ object SparkEntry {
     // already-bounded lists.
     "q68_rrf_fusion" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      def sparse(of: Column): Column = struct(
-        transform(
-          filter(sequence(lit(0), size(of) - 1),
-            i => element_at(of, i + 1) > 0.1),
-          i => i.cast("long")).as("indices"),
-        filter(of, x => x > 0.1).as("values"))
       val dense = graft.operators.Similarity.bruteForceTopKHeap(
         e.filter(col("vec_id") < 6)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
@@ -845,10 +843,10 @@ object SparkEntry {
         k = 20)
       val sparseRank = graft.operators.Similarity.sparseTopKPerQuery(
         e.filter(col("vec_id") < 6)
-          .select(col("vec_id").as("qid"), sparse(col("embedding")).as("sparse_vector"),
+          .select(col("vec_id").as("qid"), sparseStruct(col("embedding")).as("sparse_vector"),
             lit(20).cast("int").as("top_k")),
         e.filter(col("vec_id") >= 10)
-          .select(col("vec_id").as("nid"), sparse(col("embedding")).as("sparse_values")))
+          .select(col("vec_id").as("nid"), sparseStruct(col("embedding")).as("sparse_values")))
       graft.operators.Ranking.reciprocalRankFusionPerQuery(
         Seq(dense, sparseRank), k = 10)
     })
@@ -1077,7 +1075,13 @@ object SparkEntry {
         |SELECT "group", id, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
     "q61_dedup_clusters" ->
-      """WITH RECURSIVE big AS (
+      """-- Edge-set caveat: the engine generates candidate pairs via MinHash
+        |-- LSH (21 bands x 3 rows), the oracle via exhaustive shingle-share.
+        |-- At this corpus's planted duplicates (all true pairs have J >= 0.9)
+        |-- the LSH miss probability is ~1e-12 per pair, so the edge sets are
+        |-- identical; a corpus with pairs near the 0.5 threshold would need
+        |-- the band/row parameters raised for this compare to stay exact.
+        |WITH RECURSIVE big AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
         |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
         |  FROM documents),

@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   * round for that guarantee; min-propagation is the better default for
   * dedup-shaped graphs.)
   *
-  * Lineage discipline: each round's labels are eagerly local-checkpointed
-  * — without truncation, round t's plan would embed rounds 1..t-1 (a
-  * 25-round loop plans 100 exchanges) and any recompute would replay them
-  * all. `localCheckpoint` cuts the plan at materialized blocks; on a
-  * cluster where executor loss must survive the loop, swap in reliable
-  * `checkpoint()` — same shape, storage-backed.
+  * Lineage & storage discipline: the symmetrized edge list is checkpointed
+  * once (it usually IS a near-dup pipeline — re-running it per round would
+  * multiply the expensive part by the round count); each round's labels
+  * are persisted and the previous round's explicitly unpersisted, so the
+  * loop holds at most TWO label snapshots plus the edges at any moment;
+  * and the RETURNED frame is local-checkpointed so callers get a flat
+  * plan, not one nesting every round (a 25-round loop would otherwise
+  * plan ~100 exchanges and replay them all on recompute). On a cluster
+  * where executor loss must survive the loop, swap `localCheckpoint` for
+  * reliable `checkpoint()` — same shape, storage-backed.
   */
 object ConnectedComponents {
 
@@ -48,9 +52,8 @@ object ConnectedComponents {
       .select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint()
-    // eager checkpoint: materializes AND truncates lineage in one step
-    var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("component")).persist()
+    labels.count() // materialize so round 1 reads a snapshot, not a plan
 
     var converged = false
     var iter = 0
@@ -60,14 +63,14 @@ object ConnectedComponents {
         .select(sym("u").as("id"), col("component"))
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
-      // the round is already materialized; the convergence test joins two
-      // checkpointed frames — a vertex whose label shrank means another
-      // round is needed
+        .persist()
+      // one action materializes the round AND answers the convergence
+      // test: a vertex whose label shrank means another round is needed
       val changed = next.as("n")
         .join(labels.as("p"), "id")
         .filter(col("n.component") =!= col("p.component"))
         .limit(1).count()
+      labels.unpersist() // bound loop storage to two snapshots
       labels = next
       converged = changed == 0
       iter += 1
@@ -76,7 +79,10 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds — " +
           "component diameter exceeds the bound; raise maxIters")
-    labels
+    // hand the caller a flat-lineage frame, then release the loop snapshot
+    val result = labels.localCheckpoint()
+    labels.unpersist()
+    result
   }
 
   /** Convenience: cluster a near-dup pair list `(id_a, id_b, ...)` over the

@@ -14,7 +14,7 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val guardSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Exact content dedup: group by a 128-bit content digest, keep the
     * minimum id as the canonical representative. One shuffle on the digest;
@@ -42,11 +42,13 @@ object Dedup {
     * aggregation on the (tiny) key column, so the guard costs one cheap
     * scan, never a shuffle of the vectors.
     *
-    * Dropping trades recall for boundedness, so it is never silent: the
-    * oversized key set is collected (the broadcast anti-join would have
-    * collected it to the driver regardless — pigeonhole bounds it to
-    * rows/maxBlockSize keys) and logged with per-key counts so the caller
-    * can rebalance the blocking key.
+    * Dropping trades recall for boundedness, so it is never silent: an
+    * `observe` aggregation rides the oversized pre-pass (it executes with
+    * the query — no extra job, and the guard sees the SAME snapshot the
+    * anti-join uses) recording the dropped-block count, the largest block,
+    * and a capped sample of the dropped keys;
+    * [[graft.tools.GuardMetricsListener]] logs a WARN when a run dropped
+    * anything, so the caller knows to rebalance the blocking key.
     */
   def cosineNearDupPairs(
       df: DataFrame,
@@ -56,25 +58,16 @@ object Dedup {
       threshold: Double,
       maxBlockSize: Int = 10000): DataFrame = {
     val keyed = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"), blockCol.as("blk"))
-    val oversizedRows = keyed.groupBy("blk")
+    val oversized = keyed.groupBy("blk")
       .agg(count(lit(1)).as("n")).filter(col("n") > maxBlockSize)
-      .collect()
-    if (oversizedRows.nonEmpty) {
-      val sample = oversizedRows.take(20)
-        .map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ")
-      log.warn(s"cosineNearDupPairs: dropping ${oversizedRows.length} block(s) " +
-        s"larger than maxBlockSize=$maxBlockSize (recall loss — rebalance the " +
-        s"blocking key): $sample${if (oversizedRows.length > 20) ", ..." else ""}")
-    }
-    val kept =
-      if (oversizedRows.isEmpty) keyed
-      else {
-        val spark = df.sparkSession
-        val oversized = spark.createDataFrame(
-          java.util.Arrays.asList(oversizedRows: _*),
-          oversizedRows.head.schema).select("blk")
-        keyed.join(broadcast(oversized), Seq("blk"), "left_anti")
-      }
+      .observe(s"cosine_block_guard_${guardSeq.incrementAndGet()}",
+        coalesce(count(lit(1)), lit(0L)).as("dropped_blocks"),
+        coalesce(max(col("n")), lit(0L)).as("max_block_size"),
+        lit(maxBlockSize).as("max_allowed"),
+        slice(sort_array(collect_list(col("blk").cast("string"))), 1, 20)
+          .as("sample_keys"))
+      .select("blk")
+    val kept = keyed.join(broadcast(oversized), Seq("blk"), "left_anti")
     val a = kept.select(col("id").as("id_a"), col("v").as("va"), col("blk"))
     val b = kept.select(col("id").as("id_b"), col("v").as("vb"), col("blk").as("blk_r"))
     a.join(b, col("blk") === col("blk_r") && col("id_a") < col("id_b"))

@@ -48,11 +48,13 @@ object ProductQuantization {
     * All m subspaces train TOGETHER: each Lloyd iteration is ONE
     * distributed pass that explodes every vector into its m (subspace,
     * cell, subvector) assignments and partial-aggregates per (subspace,
-    * cell) — m× fewer corpus passes than training the codebooks
-    * independently, which is the difference between 3 and 12 scans of a
-    * 100 TB corpus. Initialization matches [[KMeans.train]]'s seeded
-    * deterministic sample per subspace (the k subvectors with the smallest
-    * xxhash64 rendering).
+    * cell) — m× fewer corpus passes per iteration than training the
+    * codebooks independently (3 vs 12 iteration scans at m=4, iters=3).
+    * Seeding still runs one TakeOrdered pass per subspace ([[KMeans]]'s
+    * deterministic smallest-xxhash sample — shuffle-free, single column,
+    * but m of them): a single-pass multi-subspace seed selection would
+    * need a grouped bounded-heap that carries vector payloads, which
+    * [[graft.functions.TopKByScore]] (long ids only) does not yet do.
     */
   def train(
       df: DataFrame,

@@ -52,6 +52,11 @@ object ZOrder {
       min(col(c)).cast("double").as(s"min_$c"),
       max(col(c)).cast("double").as(s"max_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.foreach { c =>
+      require(!stats.isNullAt(stats.fieldIndex(s"min_$c")),
+        s"zValueFor: column '$c' has no non-null values to normalize " +
+          "(empty frame or all-null column)")
+    }
     interleaveBits(cols.map { c =>
       normalize(col(c), stats.getAs[Double](s"min_$c"), stats.getAs[Double](s"max_$c"), bits)
     }, bits)

@@ -75,7 +75,7 @@ object CloudFs {
     else Map.empty
   }
 
-  /** Keys a non-anonymous configure() must clear so an earlier anonymous
+  /** Keys a non-anonymous configure() must restore so an earlier anonymous
     * configure() cannot leak into authenticated reads in the same session
     * (last-configure-wins, never sticky-anon).
     */
@@ -87,19 +87,39 @@ object CloudFs {
     else Seq.empty
   }
 
+  /** Pre-anonymous values saved by configure(), keyed by (conf identity,
+    * key) so distinct Configurations never cross-restore. Restoring — not
+    * blindly unsetting — matters because a cluster's core-site.xml may
+    * legitimately set these keys (e.g. `fs.gs.auth.type =
+    * SERVICE_ACCOUNT_JSON_KEYFILE`); configure() must only ever undo what
+    * configure() itself changed.
+    */
+  private val savedAuth =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Option[String]]
+
   /** Apply the policy for `path` to a Hadoop configuration and return the
     * normalized URL to read from. Anonymous paths get the unauthenticated
-    * override (per-bucket for s3a); non-anonymous paths *clear* the keys an
-    * earlier anonymous configure() may have set, restoring the ambient
-    * credential chain — otherwise a session that touched the public
-    * endpoint would silently read private buckets unauthenticated forever.
+    * override (per-bucket for s3a), saving the prior value first;
+    * non-anonymous paths RESTORE any value an earlier anonymous
+    * configure() displaced (set back, or unset if it was absent) —
+    * otherwise a session that touched the public endpoint would silently
+    * read private buckets unauthenticated forever. Keys this object never
+    * touched are left exactly as the cluster configured them.
     */
   def configure(conf: org.apache.hadoop.conf.Configuration, path: String,
       endpoint: String): String = {
     val p = normalizeUrl(path)
     val anon = hadoopConfFor(p, endpoint)
-    if (anon.nonEmpty) anon.foreach { case (k, v) => conf.set(k, v) }
-    else clearedKeysFor(p).foreach(conf.unset)
+    if (anon.nonEmpty) anon.foreach { case (k, v) =>
+      savedAuth.putIfAbsent((System.identityHashCode(conf), k), Option(conf.get(k)))
+      conf.set(k, v)
+    }
+    else clearedKeysFor(p).foreach { k =>
+      savedAuth.remove((System.identityHashCode(conf), k)).foreach {
+        case Some(prev) => conf.set(k, prev)
+        case None => conf.unset(k)
+      }
+    }
     p
   }
 

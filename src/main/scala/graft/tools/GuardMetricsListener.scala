@@ -30,6 +30,14 @@ final class GuardMetricsListener extends QueryExecutionListener {
             s"(largest=${row.getAs[Int]("max_bucket_size")} ids, " +
             s"cap=${row.getAs[Int]("max_allowed")}) — recall loss; " +
             "rebalance band/bucket parameters if unexpected")
+      } else if (name.startsWith("cosine_block_guard")) {
+        val dropped = row.getAs[Long]("dropped_blocks")
+        if (dropped > 0)
+          log.warn(s"cosineNearDupPairs: dropped $dropped oversized block(s) " +
+            s"(largest=${row.getAs[Long]("max_block_size")} rows, " +
+            s"cap=${row.getAs[Int]("max_allowed")}; " +
+            s"keys: ${row.getAs[Seq[String]]("sample_keys").mkString(", ")}) " +
+            "— recall loss; rebalance the blocking key")
       }
     }
   }

@@ -65,4 +65,19 @@ class CloudFsSpec extends AnyFunSuite {
     assert(conf.get("fs.s3a.bucket.pub.aws.credentials.provider") == null,
       "non-endpoint path under the same bucket restores ambient creds")
   }
+
+  test("configure restores cluster-provided auth config instead of deleting it") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    // cluster core-site.xml equivalent: an admin-provided auth mode
+    conf.set("fs.gs.auth.type", "SERVICE_ACCOUNT_JSON_KEYFILE")
+    // a non-anonymous path must NOT touch config configure() never set
+    CloudFs.configure(conf, "gs://private-a/ds", CloudFs.PublicEndpoint)
+    assert(conf.get("fs.gs.auth.type") == "SERVICE_ACCOUNT_JSON_KEYFILE")
+    // anon endpoint displaces it; the next authenticated path RESTORES the
+    // admin value rather than unsetting the key
+    CloudFs.configure(conf, "gs://pinecone-datasets-dev", CloudFs.PublicEndpoint)
+    assert(conf.get("fs.gs.auth.type") == "UNAUTHENTICATED")
+    CloudFs.configure(conf, "gs://private-a/ds", CloudFs.PublicEndpoint)
+    assert(conf.get("fs.gs.auth.type") == "SERVICE_ACCOUNT_JSON_KEYFILE")
+  }
 }
