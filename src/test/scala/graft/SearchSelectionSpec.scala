@@ -181,4 +181,39 @@ class SearchSelectionSpec extends SparkSpec {
       maxBlockSize = Int.MaxValue)
     assert(unconstrained.collect().toSet == legacy.collect().toSet)
   }
+
+  test("block-guard drops are observed: metrics reach a QueryExecutionListener") {
+    import spark.implicits._
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, org.apache.spark.sql.Row)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.foreach { case (n, r) => seen.add((n, r)) }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val vecs = (0 until 30).map { i =>
+        (i.toLong, Array(1.0f, 2.0f, 3.0f), if (i < 25) 0 else 1)
+      }.toDF("id", "vec", "blk")
+      Dedup.cosineNearDupPairs(
+        vecs, col("id"), col("vec"), col("blk"), threshold = 0.9, maxBlockSize = 10)
+        .collect()
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      var guard: Option[org.apache.spark.sql.Row] = None
+      while (guard.isEmpty && System.nanoTime() < deadline) {
+        guard = seen.toArray(Array.empty[(String, org.apache.spark.sql.Row)])
+          .collectFirst { case (n, r) if n.startsWith("cosine_block_guard") => r }
+        if (guard.isEmpty) Thread.sleep(100)
+      }
+      assert(guard.isDefined, "cosine_block_guard observation never reached the listener")
+      val row = guard.get
+      assert(row.getAs[Long]("dropped_blocks") == 1L)
+      assert(row.getAs[Long]("max_block_size") == 25L)
+      assert(row.getAs[Seq[String]]("sample_keys") == Seq("0"),
+        "the dropped block's key should be sampled")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
