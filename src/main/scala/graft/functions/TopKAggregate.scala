@@ -170,3 +170,183 @@ object TopKByScore {
         GraftSqlBridge.expression(score),
         GraftSqlBridge.expression(id), k).toAggregateExpression())
 }
+
+/** [[TopKHeap]] with an opaque payload riding along each (score, id) pair.
+  * Ordering is identical (score desc, id asc); the payload never
+  * participates in comparisons — it is whatever the caller wants back
+  * without a join (a vector, a string, a struct).
+  */
+final class TopKPayloadHeap(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  val payloads = new Array[Any](k)
+  var size: Int = 0
+
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  def insert(s: Double, id: Long, payload: Any): Unit = {
+    if (size < k) {
+      var i = size
+      scores(i) = s; ids(i) = id; payloads(i) = payload; size += 1
+      while (i > 0 && worse(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        swap(i, p); i = p
+      }
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id; payloads(0) = payload
+      siftDown(0)
+    }
+  }
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var m = i
+      if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) done = true else { swap(i, m); i = m }
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    val tp = payloads(a); payloads(a) = payloads(b); payloads(b) = tp
+  }
+
+  def mergeFrom(other: TopKPayloadHeap): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.scores(i), other.ids(i), other.payloads(i)); i += 1 }
+  }
+
+  /** (score, id, payload) triples best-first. */
+  def sortedDesc: Array[(Double, Long, Any)] =
+    (0 until size).map(i => (scores(i), ids(i), payloads(i))).toArray
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+}
+
+/** `top_k_rows_by_score(score, id, payload, k)` — [[TopKByScore]] that also
+  * CARRIES a payload column through the heap, so per-group selection needs
+  * no join-back to recover the selected rows' data. Same partial-agg
+  * contract: every map task reduces to ≤k rows per group before the
+  * shuffle, and the shuffled bytes are k × (16 + payload) per group per
+  * task. Payloads cross the partial/final boundary as UnsafeRow bytes.
+  *
+  * Returns `array<struct<score double, id long, payload <payloadType>>>`
+  * best-first.
+  */
+case class TopKRowsByScore(
+    score: Expression,
+    id: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKPayloadHeap] {
+
+  require(k > 0, "k must be > 0")
+
+  override def children: Seq[Expression] = Seq(score, id, payload)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType &&
+      (id.dataType == LongType || id.dataType == IntegerType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_rows_by_score expects (double, long, any) inputs, got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("payload", payload.dataType, nullable = payload.nullable))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKPayloadHeap = new TopKPayloadHeap(k)
+
+  private lazy val idIsInt = id.dataType == IntegerType
+
+  override def update(buffer: TopKPayloadHeap, input: InternalRow): TopKPayloadHeap = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val idv = if (idIsInt) i.asInstanceOf[Int].toLong else i.asInstanceOf[Long]
+      // copy: eval may return a value backed by a reused mutable buffer row
+      val p = InternalRow.copyValue(payload.eval(input))
+      buffer.insert(s.asInstanceOf[Double], idv, p)
+    }
+    buffer
+  }
+
+  override def merge(buffer: TopKPayloadHeap, input: TopKPayloadHeap): TopKPayloadHeap = {
+    buffer.mergeFrom(input); buffer
+  }
+
+  override def eval(buffer: TopKPayloadHeap): Any =
+    new GenericArrayData(buffer.sortedDesc.map { case (s, i, p) =>
+      InternalRow(s, i, p)
+    }.asInstanceOf[Array[Any]])
+
+  @transient private lazy val payloadProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      Array(payload.dataType))
+  @transient private lazy val payloadHolder = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+
+  override def serialize(buffer: TopKPayloadHeap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) {
+      out.writeDouble(buffer.scores(i)); out.writeLong(buffer.ids(i))
+      payloadHolder.update(0, buffer.payloads(i))
+      val bytes = payloadProj(payloadHolder).getBytes
+      out.writeInt(bytes.length); out.write(bytes)
+      i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPayloadHeap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val h = new TopKPayloadHeap(k)
+    val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble(); val id = in.readLong()
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      row.pointTo(buf, len)
+      h.insert(s, id, InternalRow.copyValue(row.get(0, payload.dataType)))
+      i += 1
+    }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRowsByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRowsByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKRowsByScore =
+    copy(score = newChildren(0), id = newChildren(1), payload = newChildren(2))
+
+  override def prettyName: String = "top_k_rows_by_score"
+}
+
+object TopKRowsByScore {
+  /** Column-API entry: selection that carries the payload back join-free. */
+  def topKRows(score: Column, id: Column, payload: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKRowsByScore(
+        GraftSqlBridge.expression(score),
+        GraftSqlBridge.expression(id),
+        GraftSqlBridge.expression(payload), k).toAggregateExpression())
+}

@@ -45,16 +45,16 @@ object ProductQuantization {
     * index persists. `dim` is the (fixed) vector dimensionality; it must be
     * divisible by `m`.
     *
-    * All m subspaces train TOGETHER: each Lloyd iteration is ONE
-    * distributed pass that explodes every vector into its m (subspace,
-    * cell, subvector) assignments and partial-aggregates per (subspace,
-    * cell) — m× fewer corpus passes per iteration than training the
-    * codebooks independently (3 vs 12 iteration scans at m=4, iters=3).
-    * Seeding still runs one TakeOrdered pass per subspace ([[KMeans]]'s
-    * deterministic smallest-xxhash sample — shuffle-free, single column,
-    * but m of them): a single-pass multi-subspace seed selection would
-    * need a grouped bounded-heap that carries vector payloads, which
-    * [[graft.functions.TopKByScore]] (long ids only) does not yet do.
+    * All m subspaces train TOGETHER — seeding AND iterating are each ONE
+    * distributed pass over the corpus. Seeds are the k subvectors with the
+    * smallest xxhash64 rendering per subspace (the same deterministic rule
+    * as [[KMeans.train]]), selected in a single pass by the
+    * payload-carrying bounded heap ([[graft.functions.TopKRowsByScore]]:
+    * score = −hash, tie-break on the exact hash, subvector rides as the
+    * payload — no join-back, no per-subspace scans). Each Lloyd iteration
+    * then explodes every vector into its m (subspace, cell, subvector)
+    * assignments and partial-aggregates per (subspace, cell). Total corpus
+    * passes: 1 + iters, versus m × (1 + iters) for independent training.
     */
   def train(
       df: DataFrame,
@@ -69,14 +69,27 @@ object ProductQuantization {
     val vecs = df.select(v.as("v")).where(v.isNotNull)
     def sub(s: Int): Column = slice(col("v"), s * subDim + 1, subDim)
 
-    // deterministic per-subspace seeds (same rule as KMeans.train)
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { s =>
-      vecs.select(sub(s).as("sv"))
-        .withColumn("h", xxhash64(col("sv").cast("string")))
-        .orderBy("h").limit(k)
-        .select("sv").collect()
-        .map(_.getSeq[Double](0).toArray)
-    }.toArray
+    // deterministic per-subspace seeds (same rule as KMeans.train: the k
+    // smallest-xxhash subvectors), all m subspaces selected in ONE pass.
+    // −hash as a double is order-preserving (rounding is monotone) and the
+    // exact hash is the heap's tie-break id, so selection is exact.
+    import graft.functions.TopKRowsByScore
+    val seedPackets = vecs
+      .select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), sub(s).as("sv"))): _*)).as("p"))
+      .select(col("p.sub").as("sub"),
+        xxhash64(col("p.sv").cast("string")).as("h"), col("p.sv").as("sv"))
+      .groupBy("sub")
+      .agg(TopKRowsByScore.topKRows(
+        -col("h").cast("double"), col("h"), col("sv"), k).as("seeds"))
+      .collect()
+    val codebooks: Array[Array[Array[Double]]] = Array.ofDim(m)
+    seedPackets.foreach { r =>
+      codebooks(r.getInt(0)) = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getSeq[Double](2).toArray).toArray
+    }
+    require(codebooks.forall(cb => cb != null && cb.nonEmpty),
+      "PQ training needs a non-empty vector column")
 
     import graft.functions.CentroidFunctions
     for (_ <- 1 to iters) {
@@ -99,7 +112,7 @@ object ProductQuantization {
         val n = r.getLong(2).toDouble
         next(s)(cell) = r.getSeq[Double](3).map(_ / n).toArray
       }
-      for (s <- 0 until m; c <- 0 until k) codebooks(s)(c) = next(s)(c)
+      for (s <- 0 until m; c <- codebooks(s).indices) codebooks(s)(c) = next(s)(c)
     }
     PQCodebook(subDim, codebooks)
   }

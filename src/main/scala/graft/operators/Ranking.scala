@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TopKByScore
+import graft.functions.{TopKByScore, TopKRowsByScore}
 
 /** Per-group top-k selection for curation: "keep the best N documents per
   * language / domain / source" — the selection step after quality scoring.
@@ -32,6 +32,30 @@ object Ranking {
       .select(col("group"), posexplode(col("tk")))
       .select(col("group"), col("col.id").as("id"),
         round(col("col.score"), 4).as("score"), (col("pos") + 1).as("rnk"))
+
+  /** Payload-carrying per-group top-k: like [[topKPerGroup]], but the
+    * selected rows' data (`payload` — typically a struct of the columns
+    * the caller wants) comes back WITH the selection, eliminating the
+    * join-back stage a bare-id selection needs. The payload never enters
+    * the heap comparisons; shuffle bytes grow only by the payload size of
+    * the ≤k kept rows per group per task.
+    */
+  def topKRowsPerGroup(
+      df: DataFrame,
+      groupCol: Column,
+      idCol: Column,
+      scoreCol: Column,
+      payload: Column,
+      k: Int): DataFrame =
+    df.select(groupCol.as("group"), idCol.as("id"),
+        scoreCol.cast("double").as("score_raw"), payload.as("payload"))
+      .groupBy("group")
+      .agg(TopKRowsByScore.topKRows(
+        col("score_raw"), col("id"), col("payload"), k).as("tk"))
+      .select(col("group"), posexplode(col("tk")))
+      .select(col("group"), col("col.id").as("id"),
+        round(col("col.score"), 4).as("score"),
+        col("col.payload").as("payload"), (col("pos") + 1).as("rnk"))
 
   /** Reciprocal-rank fusion of per-query rankings — the standard combiner
     * for hybrid retrieval (dense ∪ sparse ∪ keyword): each ranking

@@ -106,6 +106,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), "per-group top-k must not plan a Window")
   }
 
+  test("topKRowsPerGroup carries payloads without a join-back") {
+    val rows = Seq(
+      ("en", 1L, 0.9, "alpha"), ("en", 2L, 0.7, "beta"), ("en", 3L, 0.95, "gamma"),
+      ("de", 5L, 0.5, "delta")).toDF("lang", "doc_id", "q", "txt")
+    val got = Ranking.topKRowsPerGroup(rows, col("lang"), col("doc_id"), col("q"),
+        struct(col("txt")), k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getStruct(3).getString(0), r.getInt(4)))
+      .toSet
+    assert(got == Set(("en", 3L, "gamma", 1), ("en", 1L, "alpha", 2),
+      ("de", 5L, "delta", 1)))
+  }
+
   test("rrf fusion: rank-sum ordering, single-list candidates survive") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "nid", "rnk")
     val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("qid", "nid", "rnk")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TopKByScore, TopKHeap}
+import graft.functions.{TopKByScore, TopKHeap, TopKRowsByScore}
 
 class TopKAggregateSpec extends SparkSpec {
 
@@ -59,5 +59,42 @@ class TopKAggregateSpec extends SparkSpec {
     // ObjectHashAggregate runs twice: partial before the exchange, final after
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert("partial_top_k_by_score".r.findAllIn(plan).nonEmpty, plan)
+  }
+
+  test("payload variant matches window + join-back, payloads survive the shuffle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // string AND array payloads — both cross the partial/final boundary as
+    // UnsafeRow bytes, the cases a naive Java-serialized buffer would get
+    // wrong or slow
+    val df = (1 to 1500).map { i =>
+      (i % 7, rnd.nextDouble(), i.toLong, s"payload-$i", Seq(i.toDouble, i * 2.0))
+    }.toDF("grp", "score", "id", "tag", "vec").repartition(8).cache()
+
+    val viaWindow = df.withColumn("rnk",
+        row_number().over(Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rnk") <= 4)
+      .select("grp", "id", "tag", "vec")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getSeq[Double](3)))
+      .toSet
+
+    val viaHeap = df.groupBy("grp")
+      .agg(TopKRowsByScore.topKRows(col("score"), col("id"),
+        struct(col("tag"), col("vec")), 4).as("tk"))
+      .select(col("grp"), explode(col("tk")).as("e"))
+      .select(col("grp"), col("e.id"), col("e.payload.tag"), col("e.payload.vec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getSeq[Double](3)))
+      .toSet
+
+    assert(viaHeap == viaWindow)
+
+    // same partial-agg discipline as the id-only variant
+    val plan = df.groupBy("grp")
+      .agg(TopKRowsByScore.topKRows(col("score"), col("id"), col("tag"), 4))
+      .queryExecution.executedPlan.toString
+    assert("partial_top_k_rows_by_score".r.findAllIn(plan).nonEmpty, plan)
+    df.unpersist()
   }
 }
