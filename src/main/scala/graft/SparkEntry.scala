@@ -849,6 +849,23 @@ object SparkEntry {
           .select(col("vec_id").as("nid"), sparseStruct(col("embedding")).as("sparse_values")))
       graft.operators.Ranking.reciprocalRankFusionPerQuery(
         Seq(dense, sparseRank), k = 10)
+    }),
+
+    // Boilerplate detection: per-doc fraction of shingles shared by ≥20
+    // docs corpus-wide — the templated-text signal pairwise dedup misses.
+    "q69_boilerplate" -> ((s, dir) =>
+      graft.operators.TextDedup.commonShingleFraction(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        shingleSize = 2, minDocFreq = 20)),
+
+    // Benchmark decontamination: training docs (doc_id >= 20) flagged when
+    // they share any bigram shingle with the benchmark set (doc_id < 20) —
+    // benchmark shingles broadcast, corpus scanned once.
+    "q70_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.TextDedup.flagContaminated(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        col("doc_id"), col("text"), shingleSize = 2, minOverlap = 5)
     })
   )
 
@@ -1032,6 +1049,38 @@ object SparkEntry {
         |r AS (SELECT qid, nid, score,
         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM f)
         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    // q69/q70 equate hash-distinct (engine) with text-distinct (oracle)
+    // shingle counts — exact unless xxhash64 collides within a document
+    // (~n²/2⁶⁴), the same established assumption as the q22 Jaccard oracle.
+    "q69_boilerplate" ->
+      """WITH big AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(bg) AS g FROM big),
+        |freq AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+        |per AS (
+        |  SELECT ex.doc_id, COUNT(*) AS n_shingles,
+        |    SUM(CASE WHEN freq.df >= 20 THEN 1 ELSE 0 END) AS n_common
+        |  FROM ex JOIN freq USING (g) GROUP BY ex.doc_id)
+        |SELECT doc_id, n_shingles,
+        |  ROUND(CAST(n_common AS DOUBLE) / n_shingles, 4) AS common_frac
+        |FROM per""".stripMargin,
+
+    "q70_decontaminate" ->
+      """WITH big AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
+        |  FROM documents),
+        |b AS (SELECT DISTINCT unnest(bg) AS g FROM big WHERE doc_id < 20),
+        |e AS (SELECT doc_id, unnest(bg) AS g FROM big WHERE doc_id >= 20),
+        |o AS (SELECT e.doc_id, COUNT(*) AS overlap FROM e JOIN b USING (g) GROUP BY e.doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(o.overlap, 0) AS overlap_shingles,
+        |  COALESCE(o.overlap, 0) >= 5 AS contaminated
+        |FROM (SELECT doc_id FROM big WHERE doc_id >= 20) t
+        |LEFT JOIN o ON t.doc_id = o.doc_id""".stripMargin,
 
     "q65_profile" ->
       """WITH t AS (SELECT * FROM lineitem)

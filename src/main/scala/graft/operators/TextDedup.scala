@@ -174,6 +174,73 @@ object TextDedup {
       .distinct()
   }
 
+  /** Boilerplate detection: per document, the fraction of its distinct
+    * word-n-gram shingles that are "common" — shared by at least
+    * `minDocFreq` documents corpus-wide. High fractions mark templated /
+    * navigation / license text that survives pairwise dedup because no
+    * single pair is similar enough (the C4-style cleaning signal).
+    *
+    * Scale shape: documents reduce to shingle hashes at scan time; the
+    * document-frequency pass is one partial-aggregated count over
+    * (hash, doc) rows and the flag joins back on the hash — tens of bytes
+    * per shingle through both shuffles, bodies never move.
+    *
+    * Returns `(doc_id, n_shingles, common_frac)` for every document with
+    * at least one shingle.
+    */
+  def commonShingleFraction(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleSize: Int = 2,
+      minDocFreq: Int = 20): DataFrame = {
+    val ex = df.select(idCol.as("doc_id"),
+        explode(SketchFunctions.wordNgramHashes(
+          lower(textCol), shingleSize, distinct = true)).as("g"))
+    val freq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    ex.join(freq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDocFreq, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"),
+        round(col("n_common").cast("double") / col("n_shingles"), 4).as("common_frac"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * `minOverlap` distinct n-gram shingles with a (small) benchmark set —
+    * the standard test-set-leakage gate before a corpus enters training.
+    *
+    * Scale shape: the benchmark's distinct shingle hashes are broadcast
+    * (benchmarks are thousands of documents; the corpus is the 100 TB
+    * side), the corpus is scanned ONCE with a broadcast hash join on the
+    * shingle stream, and overlap counts partial-aggregate per document.
+    * Every training document comes back (overlap 0 included) so the gate
+    * can both drop and audit.
+    *
+    * Returns `(doc_id, overlap_shingles, contaminated)`.
+    */
+  def flagContaminated(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleSize: Int = 2,
+      minOverlap: Int = 1): DataFrame = {
+    def shingled(df: DataFrame) = df.select(idCol.as("doc_id"),
+      SketchFunctions.wordNgramHashes(lower(textCol), shingleSize, distinct = true).as("sh"))
+    val benchShingles = shingled(bench)
+      .select(explode(col("sh")).as("g")).distinct()
+    val overlaps = shingled(train)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchShingles), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+    shingled(train).select(col("doc_id"))
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap_shingles"),
+        (coalesce(col("overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** Exhaustive n-gram Jaccard similarity join (no sketch): candidates are
     * pairs sharing ≥1 shingle. Exact but quadratic in the worst case —
     * use [[minhashNearDupPairs]] at scale; this is the oracle-friendly

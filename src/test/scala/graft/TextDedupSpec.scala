@@ -103,4 +103,37 @@ class TextDedupSpec extends SparkSpec {
     assert(got == expected)
     assert(got.contains((1L, 2L)))
   }
+
+  test("commonShingleFraction flags templated text, not unique text") {
+    import spark.implicits._
+    // docs 1-4 share the boilerplate "all rights reserved"; doc 5 is unique
+    val corpus = Seq(
+      (1L, "alpha text all rights reserved"),
+      (2L, "beta words all rights reserved"),
+      (3L, "gamma thing all rights reserved"),
+      (4L, "delta item all rights reserved"),
+      (5L, "totally unique content here")).toDF("doc_id", "text")
+    val got = TextDedup.commonShingleFraction(
+      corpus, col("doc_id"), col("text"), shingleSize = 2, minDocFreq = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // each of docs 1-4 has 4 distinct bigrams; "all rights"/"rights reserved"
+    // appear in 4 docs -> common_frac = 2/4
+    (1L to 4L).foreach { d => assert(got(d) == ((4L, 0.5)), s"doc $d: ${got(d)}") }
+    assert(got(5L)._2 == 0.0)
+  }
+
+  test("flagContaminated: overlap counts against a broadcast benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "secret benchmark question about spark")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "innocuous text with nothing shared"),
+      (2L, "a secret benchmark question indeed"), // 2 overlapping bigrams
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextDedup.flagContaminated(train, bench, col("doc_id"), col("text"),
+        shingleSize = 2, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ((0L, false)))
+    assert(got(2L) == ((2L, true)), s"got ${got(2L)}")
+    assert(got(3L) == ((0L, false)), "empty doc must survive with zero overlap")
+  }
 }
