@@ -859,8 +859,8 @@ object SparkEntry {
         shingleSize = 2, minDocFreq = 20)),
 
     // Benchmark decontamination: training docs (doc_id >= 20) flagged when
-    // they share any bigram shingle with the benchmark set (doc_id < 20) —
-    // benchmark shingles broadcast, corpus scanned once.
+    // they share >= 5 bigram shingles with the benchmark set (doc_id < 20)
+    // — benchmark shingles broadcast, corpus scanned once.
     "q70_decontaminate" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       graft.operators.TextDedup.flagContaminated(

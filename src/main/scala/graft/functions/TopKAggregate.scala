@@ -11,6 +11,21 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.GraftSqlBridge
 import org.apache.spark.sql.types._
 
+/** The one total order both heaps rank by: `ORDER BY score DESC, id ASC`
+  * with `java.lang.Double.compare` semantics — NaN sorts as the LARGEST
+  * score and -0.0 below 0.0, exactly matching Spark's double sort order,
+  * so heap selection and a `row_number()` Window agree even on NaN-scored
+  * rows. (A naive `<` comparator deadlocks the heap on NaN: every
+  * comparison against a NaN root is false, so nothing can evict it.)
+  */
+private[functions] object HeapOrdering {
+  /** true if (s1,i1) is worse than (s2,i2) — i.e. ranks lower. */
+  @inline def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1 > i2)
+  }
+}
+
 /** Bounded max-heap state: keeps the k best (score, id) pairs, "best" =
   * highest score, ties broken by smaller id (matching
   * `ORDER BY score DESC, id ASC`). Backed by a size-k binary min-heap on
@@ -21,9 +36,8 @@ final class TopKHeap(val k: Int) {
   val ids = new Array[Long](k)
   var size: Int = 0
 
-  /** true if (s1,i1) is worse than (s2,i2) — i.e. ranks lower. */
   @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+    HeapOrdering.worse(s1, i1, s2, i2)
 
   def insert(s: Double, id: Long): Unit = {
     if (size < k) {
@@ -65,7 +79,7 @@ final class TopKHeap(val k: Int) {
   /** (score, id) pairs best-first. */
   def sortedDesc: Array[(Double, Long)] =
     (0 until size).map(i => (scores(i), ids(i))).toArray
-      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .sortWith((a, b) => HeapOrdering.worse(b._1, b._2, a._1, a._2))
 }
 
 /** `top_k_by_score(score, id, k)` — a `TypedImperativeAggregate` that keeps
@@ -183,7 +197,7 @@ final class TopKPayloadHeap(val k: Int) {
   var size: Int = 0
 
   @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
+    HeapOrdering.worse(s1, i1, s2, i2)
 
   def insert(s: Double, id: Long, payload: Any): Unit = {
     if (size < k) {
@@ -225,7 +239,7 @@ final class TopKPayloadHeap(val k: Int) {
   /** (score, id, payload) triples best-first. */
   def sortedDesc: Array[(Double, Long, Any)] =
     (0 until size).map(i => (scores(i), ids(i), payloads(i))).toArray
-      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+      .sortWith((a, b) => HeapOrdering.worse(b._1, b._2, a._1, a._2))
 }
 
 /** `top_k_rows_by_score(score, id, payload, k)` — [[TopKByScore]] that also

@@ -230,15 +230,18 @@ object TextDedup {
       SketchFunctions.wordNgramHashes(lower(textCol), shingleSize, distinct = true).as("sh"))
     val benchShingles = shingled(bench)
       .select(explode(col("sh")).as("g")).distinct()
-    val overlaps = shingled(train)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(broadcast(benchShingles), "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
-    shingled(train).select(col("doc_id"))
-      .join(overlaps, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("overlap"), lit(0L)).as("overlap_shingles"),
-        (coalesce(col("overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+      .withColumn("hit", lit(1))
+    // ONE pass over the training corpus: explode_outer keeps zero-shingle
+    // docs alive (null g, no hit), the bench set joins by broadcast, and
+    // the per-doc overlap is a partial-aggregated conditional count — no
+    // second scan, no doc_id shuffle join to re-attach zero-overlap docs
+    shingled(train)
+      .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+      .join(broadcast(benchShingles), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("overlap_shingles"))
+      .select(col("doc_id"), col("overlap_shingles"),
+        (col("overlap_shingles") >= minOverlap).as("contaminated"))
   }
 
   /** Exhaustive n-gram Jaccard similarity join (no sketch): candidates are

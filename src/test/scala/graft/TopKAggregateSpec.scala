@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TopKByScore, TopKHeap, TopKRowsByScore}
+import graft.functions.{TopKByScore, TopKHeap, TopKPayloadHeap, TopKRowsByScore}
 
 class TopKAggregateSpec extends SparkSpec {
 
@@ -13,6 +13,19 @@ class TopKAggregateSpec extends SparkSpec {
     h.insert(4.0, 40); h.insert(5.0, 5); h.insert(0.5, 50)
     // best: (5.0,5), (5.0,20), (4.0,40) — ties broken by smaller id
     assert(h.sortedDesc.toSeq == Seq((5.0, 5L), (5.0, 20L), (4.0, 40L)))
+  }
+
+  test("heap ranks NaN as the largest score (Spark's double sort order) and never deadlocks on it") {
+    val h = new TopKHeap(3)
+    h.insert(Double.NaN, 5L); h.insert(0.9, 1L); h.insert(1.0, 2L); h.insert(0.5, 3L)
+    assert(h.sortedDesc.toSeq.map(_._2) == Seq(5L, 2L, 1L))
+    // a NaN root must still be comparable: better rows evict worse ones
+    val g = new TopKHeap(2)
+    g.insert(0.1, 1L); g.insert(0.2, 2L); g.insert(Double.NaN, 3L)
+    assert(g.sortedDesc.toSeq.map(_._2) == Seq(3L, 2L), "NaN should evict the worst row")
+    val p = new TopKPayloadHeap(2)
+    p.insert(0.1, 1L, "a"); p.insert(Double.NaN, 2L, "b"); p.insert(0.9, 3L, "c")
+    assert(p.sortedDesc.toSeq.map(t => (t._2, t._3)) == Seq((2L, "b"), (3L, "c")))
   }
 
   test("heap merge equals bulk insert") {
