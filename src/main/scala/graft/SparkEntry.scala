@@ -866,7 +866,15 @@ object SparkEntry {
       graft.operators.TextDedup.flagContaminated(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
         col("doc_id"), col("text"), shingleSize = 2, minOverlap = 5)
-    })
+    }),
+
+    // Balanced downsampling: exactly min(40, |lang|) docs per language by
+    // deterministic hash order — count-based corpus balancing through the
+    // bounded heap (no per-group sort).
+    "q71_balanced_sample" -> ((s, dir) =>
+      graft.operators.Sampling.balancedSample(
+        table(s, dir, "documents"), col("doc_id"), col("lang"), n = 40)
+        .select(col("stratum").as("lang"), col("id").as("doc_id"), col("rnk")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1019,6 +1027,15 @@ object SparkEntry {
   }
 
   private def staticOracleSql: Map[String, String] = Map(
+
+    // Fixed-width lowercase hex compares lexicographically == numerically,
+    // so the string ORDER BY replicates the engine's 48-bit numeric rank.
+    "q71_balanced_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) ASC, doc_id ASC) AS rnk
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 40""".stripMargin,
 
     "q67_weighted_mix" ->
       """SELECT doc_id, lang FROM documents

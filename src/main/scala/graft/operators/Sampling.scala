@@ -38,6 +38,31 @@ object Sampling {
       df: DataFrame, key: Column, stratum: Column, keep: Int, buckets: Int = 100): DataFrame =
     df.filter(pmod(xxhash64(stratum, key), lit(buckets)) < lit(keep))
 
+  /** Balanced downsampling: exactly `min(n, |stratum|)` rows per stratum,
+    * chosen deterministically as the n smallest md5-derived hash values —
+    * count-based where [[weightedMix]] is fraction-based, the shape used
+    * to build evaluation sets and per-language-balanced corpora.
+    *
+    * Scale shape: selection is the bounded-heap aggregate (≤n rows per
+    * stratum per map task cross the shuffle — never a per-stratum sort of
+    * corpus-sized groups). The rank key is the first 12 md5 hex digits as
+    * an exact 48-bit double (fixed-width lowercase hex compares
+    * identically as a string, which is how an independent engine
+    * replicates the order), tie-broken by the numeric key.
+    *
+    * Returns `(stratum, id, rnk)` with `rnk` 1..n by hash order.
+    */
+  def balancedSample(
+      df: DataFrame,
+      keyCol: Column,
+      stratumCol: Column,
+      n: Int): DataFrame = {
+    val h = conv(substring(md5(keyCol.cast("string")), 1, 12), 16, 10)
+      .cast("double") // 48 bits — exact in a double
+    Ranking.topKPerGroup(df, stratumCol, keyCol.cast("long"), -h, n)
+      .select(col("group").as("stratum"), col("id"), col("rnk"))
+  }
+
   /** Source-weighted corpus mixing: keep a per-source FRACTION of rows
     * (`{web → 0.5, code → 1.0, forums → 0.25}`) — how training mixes are
     * rebalanced without materializing intermediate corpora. Membership

@@ -87,4 +87,26 @@ class MergeSamplingSpec extends SparkSpec {
     assert(mixed.count() == Sampling.weightedMix(docs, col("doc_id"), col("lang"),
       Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.0)).count())
   }
+
+  test("balancedSample: exactly min(n, stratum size) per stratum, hash-deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.balancedSample(docs, col("doc_id"), col("lang"), n = 40)
+    val perLang = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, cnt) =>
+      assert(perLang(lang) == math.min(40L, cnt), s"$lang: ${perLang(lang)}")
+    }
+    // deterministic: identical id sets across evaluations
+    val ids1 = got.collect().map(_.getLong(1)).toSet
+    val ids2 = Sampling.balancedSample(docs, col("doc_id"), col("lang"), 40)
+      .collect().map(_.getLong(1)).toSet
+    assert(ids1 == ids2)
+    // ranks within each stratum are 1..kept with no gaps
+    val ranks = got.collect().map(r => (r.getString(0), r.getInt(2))).groupBy(_._1)
+    ranks.foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq, s"$lang ranks")
+    }
+  }
 }
