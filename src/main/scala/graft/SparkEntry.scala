@@ -707,40 +707,44 @@ object SparkEntry {
         k = 10, nprobe = 3)
     }),
 
-    // Multimodal plumbing end-to-end: opaque binary payloads → partition-
-    // wise stub decode → typed metadata columns. The codec is stubbed (no
-    // media libs in-container) but deterministic, so the oracle replicates
-    // the decode arithmetic exactly (see the q34 oracle SQL).
+    // Multimodal decode end-to-end over REAL container bytes: the fixture
+    // builds valid PNG / BMP / WAV payloads partition-wise (dims are pure
+    // arithmetic over doc_id), and the codec parses width/height/frames
+    // back out of the actual header bytes (PNG IHDR, BMP DIB, RIFF chunk
+    // walk). The oracle replays the header arithmetic in SQL — a parser
+    // bug (endianness, offset, chunk walk) breaks the match.
     "q34_media_decode" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       Multimodal.decode(
-        Multimodal.mediaFromText(table(s, dir, "documents"), "doc_id", "text"))
+        Multimodal.syntheticMedia(table(s, dir, "documents"), "doc_id"))
         .toDF()
     }),
 
     // Frame-sampling stage: decode → one row per sampled frame (stride 25)
-    // — the row-explosion shape of real frame extraction, oracle-checked
-    // against the replicated decode arithmetic.
+    // — images contribute frame 0, WAVs every 25th real PCM frame. The
+    // row-explosion shape of real frame extraction.
     "q58_media_frames" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       Multimodal.sampleFrames(
         Multimodal.decode(
-          Multimodal.mediaFromText(table(s, dir, "documents"), "doc_id", "text")),
+          Multimodal.syntheticMedia(table(s, dir, "documents"), "doc_id")),
         stride = 25)
     }),
 
-    // Feature-extraction stage: per-partition batched pseudo-embedding
-    // (the inference batch shape); deterministic, so the oracle replicates
-    // it bit-for-bit. Emitted row-wise as (media_id, pos, val).
+    // Audio feature extraction over REAL bytes: walk to the WAV data
+    // chunk, read the 16-bit LE PCM samples, emit 16 chunk means —
+    // per-partition batched (the inference batch shape). Emitted row-wise
+    // as (media_id, pos, val); the oracle regenerates the deterministic
+    // samples and averages the same chunks.
     "q59_media_features" -> ((s, dir) => {
       import graft.multimodal.Multimodal
-      Multimodal.extractFeatures(
-        Multimodal.mediaFromText(table(s, dir, "documents"), "doc_id", "text"),
+      Multimodal.extractAudioFeatures(
+        Multimodal.syntheticMedia(table(s, dir, "documents"), "doc_id"),
         dim = 16)
         .toDF()
         .select(col("media_id"), posexplode(col("feature")))
         .select(col("media_id"), col("pos").cast("long").as("pos"),
-          col("col").cast("double").as("val"))
+          col("col").as("val"))
     }),
 
     // Self-blocking embedding near-dup: the block key is a trained coarse
@@ -1589,77 +1593,59 @@ object SparkEntry {
         |      FROM s)
         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= qid % 3 + 3""".stripMargin,
 
-    // q34's stub codec is deterministic arithmetic over the payload bytes
-    // (FNV-1a + floorMod slicing, Multimodal.decodeStub) and the synthetic
-    // corpus is pure ASCII, so DuckDB replicates the decode exactly with
-    // HUGEINT modular arithmetic (64-bit wraparound = % 2^64; products stay
-    // under 2^104 < HUGEINT max).
+    // q34 parses REAL container headers; the fixture dims are closed-form
+    // over doc_id (Multimodal.fixture*), so the oracle replays the header
+    // arithmetic: PNG = 68 + h*(w+1) bytes (sig + IHDR + one stored-block
+    // IDAT + IEND), BMP = 54 + 4-aligned stride * h, WAV = 44 + 2*samples.
     "q34_media_decode" ->
-      """WITH b AS (
-        |  SELECT doc_id, text,
-        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
-        |      (acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS hu
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, text, hu,
-        |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
-        |         ELSE hu END AS BIGINT) AS hs
-        |  FROM b)
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    16 + doc_id % 317 AS w,
+        |    16 + (doc_id * 7) % 97 AS h,
+        |    64 + doc_id % 937 AS ns
+        |  FROM documents)
         |SELECT doc_id AS media_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  CAST(len(text) AS BIGINT) AS n_bytes,
-        |  CAST(320 + ((hs % 1601) + 1601) % 1601 AS INT) AS width,
-        |  CAST(240 + (hu >> 17) % 841 AS INT) AS height,
-        |  CAST(CASE doc_id % 3 WHEN 2 THEN 1 + (hu >> 31) % 300
-        |       WHEN 1 THEN 1 + (hu >> 31) % 48 ELSE 1 END AS INT) AS n_frames,
-        |  hs AS checksum
-        |FROM h""".stripMargin,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CAST(CASE doc_id % 3
+        |       WHEN 0 THEN 68 + h * (w + 1)
+        |       WHEN 1 THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+        |       ELSE 44 + 2 * ns END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE w END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE h END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN ns ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 5) * 4000 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS INT) AS channels
+        |FROM d""".stripMargin,
 
     "q58_media_frames" ->
-      """WITH b AS (
-        |  SELECT doc_id, text,
-        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
-        |      (acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS hu
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, hu,
-        |    CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
-        |         ELSE hu END AS BIGINT) AS hs
-        |  FROM b),
-        |d AS (
+      """WITH d AS (
         |  SELECT doc_id AS media_id,
-        |    CAST(320 + ((hs % 1601) + 1601) % 1601 AS INT) AS width,
-        |    CAST(240 + (hu >> 17) % 841 AS INT) AS height,
-        |    CAST(CASE doc_id % 3 WHEN 2 THEN 1 + (hu >> 31) % 300
-        |         WHEN 1 THEN 1 + (hu >> 31) % 48 ELSE 1 END AS INT) AS n_frames
-        |  FROM h)
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 16 + doc_id % 317 END AS INT) AS width,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 16 + (doc_id * 7) % 97 END AS INT) AS height,
+        |    CASE WHEN doc_id % 3 = 2 THEN 64 + doc_id % 937 ELSE 1 END AS n_frames
+        |  FROM documents)
         |SELECT media_id, CAST(unnest(range(0, n_frames, 25)) AS INT) AS frame_idx,
         |  width, height
         |FROM d""".stripMargin,
 
-    // feature value: x = h·(2i+1) + K·i (64-bit wraparound); 2048 divides
-    // 2^64, so floorMod(signed, 2048) = unsigned % 2048; /1024 − 1 is exact
-    // in both float and double (≤ 12 significant bits).
+    // q59 decodes the actual PCM bytes; the oracle regenerates the
+    // deterministic samples (s_j = (id*31 + j*2654435761) mod 2^16 - 2^15)
+    // and averages the same chunk partition (sample j of n → chunk
+    // j*16/n). Integer-valued double sums stay exact, so AVG matches the
+    // Scala mean bit-for-bit.
     "q59_media_features" ->
-      """WITH b AS (
-        |  SELECT doc_id, text,
-        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT))),
-        |      (acc, x) -> (xor(acc, x) * 1099511628211) % 18446744073709551616) AS hu
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id AS media_id, CAST(unnest(range(0, 16)) AS BIGINT) AS pos, hu
-        |  FROM b),
+      """WITH w AS (
+        |  SELECT doc_id AS media_id, 64 + doc_id % 937 AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |s AS (
+        |  SELECT media_id, n, unnest(range(0, n)) AS j FROM w),
         |v AS (
-        |  SELECT media_id, pos,
-        |    (hu * (2 * pos + 1) + 11400714819323198485 * pos)
-        |      % 18446744073709551616 AS xu
-        |  FROM f)
-        |SELECT media_id, pos,
-        |  CAST(xu % 2048 AS DOUBLE) / 1024.0 - 1.0 AS val
-        |FROM v""".stripMargin,
+        |  SELECT media_id,
+        |    CAST((j * 16) // n AS BIGINT) AS pos,
+        |    CAST((media_id * 31 + j * 2654435761) % 65536 - 32768 AS DOUBLE) AS sample
+        |  FROM s)
+        |SELECT media_id, pos, AVG(sample) AS val
+        |FROM v GROUP BY media_id, pos""".stripMargin,
 
     "q50_bm25" ->
       """WITH base AS (

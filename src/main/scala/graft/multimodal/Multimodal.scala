@@ -1,70 +1,145 @@
 package graft.multimodal
 
+import java.util.zip.{Adler32, CRC32}
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column handling: images/audio/video ride along as opaque
-  * `binary` columns with typed metadata, and the decode / feature-extract /
-  * resize / frame-sample stages run as partition-wise transformations.
+/** Multimodal column handling: images/audio ride along as opaque `binary`
+  * columns, and decode / feature-extract / resize / frame-sample run as
+  * partition-wise transformations (no shuffle, no driver collect).
   *
-  * The Spark-side plumbing here is real — schemas, encoders, partition
-  * iteration, batch shapes — while the codec itself is a STUB (this
-  * container ships no image/audio libraries): `decodeStub` derives
-  * deterministic pseudo-metadata from the bytes. Swapping in a real codec
-  * is a one-function change inside `mapPartitions`; everything around it
-  * (the expensive-to-get-right part at 100 TB: per-partition batching, no
-  * driver collect, columnar output schema) stays as-is.
+  * The codec is a real pure-JVM container parser — PNG IHDR, BMP
+  * BITMAPINFOHEADER/BITMAPCOREHEADER, and RIFF/WAVE chunk walking are all
+  * fixed-offset byte reads, so metadata extraction never decodes pixels.
+  * That is exactly the shape you want at 100 TB: a metadata pass touches
+  * ~100 bytes per blob regardless of payload size. Audio feature extraction
+  * goes one level deeper and reads the actual 16-bit PCM samples from the
+  * `data` chunk.
+  *
+  * Reference analog: the free-form `blob` metadata column
+  * (pinecone-datasets `cfg.py:28`, `MAINTAINERS.md:98`) — the reference
+  * stores opaque payloads; this module adds the decode stages a training
+  * pipeline needs on top of them.
   */
 object Multimodal {
 
-  /** Typed media row: id + opaque payload + declared modality. */
-  final case class MediaRow(media_id: Long, modality: String, payload: Array[Byte])
+  /** Typed media row: id + opaque container payload. The format is NOT
+    * declared — the codec sniffs magic bytes, as a real pipeline must.
+    */
+  final case class MediaRow(media_id: Long, payload: Array[Byte])
 
-  /** Decoded metadata the stub "codec" produces. */
+  /** Parsed container metadata. Image rows carry pixel dims and
+    * `n_frames = 1`; audio rows carry `n_frames` = PCM sample frames plus
+    * rate/channels and zero pixel dims; unparseable payloads come back as
+    * `format = "unknown"` with zeros (never an exception — at scale a
+    * corrupt blob must not kill the stage).
+    */
   final case class DecodedMeta(
       media_id: Long,
-      modality: String,
+      format: String,
       n_bytes: Long,
       width: Int,
       height: Int,
       n_frames: Int,
-      checksum: Long)
+      sample_rate: Int,
+      channels: Int)
 
-  /** Feature vector row: fixed-dim embedding per media item. */
-  final case class MediaFeature(media_id: Long, feature: Array[Float])
+  /** Fixed-dim feature vector per media item (chunk means over real PCM). */
+  final case class MediaFeature(media_id: Long, feature: Array[Double])
 
-  private def fnv1a(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h ^= (bytes(i) & 0xff); h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  // ---------------------------------------------------------------- bytes
 
-  /** STUB codec: deterministic pseudo-decode of an opaque payload.
-    * A real implementation would parse the container format here.
-    */
-  private[multimodal] def decodeStub(row: MediaRow): DecodedMeta = {
-    val h = fnv1a(row.payload)
-    val w = 320 + (math.floorMod(h, 1601L)).toInt          // 320..1920
-    val ht = 240 + (math.floorMod(h >>> 17, 841L)).toInt   // 240..1080
-    val frames = row.modality match {
-      case "video" => 1 + (math.floorMod(h >>> 31, 300L)).toInt
-      case "audio" => 1 + (math.floorMod(h >>> 31, 48L)).toInt
-      case _ => 1
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def hasPrefix(b: Array[Byte], sig: Array[Byte]): Boolean =
+    b.length >= sig.length && {
+      var i = 0
+      while (i < sig.length && b(i) == sig(i)) i += 1
+      i == sig.length
     }
-    DecodedMeta(row.media_id, row.modality, row.payload.length.toLong, w, ht, frames, h)
+
+  private def tagAt(b: Array[Byte], i: Int, tag: String): Boolean =
+    b.length >= i + 4 && b(i) == tag(0).toByte && b(i + 1) == tag(1).toByte &&
+      b(i + 2) == tag(2).toByte && b(i + 3) == tag(3).toByte
+
+  // ---------------------------------------------------------- header codec
+
+  /** Locates the WAV `fmt ` and `data` chunks by walking the RIFF chunk
+    * list (chunks are [tag 4][size LE32][payload, padded to even]).
+    * Returns (channels, sampleRate, blockAlign, dataOffset, dataLen), or
+    * null if the stream is not a well-formed PCM WAV.
+    */
+  private def wavChunks(b: Array[Byte]): Array[Int] = {
+    if (!(hasPrefix(b, "RIFF".getBytes) && tagAt(b, 8, "WAVE"))) return null
+    var off = 12
+    var channels, rate, block = -1
+    var dataOff, dataLen = -1
+    while (off + 8 <= b.length && (block < 0 || dataOff < 0)) {
+      val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return null
+      if (tagAt(b, off, "fmt ") && size >= 16) {
+        channels = le16(b, off + 10)
+        rate = le32(b, off + 12)
+        block = le16(b, off + 20)
+      } else if (tagAt(b, off, "data")) {
+        dataOff = off + 8
+        dataLen = size
+      }
+      off += 8 + size + (size & 1) // chunks are even-aligned
+    }
+    if (channels <= 0 || rate <= 0 || block <= 0 || dataOff < 0) null
+    else Array(channels, rate, block, dataOff, dataLen)
   }
 
-  /** Decode stage: partition-wise, zero driver involvement, output is a
+  /** Pure-JVM header codec: sniffs the container by magic bytes and reads
+    * the dimensions from the header at fixed offsets — PNG IHDR (big-endian
+    * at 16/20), BMP DIB header (little-endian at 18/22, or the legacy
+    * 12-byte BITMAPCOREHEADER with 16-bit dims), WAV fmt/data chunks.
+    * Never throws: malformed input degrades to `format = "unknown"`.
+    */
+  def decodeMeta(id: Long, b: Array[Byte]): DecodedMeta = {
+    val n = b.length.toLong
+    if (hasPrefix(b, PngSig) && b.length >= 24 && tagAt(b, 12, "IHDR")) {
+      DecodedMeta(id, "png", n, be32(b, 16), be32(b, 20), 1, 0, 0)
+    } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val dibSize = le32(b, 14)
+      if (dibSize == 12) // BITMAPCOREHEADER: 16-bit dims
+        DecodedMeta(id, "bmp", n, le16(b, 18), le16(b, 20), 1, 0, 0)
+      else if (dibSize >= 40 && b.length >= 14 + dibSize) // BITMAPINFOHEADER+
+        DecodedMeta(id, "bmp", n, le32(b, 18), math.abs(le32(b, 22)), 1, 0, 0)
+      else DecodedMeta(id, "unknown", n, 0, 0, 0, 0, 0)
+    } else {
+      val w = wavChunks(b)
+      if (w != null)
+        DecodedMeta(id, "wav", n, 0, 0, w(4) / w(2), w(1), w(0))
+      else DecodedMeta(id, "unknown", n, 0, 0, 0, 0, 0)
+    }
+  }
+
+  /** Decode stage: partition-wise, zero driver involvement; output is a
     * columnar typed Dataset ready for predicate pushdown on metadata.
     */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions(_.map(r => decodeMeta(r.media_id, r.payload)))
   }
 
-  /** Frame-sampling stage (STUB): emits one row per sampled frame index,
-    * `stride` apart — the row-explosion shape of real frame extraction.
+  /** Frame-sampling stage: one row per sampled frame index, `stride`
+    * apart — images contribute their single frame, audio contributes every
+    * stride-th PCM frame. The row-explosion shape of real frame extraction.
     */
   def sampleFrames(decoded: Dataset[DecodedMeta], stride: Int): DataFrame = {
     import decoded.sparkSession.implicits._
@@ -73,27 +148,32 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "width", "height")
   }
 
-  /** Resize stage (STUB): fit into a `maxW`×`maxH` box preserving aspect
-    * ratio. Partition-wise like a real pixel resize; with the codec stubbed
-    * only the metadata dims change, but the dataflow shape (typed in, typed
-    * out, no shuffle) is exactly the production one.
+  /** Resize stage: fit image dims into a `maxW`×`maxH` box preserving
+    * aspect ratio; audio/unknown rows (zero dims) pass through untouched.
+    * Metadata-only here, but the dataflow shape (typed in, typed out, no
+    * shuffle) is exactly the production pixel-resize one.
     */
   def resize(decoded: Dataset[DecodedMeta], maxW: Int, maxH: Int): Dataset[DecodedMeta] = {
     import decoded.sparkSession.implicits._
     decoded.map { m =>
-      val scale = math.min(1.0,
-        math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
-      m.copy(
-        width = math.max(1, math.round(m.width * scale).toInt),
-        height = math.max(1, math.round(m.height * scale).toInt))
+      if (m.width <= 0 || m.height <= 0) m
+      else {
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+        m.copy(
+          width = math.max(1, math.round(m.width * scale).toInt),
+          height = math.max(1, math.round(m.height * scale).toInt))
+      }
     }
   }
 
-  /** Feature-extraction stage (STUB): fixed-dim deterministic pseudo
-    * embedding per item, batched per partition like a real model server
-    * call would be (`grouped(batchSize)` = the inference batch shape).
+  /** Audio feature extraction over REAL bytes: walks to the WAV `data`
+    * chunk, reads the 16-bit little-endian PCM samples, and emits `dim`
+    * chunk means (sample j of n lands in chunk j*dim/n). Batched per
+    * partition like a real model-server call (`grouped(batchSize)` is the
+    * inference batch shape). Non-WAV payloads are skipped.
     */
-  def extractFeatures(
+  def extractAudioFeatures(
       media: Dataset[MediaRow],
       dim: Int = 16,
       batchSize: Int = 64): Dataset[MediaFeature] = {
@@ -101,28 +181,194 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // a real pipeline would run one model inference on `batch` here
-        batch.map { row =>
-          val h = fnv1a(row.payload)
-          val f = Array.tabulate(dim) { i =>
-            val x = h * (2 * i + 1) + 0x9e3779b97f4a7c15L * i
-            (math.floorMod(x, 2048L).toFloat / 1024f) - 1f
+        batch.flatMap { row =>
+          val w = wavChunks(row.payload)
+          if (w == null) None
+          else {
+            val Array(_, _, block, dataOff, dataLen) = w
+            val nFrames = dataLen / block
+            if (nFrames <= 0) None
+            else {
+              val sums = new Array[Double](dim)
+              val counts = new Array[Long](dim)
+              var j = 0
+              while (j < nFrames) {
+                // first channel of frame j, signed 16-bit LE
+                val s = le16(row.payload, dataOff + j * block).toShort.toDouble
+                val c = ((j.toLong * dim) / nFrames).toInt
+                sums(c) += s
+                counts(c) += 1
+                j += 1
+              }
+              val f = Array.tabulate(dim)(i =>
+                if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+              Some(MediaFeature(row.media_id, f))
+            }
           }
-          MediaFeature(row.media_id, f)
         }
       }
     }
   }
 
-  /** Lift a text table into a pseudo-media table (payload = UTF-8 bytes);
-    * lets the full pipeline run against the synthetic corpus.
+  // ------------------------------------------------- fixture construction
+  // Real container bytes with dimensions that are pure arithmetic over the
+  // id — so an external oracle can verify the parsed headers by replaying
+  // the same arithmetic in SQL while Spark parses the actual bytes.
+
+  /** PNG fixture dims: w in [16, 332], h in [16, 112] (raw scanline bytes
+    * stay under one 64 KiB zlib stored block).
     */
-  def mediaFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+  def fixtureWidth(id: Long): Int = 16 + (id % 317).toInt
+  def fixtureHeight(id: Long): Int = 16 + ((id * 7) % 97).toInt
+  def fixtureSampleRate(id: Long): Int = 8000 + (id % 5).toInt * 4000
+  def fixtureSamples(id: Long): Int = 64 + (id % 937).toInt
+
+  /** Deterministic PCM sample j for media `id` (signed 16-bit range). */
+  def fixtureSample(id: Long, j: Int): Short =
+    (math.floorMod(id * 31 + j.toLong * 2654435761L, 65536L) - 32768L).toShort
+
+  private def crcChunk(out: java.io.ByteArrayOutputStream, tag: String, data: Array[Byte]): Unit = {
+    val len = data.length
+    out.write(Array[Byte](
+      (len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+    val tb = tag.getBytes("US-ASCII")
+    out.write(tb)
+    out.write(data)
+    val crc = new CRC32
+    crc.update(tb)
+    crc.update(data)
+    val c = crc.getValue
+    out.write(Array[Byte](
+      (c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte))
+  }
+
+  /** A fully valid 8-bit grayscale PNG: signature, IHDR, one IDAT holding
+    * a single zlib STORED block (so the byte count is closed-form:
+    * 68 + h*(w+1)), IEND. Decodable by any PNG reader.
+    */
+  def pngBytes(id: Long): Array[Byte] = {
+    val w = fixtureWidth(id); val h = fixtureHeight(id)
+    val raw = new Array[Byte](h * (w + 1)) // per row: filter byte 0 + w pixels
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        raw(r * (w + 1) + 1 + c) = ((id + r * w + c) % 256).toByte
+        c += 1
+      }
+      r += 1
+    }
+    // zlib stream: 0x78 0x01 header, one final stored block, Adler-32
+    val z = new java.io.ByteArrayOutputStream(raw.length + 11)
+    z.write(0x78); z.write(0x01)
+    z.write(0x01) // BFINAL=1, BTYPE=00 (stored)
+    z.write(raw.length & 0xff); z.write((raw.length >>> 8) & 0xff)
+    val nlen = raw.length ^ 0xffff
+    z.write(nlen & 0xff); z.write((nlen >>> 8) & 0xff)
+    z.write(raw, 0, raw.length)
+    val ad = new Adler32; ad.update(raw)
+    val a = ad.getValue
+    z.write(Array[Byte](
+      (a >>> 24).toByte, (a >>> 16).toByte, (a >>> 8).toByte, a.toByte))
+
+    val out = new java.io.ByteArrayOutputStream(raw.length + 80)
+    out.write(PngSig)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // color type: grayscale
+    // 10..12: compression 0, filter 0, interlace 0
+    crcChunk(out, "IHDR", ihdr)
+    crcChunk(out, "IDAT", z.toByteArray)
+    crcChunk(out, "IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** A valid 24-bpp BI_RGB BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * 4-byte-aligned pixel rows. Byte count is closed-form:
+    * 54 + ((w*3+3)/4*4) * h.
+    */
+  def bmpBytes(id: Long): Array[Byte] = {
+    val w = fixtureWidth(id); val h = fixtureHeight(id)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val total = 54 + stride * h
+    val b = new Array[Byte](total)
+    def putLe32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+      b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    putLe32(2, total)
+    putLe32(10, 54) // pixel-data offset
+    putLe32(14, 40) // BITMAPINFOHEADER size
+    putLe32(18, w)
+    putLe32(22, h)
+    b(26) = 1 // planes
+    b(28) = 24 // bpp
+    putLe32(34, stride * h) // image size
+    putLe32(38, 2835); putLe32(42, 2835) // 72 DPI
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val v = ((id + r * w + c) % 256).toByte
+        val off = 54 + r * stride + c * 3
+        b(off) = v; b(off + 1) = v; b(off + 2) = v
+        c += 1
+      }
+      r += 1
+    }
+    b
+  }
+
+  /** A valid 16-bit mono PCM WAV: RIFF/WAVE + fmt + data. Byte count is
+    * closed-form: 44 + 2*nSamples. Samples follow `fixtureSample`.
+    */
+  def wavBytes(id: Long): Array[Byte] = {
+    val rate = fixtureSampleRate(id)
+    val n = fixtureSamples(id)
+    val dataLen = 2 * n
+    val b = new Array[Byte](44 + dataLen)
+    def putTag(i: Int, t: String): Unit = { var k = 0; while (k < 4) { b(i + k) = t(k).toByte; k += 1 } }
+    def putLe32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte
+      b(i + 2) = (v >>> 16).toByte; b(i + 3) = (v >>> 24).toByte
+    }
+    def putLe16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >>> 8).toByte }
+    putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1) // PCM
+    putLe16(22, 1) // mono
+    putLe32(24, rate)
+    putLe32(28, rate * 2) // byte rate
+    putLe16(32, 2) // block align
+    putLe16(34, 16) // bits per sample
+    putTag(36, "data"); putLe32(40, dataLen)
+    var j = 0
+    while (j < n) {
+      putLe16(44 + 2 * j, fixtureSample(id, j) & 0xffff)
+      j += 1
+    }
+    b
+  }
+
+  /** Container for media `id`: ids cycle png / bmp / wav by `id % 3`. */
+  def fixturePayload(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => pngBytes(id)
+    case 1 => bmpBytes(id)
+    case _ => wavBytes(id)
+  }
+
+  /** Fixture source: one real container payload per id in `df(idCol)`,
+    * built partition-wise (the generator itself is distributed — no driver
+    * materialization of payload bytes).
+    */
+  def syntheticMedia(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(
-      col(idCol).cast("long").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col(idCol).cast("long"), lit(3)) + 1).cast("int")).as("modality"),
-      encode(col(textCol), "UTF-8").as("payload"))
-      .as[MediaRow]
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, fixturePayload(id))))
   }
 }

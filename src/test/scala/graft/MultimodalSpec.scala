@@ -1,31 +1,110 @@
 package graft
 
+import java.io.ByteArrayInputStream
+
 import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{DecodedMeta, MediaRow}
 
 class MultimodalSpec extends SparkSpec {
 
-  private lazy val media = Multimodal.mediaFromText(
+  private lazy val media = Multimodal.syntheticMedia(
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
-    "doc_id", "text").cache()
+    "doc_id").cache()
 
-  test("mediaFromText: opaque binary payload + modality tag per row") {
+  test("syntheticMedia: real container payloads, sniffed not declared") {
     val rows = media.collect()
     assert(rows.length == 500)
-    assert(rows.map(_.modality).toSet == Set("image", "audio", "video"))
     assert(rows.forall(_.payload.nonEmpty))
+    val formats = rows.map(r => Multimodal.decodeMeta(r.media_id, r.payload).format)
+    assert(formats.toSet == Set("png", "bmp", "wav"))
   }
 
-  test("decode: deterministic metadata, plausible ranges, stable across runs") {
-    val a = Multimodal.decode(media).collect().sortBy(_.media_id)
-    val b = Multimodal.decode(media).collect().sortBy(_.media_id)
-    assert(a.toSeq == b.toSeq) // stub codec is deterministic
-    assert(a.forall(m => m.width >= 320 && m.width <= 1920))
-    assert(a.forall(m => m.height >= 240 && m.height <= 1080))
-    assert(a.filter(_.modality == "image").forall(_.n_frames == 1))
-    assert(a.filter(_.modality == "video").exists(_.n_frames > 1))
-    // n_bytes round-trips the payload size
-    val sizes = media.collect().map(r => r.media_id -> r.payload.length).toMap
-    assert(a.forall(m => m.n_bytes == sizes(m.media_id)))
+  test("generated PNGs are real: the JDK's own ImageIO decodes them with matching dims") {
+    for (id <- Seq(0L, 3L, 6L, 99L, 498L)) {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(Multimodal.pngBytes(id)))
+      assert(img != null, s"ImageIO rejected generated PNG for id=$id")
+      assert(img.getWidth == Multimodal.fixtureWidth(id))
+      assert(img.getHeight == Multimodal.fixtureHeight(id))
+      val m = Multimodal.decodeMeta(id, Multimodal.pngBytes(id))
+      assert(m.format == "png" && m.width == img.getWidth && m.height == img.getHeight)
+    }
+  }
+
+  test("generated BMPs are real: ImageIO decodes them with matching dims") {
+    for (id <- Seq(1L, 4L, 100L, 499L)) {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(Multimodal.bmpBytes(id)))
+      assert(img != null, s"ImageIO rejected generated BMP for id=$id")
+      assert(img.getWidth == Multimodal.fixtureWidth(id))
+      assert(img.getHeight == Multimodal.fixtureHeight(id))
+      val m = Multimodal.decodeMeta(id, Multimodal.bmpBytes(id))
+      assert(m.format == "bmp" && m.width == img.getWidth && m.height == img.getHeight)
+    }
+  }
+
+  test("generated WAVs are real: javax.sound parses rate/channels/frames identically") {
+    for (id <- Seq(2L, 5L, 101L, 497L)) {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new ByteArrayInputStream(Multimodal.wavBytes(id)))
+      val m = Multimodal.decodeMeta(id, Multimodal.wavBytes(id))
+      assert(m.format == "wav")
+      assert(m.sample_rate == fmt.getFormat.getSampleRate.toInt)
+      assert(m.channels == fmt.getFormat.getChannels)
+      assert(m.n_frames == fmt.getFrameLength)
+      assert(m.n_frames == Multimodal.fixtureSamples(id))
+    }
+  }
+
+  test("decodeMeta: BMP legacy BITMAPCOREHEADER (12-byte DIB, 16-bit dims)") {
+    // hand-built minimal COREHEADER bmp: 14 file header + 12 DIB
+    val b = new Array[Byte](26)
+    b(0) = 'B'; b(1) = 'M'
+    b(14) = 12 // DIB size
+    b(18) = 64 // width LE16
+    b(20) = 48 // height LE16
+    b(24) = 1 // planes
+    val m = Multimodal.decodeMeta(7L, b)
+    assert(m.format == "bmp" && m.width == 64 && m.height == 48)
+  }
+
+  test("decodeMeta: malformed payloads degrade to unknown, never throw") {
+    val cases = Seq(
+      Array.empty[Byte],
+      Array[Byte](1, 2, 3),
+      "RIFFxxxxWAVE".getBytes, // RIFF but no chunks
+      "not a container at all, just text".getBytes,
+      Multimodal.pngBytes(0L).take(10), // truncated PNG
+      Multimodal.wavBytes(2L).take(20)) // truncated WAV
+    cases.foreach { b =>
+      val m = Multimodal.decodeMeta(1L, b)
+      assert(m.format == "unknown" && m.width == 0 && m.n_frames == 0)
+      assert(m.n_bytes == b.length)
+    }
+    // WAV with a declared chunk size past the buffer must not crash
+    val lying = Multimodal.wavBytes(2L)
+    lying(40) = 0x7f.toByte; lying(41) = 0x7f.toByte
+    lying(42) = 0x7f.toByte; lying(43) = 0x7f.toByte
+    assert(Multimodal.decodeMeta(1L, lying).format == "unknown")
+  }
+
+  test("decode: distributed parse matches fixture arithmetic for every row") {
+    val decoded = Multimodal.decode(media).collect()
+    assert(decoded.length == 500)
+    decoded.foreach { m =>
+      val id = m.media_id
+      (id % 3) match {
+        case 2 =>
+          assert(m.format == "wav" && m.width == 0 && m.height == 0)
+          assert(m.n_frames == Multimodal.fixtureSamples(id))
+          assert(m.sample_rate == Multimodal.fixtureSampleRate(id))
+          assert(m.channels == 1)
+          assert(m.n_bytes == 44 + 2L * Multimodal.fixtureSamples(id))
+        case i =>
+          assert(m.format == (if (i == 0) "png" else "bmp"))
+          assert(m.width == Multimodal.fixtureWidth(id))
+          assert(m.height == Multimodal.fixtureHeight(id))
+          assert(m.n_frames == 1 && m.sample_rate == 0 && m.channels == 0)
+      }
+    }
   }
 
   test("sampleFrames: one row per stride-sampled frame") {
@@ -38,33 +117,59 @@ class MultimodalSpec extends SparkSpec {
     assert(perItem == expected)
   }
 
-  test("resize: fits the box, preserves aspect ratio, never upscales") {
+  test("resize: fits the box, preserves aspect, never upscales, skips audio") {
     val decoded = Multimodal.decode(media)
-    val resized = Multimodal.resize(decoded, maxW = 640, maxH = 480)
+    val resized = Multimodal.resize(decoded, maxW = 64, maxH = 48)
       .collect().map(m => m.media_id -> m).toMap
     val orig = decoded.collect()
     assert(orig.nonEmpty)
     orig.foreach { m =>
       val r = resized(m.media_id)
-      assert(r.width <= 640 && r.height <= 480)
-      assert(r.width <= m.width && r.height <= m.height) // no upscale
-      // aspect ratio preserved within rounding
-      val ar = m.width.toDouble / m.height
-      val arR = r.width.toDouble / r.height
-      assert(math.abs(ar - arR) / ar < 0.02, s"aspect drifted: $m -> $r")
-      // non-dimension fields untouched
-      assert(r.n_frames == m.n_frames && r.checksum == m.checksum)
+      if (m.format == "wav") assert(r == m) // zero-dim rows untouched
+      else {
+        assert(r.width <= 64 && r.height <= 48)
+        assert(r.width <= m.width && r.height <= m.height) // no upscale
+        // exact box-fit: both dims scaled by the same factor, rounded
+        val scale = math.min(1.0,
+          math.min(64.0 / m.width, 48.0 / m.height))
+        assert(r.width == math.max(1, math.round(m.width * scale).toInt))
+        assert(r.height == math.max(1, math.round(m.height * scale).toInt))
+        assert(r.n_frames == m.n_frames && r.n_bytes == m.n_bytes)
+      }
     }
   }
 
-  test("extractFeatures: fixed-dim, deterministic, partition-batched") {
-    val f = Multimodal.extractFeatures(media, dim = 16, batchSize = 32).collect()
-    assert(f.length == 500)
+  test("extractAudioFeatures: real PCM chunk means, batch-size invariant") {
+    val f = Multimodal.extractAudioFeatures(media, dim = 16, batchSize = 32)
+      .collect().sortBy(_.media_id)
+    val wavIds = media.collect().map(_.media_id).filter(_ % 3 == 2).sorted
+    assert(f.map(_.media_id).toSeq == wavIds.toSeq) // only wav rows survive
     assert(f.forall(_.feature.length == 16))
-    assert(f.forall(_.feature.forall(x => x >= -1f && x <= 1f)))
-    val again = Multimodal.extractFeatures(media, dim = 16, batchSize = 7).collect()
-    // batch size must not affect values (pure per-row stub)
-    assert(f.sortBy(_.media_id).map(_.feature.toSeq).toSeq ==
-      again.sortBy(_.media_id).map(_.feature.toSeq).toSeq)
+    // reference computation straight from the fixture sample generator
+    f.take(5).foreach { mf =>
+      val n = Multimodal.fixtureSamples(mf.media_id)
+      val sums = new Array[Double](16)
+      val counts = new Array[Long](16)
+      for (j <- 0 until n) {
+        val c = ((j.toLong * 16) / n).toInt
+        sums(c) += Multimodal.fixtureSample(mf.media_id, j).toDouble
+        counts(c) += 1
+      }
+      val expect = Array.tabulate(16)(i => sums(i) / counts(i))
+      assert(mf.feature.toSeq == expect.toSeq)
+    }
+    val again = Multimodal.extractAudioFeatures(media, dim = 16, batchSize = 7)
+      .collect().sortBy(_.media_id)
+    assert(f.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+  }
+
+  test("decode survives payloads the fixture never makes (fuzz a few)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      val m = Multimodal.decodeMeta(i.toLong, b) // must not throw
+      assert(m.n_bytes == b.length)
+    }
   }
 }
