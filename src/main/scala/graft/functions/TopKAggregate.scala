@@ -364,3 +364,169 @@ object TopKRowsByScore {
         GraftSqlBridge.expression(id),
         GraftSqlBridge.expression(payload), k).toAggregateExpression())
 }
+
+/** Bounded heap keyed by a STRING id: `ORDER BY score DESC, id ASC` where
+  * the tie-break is UTF8String binary order (= Spark's and DuckDB's string
+  * sort order for the UTF-8 code-point sequence). Same NaN discipline as
+  * [[HeapOrdering]].
+  */
+final class TopKStrHeap(val k: Int) {
+  import org.apache.spark.unsafe.types.UTF8String
+  val scores = new Array[Double](k)
+  val ids = new Array[UTF8String](k)
+  var size: Int = 0
+
+  @inline private def worse(s1: Double, i1: UTF8String, s2: Double, i2: UTF8String): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && i1.compareTo(i2) > 0)
+  }
+
+  def insert(s: Double, id: UTF8String): Unit = {
+    if (size < k) {
+      var i = size
+      scores(i) = s; ids(i) = id; size += 1
+      while (i > 0 && worse(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        swap(i, p); i = p
+      }
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      siftDown(0)
+    }
+  }
+
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var m = i
+      if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) done = true else { swap(i, m); i = m }
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  def mergeFrom(other: TopKStrHeap): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  /** (score, id) pairs best-first. */
+  def sortedDesc: Array[(Double, UTF8String)] =
+    (0 until size).map(i => (scores(i), ids(i))).toArray
+      .sortWith((a, b) => {
+        val c = java.lang.Double.compare(b._1, a._1)
+        c < 0 || (c == 0 && b._2.compareTo(a._2) > 0)
+      })
+}
+
+/** `top_k_by_score_str(score, id, k)` — [[TopKByScore]] for string-keyed
+  * items (terms, tokens, urls): keeps the k best (score, string-id) pairs
+  * per group with `ORDER BY score DESC, id ASC` tie-breaking, as a
+  * partial-aggregable bounded heap. The map side reduces every task to ≤k
+  * entries per group BEFORE the shuffle — the selection shape that
+  * replaces a per-group Window sort.
+  *
+  * Returns `array<struct<score double, id string>>` best-first.
+  */
+case class TopKByStrKey(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKStrHeap] {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(k > 0, "k must be > 0")
+
+  override def children: Seq[Expression] = Seq(score, id)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by_score_str expects (double, string) inputs, got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", StringType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKStrHeap = new TopKStrHeap(k)
+
+  override def update(buffer: TopKStrHeap, input: InternalRow): TopKStrHeap = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      // clone: eval may return a UTF8String view over a reused row buffer
+      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[UTF8String].clone())
+    buffer
+  }
+
+  override def merge(buffer: TopKStrHeap, input: TopKStrHeap): TopKStrHeap = {
+    buffer.mergeFrom(input); buffer
+  }
+
+  override def eval(buffer: TopKStrHeap): Any =
+    new GenericArrayData(buffer.sortedDesc.map { case (s, i) =>
+      InternalRow(s, i)
+    }.asInstanceOf[Array[Any]])
+
+  override def serialize(buffer: TopKStrHeap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) {
+      out.writeDouble(buffer.scores(i))
+      val bytes = buffer.ids(i).getBytes
+      out.writeInt(bytes.length); out.write(bytes)
+      i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrHeap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val h = new TopKStrHeap(k)
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble()
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      h.insert(s, UTF8String.fromBytes(buf))
+      i += 1
+    }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByStrKey =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByStrKey =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByStrKey =
+    copy(score = newChildren(0), id = newChildren(1))
+
+  override def prettyName: String = "top_k_by_score_str"
+}
+
+object TopKByStrKey {
+  /** Column-API entry: per-group top-k of string-keyed scored items. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKByStrKey(
+        GraftSqlBridge.expression(score),
+        GraftSqlBridge.expression(id), k).toAggregateExpression())
+}

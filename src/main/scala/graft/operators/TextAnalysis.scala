@@ -89,10 +89,11 @@ object TextAnalysis {
     *
     * Scale shape: explode → (doc, term) count (one shuffle, partial-agg) →
     * term document-frequency (second shuffle over the much smaller distinct
-    * doc-term set) → join back on term. The per-doc top-N selection is a
-    * Window over `doc_id` — unlike a scored SEARCH stream, each partition
-    * here is bounded by one document's own distinct-term count, never
-    * corpus-proportional, so the sort is safe at any corpus size.
+    * doc-term set) → join back on term. The per-doc top-N selection goes
+    * through the string-keyed bounded heap ([[graft.functions.TopKByStrKey]])
+    * like every other selection in the repo: map tasks reduce to ≤topN
+    * terms per doc before the shuffle, and no Window sort of the scored
+    * term stream appears in the plan.
     *
     * IDF uses the smoothed RATIO form `(N+1)/(df+1)` rather than its log:
     * ranking and value stay in exact IEEE rational arithmetic, bit-equal
@@ -113,12 +114,15 @@ object TextAnalysis {
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast("double") * (col("n_docs") + 1.0) / (col("df") + 1.0))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topN)
-      .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"),
-        col("rnk").cast("long").as("rnk"))
+    // per-doc selection through the string-keyed bounded heap (score desc,
+    // term asc): every map task reduces to ≤topN terms per doc before the
+    // shuffle — no Window sort of the scored term stream.
+    scored.groupBy("doc_id")
+      .agg(graft.functions.TopKByStrKey.topK(col("tfidf"), col("term"), topN).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("col.id").as("term"),
+        round(col("col.score"), 4).as("tfidf"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** BM25 keyword relevance of each document for a literal term set.

@@ -182,8 +182,15 @@ object TextDedup {
     *
     * Scale shape: documents reduce to shingle hashes at scan time; the
     * document-frequency pass is one partial-aggregated count over
-    * (hash, doc) rows and the flag joins back on the hash — tens of bytes
-    * per shingle through both shuffles, bodies never move.
+    * (hash, doc) rows — tens of bytes per shingle, bodies never move. The
+    * flag then comes back by BROADCASTING the `df >= minDocFreq` common
+    * set rather than shuffle-joining the exploded stream on the hash: a
+    * stop-shingle key ("all rights reserved") is hot on both sides of that
+    * join, and while AQE's skew split papers over it, the broadcast
+    * removes the skew surface entirely. The common set is the heavy-hitter
+    * vocabulary (distinct shingles in ≥minDocFreq docs), which is
+    * vocabulary-bounded, not corpus-bounded — and `minDocFreq` rises with
+    * corpus size, shrinking it further.
     *
     * Returns `(doc_id, n_shingles, common_frac)` for every document with
     * at least one shingle.
@@ -197,11 +204,13 @@ object TextDedup {
     val ex = df.select(idCol.as("doc_id"),
         explode(SketchFunctions.wordNgramHashes(
           lower(textCol), shingleSize, distinct = true)).as("g"))
-    val freq = ex.groupBy("g").agg(count(lit(1)).as("df"))
-    ex.join(freq, "g")
+    val common = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("g"), lit(true).as("is_common"))
+    ex.join(broadcast(common), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= minDocFreq, 1L).otherwise(0L)).as("n_common"))
+        sum(when(col("is_common"), 1L).otherwise(0L)).as("n_common"))
       .select(col("doc_id"), col("n_shingles"),
         round(col("n_common").cast("double") / col("n_shingles"), 4).as("common_frac"))
   }

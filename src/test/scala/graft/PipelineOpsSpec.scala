@@ -88,6 +88,18 @@ class PipelineOpsSpec extends SparkSpec {
     val v = TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), topN = 1)
       .filter(col("doc_id") === 1L).head().getDouble(2)
     assert(v == 4.0)
+    // equal-score terms break toward the lexicographically smaller term,
+    // matching ORDER BY tfidf DESC, term ASC
+    val ties = Seq((1L, "zeta alpha mid")).toDF("doc_id", "text")
+    val top2 = TextAnalysis.tfidfTopTerms(ties, col("doc_id"), col("text"), topN = 2)
+      .orderBy("rnk").collect().map(_.getString(1)).toSeq
+    assert(top2 == Seq("alpha", "mid"))
+    // plan discipline: per-doc selection goes through the string-keyed
+    // bounded heap — no Window sort of the scored term stream
+    val plan = TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"), topN = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "tfidf top-terms must not plan a Window")
+    assert(plan.contains("top_k_by_score_str"), "expected the string-keyed heap aggregate")
   }
 
   // ----------------------------------------------------- ranking/profiling

@@ -120,6 +120,15 @@ class TextDedupSpec extends SparkSpec {
     // appear in 4 docs -> common_frac = 2/4
     (1L to 4L).foreach { d => assert(got(d) == ((4L, 0.5)), s"doc $d: ${got(d)}") }
     assert(got(5L)._2 == 0.0)
+    // plan discipline: the common-set flag comes back by broadcast — the
+    // exploded shingle stream shuffles only into the df aggregation, never
+    // through a hash-partitioned join (stop-shingles are skew keys there)
+    val plan = TextDedup.commonShingleFraction(
+      corpus, col("doc_id"), col("text"), shingleSize = 2, minDocFreq = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "common-set join must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "exploded stream must not shuffle into the join")
   }
 
   test("flagContaminated: overlap counts against a broadcast benchmark") {

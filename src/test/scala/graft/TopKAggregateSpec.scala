@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TopKByScore, TopKHeap, TopKPayloadHeap, TopKRowsByScore}
+import graft.functions.{TopKByScore, TopKByStrKey, TopKHeap, TopKPayloadHeap, TopKRowsByScore}
 
 class TopKAggregateSpec extends SparkSpec {
 
@@ -108,6 +108,39 @@ class TopKAggregateSpec extends SparkSpec {
       .agg(TopKRowsByScore.topKRows(col("score"), col("id"), col("tag"), 4))
       .queryExecution.executedPlan.toString
     assert("partial_top_k_rows_by_score".r.findAllIn(plan).nonEmpty, plan)
+    df.unpersist()
+  }
+
+  test("string-keyed variant matches the window formulation, ties on term asc") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(5), words(rnd.nextInt(words.length)) + rnd.nextInt(30),
+        // coarse scores force real score ties across distinct strings
+        rnd.nextInt(4).toDouble)
+    } ++ Seq((0, "nan-case", Double.NaN)) // NaN ranks largest, must not deadlock
+    val df = rows.toDF("grp", "term", "score").repartition(7).cache()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("term").asc)
+    val viaWindow = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(3))).toSet
+
+    val viaHeap = df.groupBy("grp")
+      .agg(TopKByStrKey.topK(col("score"), col("term"), 3).as("tk"))
+      .select(col("grp"), posexplode(col("tk")))
+      .select(col("grp"), col("col.id"), (col("pos") + 1).cast("int"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+
+    assert(viaHeap == viaWindow)
+
+    // partial-agg discipline: map-side heap before the shuffle
+    val plan = df.groupBy("grp")
+      .agg(TopKByStrKey.topK(col("score"), col("term"), 3))
+      .queryExecution.executedPlan.toString
+    assert("partial_top_k_by_score_str".r.findAllIn(plan).nonEmpty, plan)
     df.unpersist()
   }
 }
