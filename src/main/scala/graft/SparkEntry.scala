@@ -878,7 +878,24 @@ object SparkEntry {
     "q71_balanced_sample" -> ((s, dir) =>
       graft.operators.Sampling.balancedSample(
         table(s, dir, "documents"), col("doc_id"), col("lang"), n = 40)
-        .select(col("stratum").as("lang"), col("id").as("doc_id"), col("rnk")))
+        .select(col("stratum").as("lang"), col("id").as("doc_id"), col("rnk"))),
+
+    // Span-level exact substring duplication (Lee et al.): fixed-stride
+    // 8-token windows, a window is duplicated when its token sequence
+    // occurs >= 2 times corpus-wide. Per-doc duplication stats via the
+    // unique-key trick — no join back onto the span stream.
+    "q72_span_stats" -> ((s, dir) =>
+      graft.operators.TextDedup.spanDuplicationStats(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        windowTokens = 8, stride = 4)),
+
+    // Span-level dedup REMOVAL: tokens covered by any duplicated window
+    // are dropped and the document re-joined — the passage-level cleaning
+    // mode document-level dedup can't express.
+    "q73_span_strip" -> ((s, dir) =>
+      graft.operators.TextDedup.stripDuplicateSpans(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        windowTokens = 8, stride = 4))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1046,6 +1063,53 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 3) <
         |  CASE lang WHEN 'en' THEN '800' WHEN 'de' THEN 'g'
         |            WHEN 'es' THEN '400' ELSE '000' END""".stripMargin,
+
+    // q72/q73 replay the span windows on the token TEXT (the engine keys
+    // on xxhash64 of the same strings — the q69/q70 hash-distinct ≡
+    // text-distinct assumption).
+    "q72_span_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, unnest(range(0, len(ts) - 8 + 1, 4)) AS s, ts
+        |  FROM toks WHERE len(ts) >= 8),
+        |keyed AS (
+        |  SELECT doc_id, lower(array_to_string(list_slice(ts, s + 1, s + 8), ' ')) AS key
+        |  FROM spans),
+        |kc AS (SELECT key, COUNT(*) AS c FROM keyed GROUP BY key),
+        |per AS (
+        |  SELECT k.doc_id, COUNT(*) AS n_spans,
+        |    SUM(CASE WHEN kc.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM keyed k JOIN kc USING (key) GROUP BY k.doc_id)
+        |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(n_dup AS BIGINT) AS n_dup_spans,
+        |  ROUND(CAST(n_dup AS DOUBLE) / n_spans, 4) AS dup_frac
+        |FROM per""".stripMargin,
+
+    "q73_span_strip" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, unnest(range(0, len(ts) - 8 + 1, 4)) AS s, ts
+        |  FROM toks WHERE len(ts) >= 8),
+        |keyed AS (
+        |  SELECT doc_id, s, lower(array_to_string(list_slice(ts, s + 1, s + 8), ' ')) AS key
+        |  FROM spans),
+        |kc AS (SELECT key, COUNT(*) AS c FROM keyed GROUP BY key),
+        |dup AS (SELECT k.doc_id, k.s FROM keyed k JOIN kc USING (key) WHERE kc.c >= 2),
+        |tok AS (SELECT doc_id, unnest(range(0, len(ts))) AS j, ts FROM toks),
+        |kept AS (
+        |  SELECT t.doc_id, t.j, t.ts[t.j + 1] AS tk
+        |  FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM dup d
+        |    WHERE d.doc_id = t.doc_id AND d.s <= t.j AND t.j < d.s + 8)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tk, ' ' ORDER BY j) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(c.text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN clean c USING (doc_id)""".stripMargin,
 
     "q68_rrf_fusion" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 6),

@@ -253,6 +253,116 @@ object TextDedup {
         (col("overlap_shingles") >= minOverlap).as("contaminated"))
   }
 
+  /** Tokens of `textCol` split on single spaces, empties dropped — the
+    * shared tokenization of the span-dedup pair below (positions must
+    * align between key hashing and text reconstruction).
+    */
+  private def spanTokens(textCol: Column): Column =
+    filter(split(textCol, " "), t => length(t) > 0)
+
+  /** Key hash of the `w`-token window starting at 0-based token `s`:
+    * xxhash64 of the lowercased space-joined window (lower distributes
+    * over the space join, so hashing the joined-then-lowered string equals
+    * hashing lowered tokens).
+    */
+  private def spanKey(ts: Column, s: Column, w: Int): Column =
+    xxhash64(lower(concat_ws(" ", slice(ts, s + 1, lit(w)))))
+
+  /** Exploded span instances `(doc_id, s, g)`: one row per fixed-stride
+    * token window — starts 0, stride, 2·stride… while `s + w ≤ n_tokens`.
+    * Documents shorter than one window contribute no spans.
+    */
+  private def spanInstances(
+      df: DataFrame, idCol: Column, textCol: Column, w: Int, stride: Int): DataFrame =
+    df.select(idCol.as("doc_id"), spanTokens(textCol).as("ts"))
+      .filter(size(col("ts")) >= w)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ts")) - w, lit(stride))).as("s"),
+        col("ts"))
+      .select(col("doc_id"), col("s"), spanKey(col("ts"), col("s"), w).as("g"))
+
+  /** Span-level exact substring duplication stats — the Lee et al.
+    * "Deduplicating Training Data" signal: duplicated PASSAGES inside
+    * otherwise-distinct documents, which document-level exact dedup and
+    * pairwise near-dup both miss. Each document is cut into fixed-stride
+    * `windowTokens`-token windows; a window is duplicated when its token
+    * sequence occurs ≥2 times corpus-wide (including twice in the same
+    * document).
+    *
+    * Scale shape — NO join back onto the exploded span stream (a viral
+    * boilerplate span is a skew key there). Spans partial-aggregate to
+    * (doc, key) multiplicities in one shuffle; from there a key-level
+    * aggregate finds the UNIQUE keys (df = 1), each of which names its one
+    * owning document, so per-doc duplicate counts come from
+    * `n_spans − n_unique` via a doc-cardinality join — every shuffle after
+    * the first moves aggregate rows, never span instances, and the hottest
+    * key in the corpus collapses map-side.
+    *
+    * Returns `(doc_id, n_spans, n_dup_spans, dup_frac)` for every document
+    * with ≥ `windowTokens` tokens.
+    */
+  def spanDuplicationStats(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      windowTokens: Int = 8,
+      stride: Int = 4): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be > 0")
+    require(stride > 0, "stride must be > 0")
+    val perDocKey = spanInstances(df, idCol, textCol, windowTokens, stride)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("m"))
+    // df=1 keys belong to exactly one (doc, position): min(doc_id) IS the doc
+    val uniquePerDoc = perDocKey.groupBy("g")
+      .agg(sum("m").as("df"), min("doc_id").as("only_doc"))
+      .filter(col("df") === 1)
+      .groupBy(col("only_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    val spansPerDoc = perDocKey.groupBy("doc_id").agg(sum("m").as("n_spans"))
+    val dup = col("n_spans") - coalesce(col("n_unique"), lit(0L))
+    spansPerDoc.join(uniquePerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"), dup.as("n_dup_spans"),
+        round(dup.cast("double") / col("n_spans"), 4).as("dup_frac"))
+  }
+
+  /** Removes duplicated passages from each document: every token covered
+    * by at least one duplicated window (as in [[spanDuplicationStats]]) is
+    * dropped and the survivors are re-joined with single spaces (token-
+    * level reconstruction — original inter-token whitespace is not
+    * preserved). Documents shorter than one window pass through whole.
+    *
+    * Scale shape: this one genuinely needs per-POSITION flags, so the
+    * duplicated-key set joins back onto the span stream — AQE's skew-join
+    * split (on in [[graft.GraftSession]]) carries the hot boilerplate
+    * keys. Duplicated starts then collect per document (bounded by
+    * n_tokens/stride, document-bounded like chunking) and one codegen pass
+    * over the token array drops covered tokens.
+    *
+    * Returns `(doc_id, text_clean)` for every input document.
+    */
+  def stripDuplicateSpans(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      windowTokens: Int = 8,
+      stride: Int = 4): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be > 0")
+    require(stride > 0, "stride must be > 0")
+    val w = windowTokens
+    val spans = spanInstances(df, idCol, textCol, w, stride)
+    val dupKeys = spans.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("g")
+    val dupStarts = spans.join(dupKeys, "g")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("s"))).as("dup_starts"))
+    df.select(idCol.as("doc_id"), spanTokens(textCol).as("ts"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_starts").isNull, concat_ws(" ", col("ts")))
+          .otherwise(concat_ws(" ",
+            filter(col("ts"), (_, i) =>
+              !exists(col("dup_starts"), s => s <= i && i < s + w))))
+          .as("text_clean"))
+  }
+
   /** Exhaustive n-gram Jaccard similarity join (no sketch): candidates are
     * pairs sharing ≥1 shingle. Exact but quadratic in the worst case —
     * use [[minhashNearDupPairs]] at scale; this is the oracle-friendly

@@ -131,6 +131,50 @@ class TextDedupSpec extends SparkSpec {
       "exploded stream must not shuffle into the join")
   }
 
+  test("spanDuplicationStats: within-doc and cross-doc duplicate windows, case-folded keys") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a B c d e f"), // spans (W=4,S=2): [a B c d], [c d e f]
+      (2L, "x y a b C d z w"), // [x y a b], [a b C d], [c d z w]
+      (3L, "p q r s p q r s"), // [p q r s], [r s p q], [p q r s] — within-doc dup
+      (4L, "too few tokens")).toDF("doc_id", "text")
+    val got = TextDedup.spanDuplicationStats(
+      corpus, col("doc_id"), col("text"), windowTokens = 4, stride = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // "a b c d" occurs in docs 1 and 2 (case-folded); "p q r s" twice in doc 3
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((3L, 1L, 0.3333)))
+    assert(got(3L) == ((3L, 2L, 0.6667)))
+    assert(!got.contains(4L), "sub-window docs contribute no spans")
+  }
+
+  test("stripDuplicateSpans: covered tokens drop, originals' case survives") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a B c d e f"),
+      (2L, "x y a b C d z w"),
+      (3L, "p q r s p q r s"),
+      (4L, "too few tokens")).toDF("doc_id", "text")
+    val got = TextDedup.stripDuplicateSpans(
+      corpus, col("doc_id"), col("text"), windowTokens = 4, stride = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "e f") // dup span s=0 covers tokens 0-3
+    assert(got(2L) == "x y z w") // dup span s=2 covers tokens 2-5
+    assert(got(3L) == "") // both dup spans cover everything
+    assert(got(4L) == "too few tokens") // sub-window doc passes whole
+  }
+
+  test("span dedup rejects degenerate window/stride") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextDedup.spanDuplicationStats(df, col("doc_id"), col("text"), windowTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextDedup.stripDuplicateSpans(df, col("doc_id"), col("text"), stride = 0)
+    }
+  }
+
   test("flagContaminated: overlap counts against a broadcast benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "secret benchmark question about spark")).toDF("doc_id", "text")
