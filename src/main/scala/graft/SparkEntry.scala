@@ -45,6 +45,7 @@ object SparkEntry {
     * deterministic: seeded init, fixed iteration count).
     */
   @volatile private[graft] var q53Centroids: Option[Array[Array[Double]]] = None
+  @volatile private[graft] var q75Centroids: Option[Array[Array[Double]]] = None
 
   /** Centroids trained by the last q60 run (same capture pattern). */
   @volatile private[graft] var q60Centroids: Option[Array[Array[Double]]] = None
@@ -895,7 +896,52 @@ object SparkEntry {
     "q73_span_strip" -> ((s, dir) =>
       graft.operators.TextDedup.stripDuplicateSpans(
         table(s, dir, "documents"), col("doc_id"), col("text"),
-        windowTokens = 8, stride = 4))
+        windowTokens = 8, stride = 4)),
+
+    // PII scrub gate: detect + redact emails / IPv4 / phones with per-class
+    // counts — one codegen'd regexp projection, zero shuffles. The corpus
+    // is synthetic, so deterministic PII-shaped strings are injected first
+    // (by doc_id class) and the oracle replays injection + scrub in SQL.
+    "q74_pii_scrub" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val injected = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" contact user"), id, lit("@example.com now")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit(" server at 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+              lit(".0."), pmod(col("doc_id"), lit(250)).cast("string"), lit(" up")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            lit(" call +1 555 123 4567 today"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextAnalysis.scrubPii(injected, col("doc_id"), col("text"))
+    }),
+
+    // Disk IVF lifecycle — the 100 TB search path end-to-end: train →
+    // save as a cell-partitioned layout (+codebook JSON) → reopen →
+    // APPEND a batch (one map stage, no rebuild) → search through
+    // partition-pruned probes. Appended vectors (ids shifted by 1e6) are
+    // immediately searchable; centroids are captured for the oracle.
+    "q75_disk_ivf" -> ((s, dir) => {
+      import graft.operators.IvfIndex
+      val emb = table(s, dir, "embeddings")
+      val idx = IvfIndex.buildTrained(
+        emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        nlist = 8, iters = 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q75-ivf-").toString
+      idx.save(s, tmp)
+      idx.unpersist()
+      IvfIndex.load(s, tmp).append(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 30)
+          .select((col("vec_id") + 1000000L).as("nid"), col("embedding").as("nvec")))
+      val reopened = IvfIndex.load(s, tmp)
+      q75Centroids = Some(reopened.centroids)
+      reopened.search(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 10, nprobe = 3)
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -903,6 +949,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = staticOracleSql +
     ("q23_simhash_hamming" -> q23OracleSql) +
     ("q53_ivf_trained" -> q53OracleSql) +
+    ("q75_disk_ivf" -> q75OracleSql) +
     ("q60_neardup_auto" -> q60OracleSql) +
     ("q64_pq_adc" -> q64OracleSql)
 
@@ -956,6 +1003,46 @@ object SparkEntry {
         s"""WITH cent(cell, cvec) AS (VALUES ${centroidValues(cb)}),
            |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
            |      FROM embeddings WHERE vec_id >= 10),
+           |assigned AS (
+           |  SELECT nid, v,
+           |    (SELECT cell FROM cent
+           |     ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
+           |       cell ASC LIMIT 1) AS cell
+           |  FROM c),
+           |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id < 10),
+           |probed AS (
+           |  SELECT qid, qv, cell FROM (
+           |    SELECT qid, qv, cell, ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
+           |        cell ASC) AS pr
+           |    FROM q CROSS JOIN cent) WHERE pr <= 3),
+           |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score
+           |      FROM probed JOIN assigned USING (cell)),
+           |r AS (SELECT qid, nid, score,
+           |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+           |      FROM s)
+           |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
+    }
+  }
+
+  /** q75's oracle: q53's shape (centroid literals, argmin assignment,
+    * nprobe=3 probing, cosine top-10) over the corpus PLUS the appended
+    * batch (vec_id 10..29 re-added under ids shifted by 1e6) — the disk
+    * round-trip and append must not change what a search returns, and the
+    * clones tie with their originals breaking toward the smaller nid.
+    */
+  private def q75OracleSql: String = {
+    // Captured-run centroids ONLY — same FP-order rationale as q53.
+    q75Centroids match {
+      case None => unavailableOracle
+      case Some(cb) =>
+        s"""WITH cent(cell, cvec) AS (VALUES ${centroidValues(cb)}),
+           |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
+           |      FROM embeddings WHERE vec_id >= 10
+           |      UNION ALL
+           |      SELECT vec_id + 1000000 AS nid, embedding::DOUBLE[] AS v
+           |      FROM embeddings WHERE vec_id >= 10 AND vec_id < 30),
            |assigned AS (
            |  SELECT nid, v,
            |    (SELECT cell FROM cent
@@ -1086,6 +1173,35 @@ object SparkEntry {
         |  CAST(n_dup AS BIGINT) AS n_dup_spans,
         |  ROUND(CAST(n_dup AS DOUBLE) / n_spans, 4) AS dup_frac
         |FROM per""".stripMargin,
+
+    // q74 replays injection + sequential scrub; DuckDB regexp_replace
+    // needs the 'g' flag to match Spark's replace-all semantics, and the
+    // patterns stay in the RE2 ∩ java.util.regex common subset.
+    "q74_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+        |      WHEN 1 THEN ' server at 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) || ' up'
+        |      WHEN 2 THEN ' call +1 555 123 4567 today'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+        |  FROM inj),
+        |s2 AS (
+        |  SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |    regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT doc_id, n_email, n_ip,
+        |    CAST(len(regexp_extract_all(t, '(\+\d{1,3}[-. ])?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+        |    regexp_replace(t, '(\+\d{1,3}[-. ])?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g') AS t
+        |  FROM s2)
+        |SELECT doc_id, n_email, n_ip, n_phone, t AS text_clean FROM s3""".stripMargin,
 
     "q73_span_strip" ->
       """WITH toks AS (

@@ -84,6 +84,48 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")
 
+  /** A PII class: display name (column suffix), detection regex, and the
+    * replacement token. Patterns stay inside the RE2-compatible subset
+    * (character classes, bounded quantifiers, optional groups, `\b`) so
+    * detection behaves identically under java.util.regex and RE2-based
+    * engines — no lookarounds, no backreferences.
+    */
+  final case class PiiPattern(name: String, regex: String, token: String)
+
+  /** Default scrub classes: emails, IPv4 addresses, phone numbers. */
+  val defaultPiiPatterns: Seq[PiiPattern] = Seq(
+    PiiPattern("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "[EMAIL]"),
+    PiiPattern("ip", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "[IP]"),
+    PiiPattern("phone", """(\+\d{1,3}[-. ])?\d{3}[-. ]\d{3}[-. ]\d{4}\b""", "[PHONE]"))
+
+  /** PII detect + redact — the scrub gate every corpus passes before
+    * training. Classes apply IN ORDER, each counting matches on the
+    * previous stage's output and replacing them with its token (ordering
+    * matters: IPv4 runs before phone so dotted quads never half-match the
+    * looser phone shape).
+    *
+    * Scale shape: the whole pipeline is one `regexp_count`/
+    * `regexp_replace` expression composition — a single codegen'd
+    * projection at scan speed, zero shuffles, trivially row-parallel at
+    * any corpus size.
+    *
+    * Returns `(doc_id, n_<class>..., text_clean)`.
+    */
+  def scrubPii(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      patterns: Seq[PiiPattern] = defaultPiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "scrubPii needs at least one pattern")
+    var cur: Column = textCol
+    val counts = patterns.map { p =>
+      val c = regexp_count(cur, lit(p.regex)).cast("long").as(s"n_${p.name}")
+      cur = regexp_replace(cur, p.regex, p.token)
+      c
+    }
+    df.select(idCol.as("doc_id") +: counts :+ cur.as("text_clean"): _*)
+  }
+
   /** Top-`topN` most-distinctive terms per document by TF-IDF — the
     * vocabulary/keyword-extraction step of a corpus-analysis pipeline.
     *

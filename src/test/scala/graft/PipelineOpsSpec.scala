@@ -102,6 +102,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("top_k_by_score_str"), "expected the string-keyed heap aggregate")
   }
 
+  // --------------------------------------------------------------- pii
+
+  test("scrubPii: detects and redacts each class, ip wins over phone on dotted quads") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or admin@example.com thanks"),
+      (2L, "server 10.0.42.7 and 192.168.1.255 are up"),
+      (3L, "call +1 555 123 4567 or 555-987-6543 now"),
+      (4L, "nothing sensitive here at all"),
+      (5L, "mixed: a@b.co on 8.8.8.8 phone 555 111 2222")).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((2L, 0L, 0L,
+      "mail me at [EMAIL] or [EMAIL] thanks")))
+    // dotted quads are IPs, never half-matched by the looser phone shape
+    assert(got(2L) == ((0L, 2L, 0L, "server [IP] and [IP] are up")))
+    assert(got(3L) == ((0L, 0L, 2L, "call [PHONE] or [PHONE] now")))
+    assert(got(4L) == ((0L, 0L, 0L, "nothing sensitive here at all")))
+    assert(got(5L) == ((1L, 1L, 1L, "mixed: [EMAIL] on [IP] phone [PHONE]")))
+    // zero shuffles: the scrub is a single codegen'd projection
+    val plan = TextAnalysis.scrubPii(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "scrub must not shuffle")
+  }
+
   // ----------------------------------------------------- ranking/profiling
 
   test("topKPerGroup: heap selection per group with deterministic ties") {

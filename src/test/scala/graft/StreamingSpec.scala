@@ -174,6 +174,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest appends into the disk IVF layout; searchable without rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch-train a tiny layout, persist it to disk
+    val base = Seq(
+      (10L, Array(1.0, 0.0, 0.0, 0.0)),
+      (11L, Array(0.9, 0.1, 0.0, 0.0)),
+      (12L, Array(0.0, 1.0, 0.0, 0.0)),
+      (13L, Array(0.0, 0.9, 0.1, 0.0))).toDF("nid", "nvec")
+    val idx = graft.operators.IvfIndex.buildTrained(base, nlist = 2, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ivf-").toString
+    val disk = idx.save(spark, dir)
+    idx.unpersist()
+    // stream vectors in: each micro-batch is ONE map stage appended under
+    // the existing cell=<id> partitions — never a corpus reshuffle
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = in.toDS().toDF("nid", "nvec").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        disk.append(batch)
+      }
+      .start()
+    try {
+      in.addData((100L, Array(0.95, 0.05, 0.0, 0.0)))
+      q.processAllAvailable()
+      in.addData((101L, Array(0.05, 0.95, 0.0, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // reopen the layout cold: appended vectors surface with no rebuild
+    val reopened = graft.operators.IvfIndex.load(spark, dir)
+    val got = reopened.search(
+      Seq((1L, Array(1.0, 0.0, 0.0, 0.0))).toDF("qid", "qvec"), k = 3, nprobe = 2)
+      .orderBy("rnk").collect().map(r => r.getLong(1)).toSeq
+    // cosine against [1,0,0,0]: 10 = 1.0, appended 100 ≈ 0.9987, 11 ≈ 0.9939
+    assert(got == Seq(10L, 100L, 11L))
+  }
+
   test("chunking runs unchanged as a stateless streaming stage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
