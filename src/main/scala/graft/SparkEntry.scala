@@ -941,7 +941,21 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         k = 10, nprobe = 3)
-    })
+    }),
+
+    // Gopher-style quality gate: word-count bounds, mean word length,
+    // alphabetic-word fraction, stopword hits — the document-level filter
+    // rules of a pretraining pipeline, one codegen projection.
+    "q76_gopher_quality" -> ((s, dir) =>
+      graft.operators.TextAnalysis.gopherQualityStats(
+        table(s, dir, "documents"), col("doc_id"), col("text"))),
+
+    // Within-doc repetition signals: repeated-bigram fraction (pure array
+    // exprs, zero shuffle) + most-frequent-token share (partial-agg counts,
+    // struct-min tie-break, doc-cardinality join back).
+    "q77_repetition" -> ((s, dir) =>
+      graft.operators.TextAnalysis.repetitionStats(
+        table(s, dir, "documents"), col("doc_id"), col("text")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1173,6 +1187,53 @@ object SparkEntry {
         |  CAST(n_dup AS BIGINT) AS n_dup_spans,
         |  ROUND(CAST(n_dup AS DOUBLE) / n_spans, 4) AS dup_frac
         |FROM per""".stripMargin,
+
+    // q76: passes compares the ROUNDED mean/frac columns on both sides —
+    // the gate's published value is the gate's tested value.
+    "q76_gopher_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS n_words,
+        |    ROUND(CAST(len(array_to_string(ts, '')) AS DOUBLE)
+        |      / greatest(len(ts), 1), 4) AS mean_word_len,
+        |    ROUND(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |      / greatest(len(ts), 1), 4) AS alpha_frac,
+        |    CAST(len(list_filter(ts, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','are','was',
+        |       'for','on','with','as','at','by','it','this','that'], t))) AS BIGINT) AS stop_hits
+        |  FROM toks)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS passes
+        |FROM base""".stripMargin,
+
+    "q77_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+        |    list_transform(range(1, greatest(len(ts), 1)), i -> ts[i] || ' ' || ts[i+1]) AS grams
+        |  FROM toks),
+        |gram AS (
+        |  SELECT doc_id, n_words, CAST(len(grams) AS BIGINT) AS n_bigrams,
+        |    ROUND(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+        |      / greatest(len(grams), 1), 4) AS rep_bigram_frac
+        |  FROM bg),
+        |tc AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+        |cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM tc GROUP BY doc_id, term),
+        |top AS (SELECT doc_id, term, c FROM (
+        |  SELECT doc_id, term, c,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, term ASC) AS rn
+        |  FROM cnt) WHERE rn = 1)
+        |SELECT g.doc_id, g.n_words, g.n_bigrams, g.rep_bigram_frac,
+        |  COALESCE(top.term, '') AS top_term,
+        |  ROUND(CAST(COALESCE(top.c, 0) AS DOUBLE) / greatest(g.n_words, 1), 4) AS top_term_frac
+        |FROM gram g LEFT JOIN top USING (doc_id)""".stripMargin,
 
     // q74 replays injection + sequential scrub; DuckDB regexp_replace
     // needs the 'g' flag to match Spark's replace-all semantics, and the

@@ -84,6 +84,86 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")
 
+  /** Gopher-style quality gate (Rae et al. 2021, §A1.1): the document-
+    * level filter rules a pretraining corpus passes before anything
+    * expensive runs. All rules are closed-form expressions over the token
+    * array — one codegen projection at scan speed, zero shuffles.
+    *
+    * Returns `(doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+    * passes)`; `passes` ANDs: word count in [minWords, maxWords], mean
+    * word length in [minMeanLen, maxMeanLen], fraction of words with an
+    * alphabetic character ≥ minAlphaFrac, ≥ minStopHits stopword hits.
+    */
+  def gopherQualityStats(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2,
+      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
+    val nWords = size(toks).cast("long")
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val meanLen = charSum.cast("double") / greatest(nWords, lit(1L)).cast("double")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val alphaFrac = alphaWords.cast("double") / greatest(nWords, lit(1L)).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    df.select(idCol.as("doc_id"), nWords.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(alphaFrac, 4).as("alpha_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("passes",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+          col("alpha_frac") >= minAlphaFrac && col("stop_hits") >= minStopHits)
+  }
+
+  /** Within-document repetition signals (the Gopher/C4 "repetitious text"
+    * family): fraction of word-bigram instances that repeat an earlier
+    * bigram in the same document, plus the single most frequent token and
+    * the fraction of the document it occupies.
+    *
+    * Scale shape: the bigram side is pure array expressions
+    * (`size − size(array_distinct)`) — zero shuffle. The top-term side
+    * needs a per-(doc, term) count, which partial-aggregates, then reduces
+    * per doc via `min(struct(−count, term))` (deterministic ties toward
+    * the lexicographically smaller term) and joins back at doc
+    * cardinality — span instances never shuffle anywhere.
+    */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column): DataFrame = {
+    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
+    val grams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val total = size(grams).cast("long")
+    val uniq = size(array_distinct(grams)).cast("long")
+    val gramSide = df.select(idCol.as("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      total.as("n_bigrams"),
+      round((total - uniq).cast("double") /
+        greatest(total, lit(1L)).cast("double"), 4).as("rep_bigram_frac"))
+    val termCounts = df.select(idCol.as("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val topTerm = termCounts.groupBy("doc_id")
+      .agg(min(struct((-col("cnt")).as("nc"), col("term"))).as("top"))
+      .select(col("doc_id"), col("top.term").as("top_term"),
+        (-col("top.nc")).as("top_cnt"))
+    gramSide.join(topTerm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_bigrams"),
+        col("rep_bigram_frac"),
+        coalesce(col("top_term"), lit("")).as("top_term"),
+        round(coalesce(col("top_cnt"), lit(0L)).cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 4).as("top_term_frac"))
+  }
+
   /** A PII class: display name (column suffix), detection regex, and the
     * replacement token. Patterns stay inside the RE2-compatible subset
     * (character classes, bounded quantifiers, optional groups, `\b`) so

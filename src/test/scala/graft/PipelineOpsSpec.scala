@@ -102,6 +102,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("top_k_by_score_str"), "expected the string-keyed heap aggregate")
   }
 
+  // --------------------------------------------------- quality/repetition
+
+  test("gopherQualityStats: each rule gates independently, zero shuffles") {
+    val docs = Seq(
+      // 50 alpha words incl. stopwords, mean len in range → passes
+      (1L, (Seq.fill(12)("the quick brown fox").mkString(" ") + " it jumps")),
+      (2L, "too few words here"), // n_words < 50
+      (3L, Seq.fill(60)("x").mkString(" ")), // mean_word_len 1.0 < 3.0
+      (4L, Seq.fill(60)("12345").mkString(" "))). // no alpha, no stopwords
+      toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualityStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(1L)._1 == 50 && got(1L)._5, s"doc1: ${got(1L)}")
+    assert(got(2L)._1 == 4 && !got(2L)._5)
+    assert(got(3L)._2 == 1.0 && !got(3L)._5)
+    assert(got(4L)._3 == 0.0 && got(4L)._4 == 0L && !got(4L)._5)
+    val plan = TextAnalysis.gopherQualityStats(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "quality gate must not shuffle")
+  }
+
+  test("repetitionStats: bigram repetition and top-term share with deterministic ties") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "all words differ here now"), // no repetition; tie on cnt=1 → 'all'
+      (3L, "z z z z")).toDF("doc_id", "text") // one token dominates
+    val got = TextAnalysis.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getDouble(5)))).toMap
+    assert(got(1L) == ((6L, 5L, 0.6, "a", 0.5)))
+    assert(got(2L) == ((5L, 4L, 0.0, "all", 0.2)))
+    assert(got(3L) == ((4L, 3L, 0.6667, "z", 1.0)))
+  }
+
   // --------------------------------------------------------------- pii
 
   test("scrubPii: detects and redacts each class, ip wins over phone on dotted quads") {
