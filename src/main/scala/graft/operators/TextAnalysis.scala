@@ -130,9 +130,10 @@ object TextAnalysis {
     * Scale shape: the bigram side is pure array expressions
     * (`size − size(array_distinct)`) — zero shuffle. The top-term side
     * needs a per-(doc, term) count, which partial-aggregates, then reduces
-    * per doc via `min(struct(−count, term))` (deterministic ties toward
-    * the lexicographically smaller term) and joins back at doc
-    * cardinality — span instances never shuffle anywhere.
+    * per doc through the string-keyed bounded heap with k = 1 (count desc,
+    * term asc — deterministic ties, and hash-aggregable where a
+    * `min(struct(...))` would force a SortAggregate) and joins back at doc
+    * cardinality — token instances never shuffle into any join.
     */
   def repetitionStats(
       df: DataFrame,
@@ -153,9 +154,11 @@ object TextAnalysis {
     val termCounts = df.select(idCol.as("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
     val topTerm = termCounts.groupBy("doc_id")
-      .agg(min(struct((-col("cnt")).as("nc"), col("term"))).as("top"))
-      .select(col("doc_id"), col("top.term").as("top_term"),
-        (-col("top.nc")).as("top_cnt"))
+      .agg(graft.functions.TopKByStrKey.topK(
+        col("cnt").cast("double"), col("term"), 1).as("tk"))
+      .select(col("doc_id"),
+        element_at(col("tk"), 1).getField("id").as("top_term"),
+        element_at(col("tk"), 1).getField("score").cast("long").as("top_cnt"))
     gramSide.join(topTerm, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("n_bigrams"),
         col("rep_bigram_frac"),

@@ -291,12 +291,14 @@ object TextDedup {
     *
     * Scale shape — NO join back onto the exploded span stream (a viral
     * boilerplate span is a skew key there). Spans partial-aggregate to
-    * (doc, key) multiplicities in one shuffle; from there a key-level
-    * aggregate finds the UNIQUE keys (df = 1), each of which names its one
-    * owning document, so per-doc duplicate counts come from
-    * `n_spans − n_unique` via a doc-cardinality join — every shuffle after
-    * the first moves aggregate rows, never span instances, and the hottest
-    * key in the corpus collapses map-side.
+    * (doc, key) multiplicities; a key-level aggregate then finds the
+    * UNIQUE keys (df = 1), each of which names its one owning document, so
+    * per-doc duplicate counts come from `n_spans − n_unique` via a
+    * doc-cardinality join. The hottest key in the corpus collapses
+    * map-side, and no shuffle ever carries span instances to a join. The
+    * two consumers of the (doc, key) aggregate are separate plan branches
+    * (shared via exchange reuse when the planner applies it; recomputed
+    * scans otherwise — either way the skew-join surface never exists).
     *
     * Returns `(doc_id, n_spans, n_dup_spans, dup_frac)` for every document
     * with ≥ `windowTokens` tokens.
