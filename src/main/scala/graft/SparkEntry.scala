@@ -955,7 +955,27 @@ object SparkEntry {
     // struct-min tie-break, doc-cardinality join back).
     "q77_repetition" -> ((s, dir) =>
       graft.operators.TextAnalysis.repetitionStats(
-        table(s, dir, "documents"), col("doc_id"), col("text")))
+        table(s, dir, "documents"), col("doc_id"), col("text"))),
+
+    // Fixed-width histogram: (min,max) agg → codegen bucket expr → one
+    // partial-aggregated count. The distribution view of a corpus report.
+    "q78_histogram" -> ((s, dir) =>
+      graft.operators.Profiling.histogram(
+        table(s, dir, "documents"), "n_chars", nBuckets = 20)),
+
+    // JL random projection 64→16: deterministic ±1/√k sign matrix folded
+    // into the plan as literals; one zip_with/aggregate projection at scan
+    // speed, zero shuffles.
+    "q79_random_projection" -> ((s, dir) =>
+      graft.operators.RandomProjection.project(
+        table(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        inDim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("projected")))
+        // + 0.0 normalizes IEEE negative zero: a ~1e-17 sum can land on
+        // opposite sides of zero per engine and round to -0.0 vs 0.0,
+        // which the driver's string-keyed row sort treats as different
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          (round(col("col"), 4) + lit(0.0)).as("val")))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1234,6 +1254,36 @@ object SparkEntry {
         |  COALESCE(top.term, '') AS top_term,
         |  ROUND(CAST(COALESCE(top.c, 0) AS DOUBLE) / greatest(g.n_words, 1), 4) AS top_term_frac
         |FROM gram g LEFT JOIN top USING (doc_id)""".stripMargin,
+
+    // q78: the oracle recomputes min/max and replays the identical IEEE
+    // bucket arithmetic ((x-lo)/((hi-lo)/20), floor, clamp).
+    "q78_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
+        |mm AS (SELECT min(x) AS mn, max(x) AS mx FROM v),
+        |b AS (
+        |  SELECT least(19, CAST(floor((x - mn) / ((mx - mn) / 20)) AS BIGINT)) AS bucket,
+        |    mn, mx
+        |  FROM v CROSS JOIN mm)
+        |SELECT bucket,
+        |  ROUND(mn + bucket * ((mx - mn) / 20), 4) AS lo,
+        |  ROUND(mn + (bucket + 1) * ((mx - mn) / 20), 4) AS hi,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY bucket, mn, mx""".stripMargin,
+
+    // q79: the sign matrix is deterministic (MD5-seeded), so its literals
+    // embed in the oracle exactly like the k-means codebooks.
+    "q79_random_projection" -> {
+      val values = graft.operators.RandomProjection.matrix(42L, 16, 64)
+        .zipWithIndex
+        .map { case (row, j) => s"($j, [${row.mkString(", ")}]::DOUBLE[])" }
+        .mkString(", ")
+      s"""WITH m(pos, mv) AS (VALUES $values),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+         |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+         |  ROUND(list_dot_product(ev, mv), 4) + 0.0 AS val
+         |FROM v CROSS JOIN m""".stripMargin
+    },
 
     // q74 replays injection + sequential scrub; DuckDB regexp_replace
     // needs the 'g' flag to match Spark's replace-all semantics, and the

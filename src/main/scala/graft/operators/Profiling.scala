@@ -40,4 +40,37 @@ object Profiling {
         col(s"mx_$c").as("max_value"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Fixed-width histogram of a numeric column — the length/score
+    * distribution view every corpus report includes.
+    *
+    * Two jobs: a (min, max) aggregate (two doubles to the driver), then
+    * bucket assignment as a codegen expression feeding one
+    * partial-aggregated count — the value stream shuffles as (bucket,
+    * partial count) rows, bytes per partition. Values at `max` clamp into
+    * the last bucket; only non-empty buckets return.
+    *
+    * Returns `(bucket, lo, hi, cnt)` with `lo`/`hi` the bucket bounds.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be > 0")
+    val v = col(valueCol).cast("double")
+    val Array(lo, hi) = df.filter(v.isNotNull)
+      .agg(min(v), max(v)).collect()(0) match {
+      case r if r.isNullAt(0) =>
+        throw new IllegalArgumentException(s"histogram($valueCol): no non-null values")
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    val width = (hi - lo) / nBuckets
+    val bucket =
+      if (width == 0.0) lit(0L) // constant column: everything in bucket 0
+      else least(lit(nBuckets - 1L), floor((v - lo) / width)).cast("long")
+    df.filter(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        round(lit(lo) + col("bucket") * width, 4).as("lo"),
+        round(lit(lo) + (col("bucket") + 1) * width, 4).as("hi"),
+        col("cnt"))
+  }
 }

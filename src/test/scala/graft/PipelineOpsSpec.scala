@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, ConnectedComponents, ProductQuantization, Profiling, Ranking, TextAnalysis}
+import graft.operators.{Chunking, ConnectedComponents, ProductQuantization, Profiling, RandomProjection, Ranking, TextAnalysis}
 
 /** Training-pipeline operators added in round 3: dedup clustering
   * (connected components), document chunking, TF-IDF keyword extraction,
@@ -135,6 +135,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(1L) == ((6L, 5L, 0.6, "a", 0.5)))
     assert(got(2L) == ((5L, 4L, 0.0, "all", 0.2)))
     assert(got(3L) == ((4L, 3L, 0.6667, "z", 1.0)))
+  }
+
+  // ------------------------------------------------- histogram/projection
+
+  test("histogram: fixed-width buckets, max clamps into the last, nulls drop") {
+    val df = Seq[java.lang.Double](0.0, 1.0, 4.9, 5.0, 9.9, 10.0, null)
+      .toDF("x")
+    val got = Profiling.histogram(df, "x", nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    // range [0,10], width 5: bucket0 = [0,5) → {0,1,4.9}; bucket1 = [5,10] → {5,9.9,10}
+    assert(got == Map(0L -> ((0.0, 5.0, 3L)), 1L -> ((5.0, 10.0, 3L))))
+    // constant column: single bucket 0, zero width
+    val const = Seq(7.0, 7.0).toDF("x")
+    val g2 = Profiling.histogram(const, "x", 4).collect()
+    assert(g2.length == 1 && g2(0).getLong(0) == 0L && g2(0).getLong(3) == 2L)
+    // all-null input refuses loudly
+    intercept[IllegalArgumentException] {
+      Profiling.histogram(Seq[java.lang.Double](null, null).toDF("x"), "x", 4)
+    }
+  }
+
+  test("randomProjection: deterministic sign matrix, scan-speed projection, JL sanity") {
+    val m = RandomProjection.matrix(42L, 4, 8)
+    assert(m.length == 4 && m.forall(_.length == 8))
+    assert(m.flatten.forall(v => math.abs(v) == 0.5)) // ±1/√4
+    assert(RandomProjection.matrix(42L, 4, 8).flatten.toSeq == m.flatten.toSeq) // reproducible
+    assert(RandomProjection.matrix(43L, 4, 8).flatten.toSeq != m.flatten.toSeq) // seed matters
+
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 2.0, 0.0, 0.0, 1.0, 0.0, 0.0)),
+      (2L, Array(0.0, 3.0, 0.0, 0.0, 1.0, 0.0, 0.0, 2.0))).toDF("vec_id", "v")
+    val got = RandomProjection.project(vecs, col("vec_id"), col("v"), 8, 4, 42L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // matches the driver-side matrix multiply exactly
+    val in = Map(1L -> Array(1.0, 0.0, 2.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+      2L -> Array(0.0, 3.0, 0.0, 0.0, 1.0, 0.0, 0.0, 2.0))
+    in.foreach { case (id, x) =>
+      val expect = m.map(row => row.zip(x).map { case (a, b) => a * b }
+        .foldLeft(0.0)(_ + _))
+      assert(got(id) == expect.toSeq, s"vec $id")
+    }
+    // zero shuffles: literals fold into one projection
+    val plan = RandomProjection.project(vecs, col("vec_id"), col("v"), 8, 4, 42L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "projection must not shuffle")
   }
 
   // --------------------------------------------------------------- pii
