@@ -963,6 +963,14 @@ object SparkEntry {
       graft.operators.Profiling.histogram(
         table(s, dir, "documents"), "n_chars", nBuckets = 20)),
 
+    // Unigram log-prob quality score (perplexity-filter family): top-30
+    // vocabulary by corpus frequency (small so the OOV path exercises),
+    // broadcast back onto the token stream, per-doc mean log p.
+    "q80_unigram_logprob" -> ((s, dir) =>
+      graft.operators.TextAnalysis.unigramLogProbScore(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        vocabSize = 30)),
+
     // JL random projection 64→16: deterministic ±1/√k sign matrix folded
     // into the plan as literals; one zip_with/aggregate projection at scan
     // speed, zero shuffles.
@@ -1254,6 +1262,25 @@ object SparkEntry {
         |  COALESCE(top.term, '') AS top_term,
         |  ROUND(CAST(COALESCE(top.c, 0) AS DOUBLE) / greatest(g.n_words, 1), 4) AS top_term_frac
         |FROM gram g LEFT JOIN top USING (doc_id)""".stripMargin,
+
+    // q80: DuckDB rebuilds the same top-30 vocab (count desc, term asc)
+    // and replays the smoothed unigram scoring; ln + AVG agree under
+    // ROUND(4) with negative-zero normalization.
+    "q80_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+        |cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        |vocab AS (
+        |  SELECT term, c FROM (
+        |    SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rn FROM cnt)
+        |  WHERE rn <= 30),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cnt)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(AVG(ln(COALESCE(CAST(v.c AS DOUBLE), 0.5) / n_total)), 4) + 0.0 AS logprob
+        |FROM tok LEFT JOIN vocab v USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     // q78: the oracle recomputes min/max and replays the identical IEEE
     // bucket arithmetic ((x-lo)/((hi-lo)/20), floor, clamp).

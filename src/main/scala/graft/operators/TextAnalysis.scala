@@ -167,6 +167,56 @@ object TextAnalysis {
           greatest(col("n_words"), lit(1L)).cast("double"), 4).as("top_term_frac"))
   }
 
+  /** Unigram log-probability scoring — the perplexity-filter family
+    * (CCNet / RedPajama): score each document by the mean log-probability
+    * of its tokens under the corpus's own unigram distribution; very low
+    * scores mark gibberish, very high scores mark degenerate repetition.
+    *
+    * The language model is the top-`vocabSize` terms by corpus frequency
+    * (ties toward the lexicographically smaller term); out-of-vocabulary
+    * tokens get probability `oovCount / N`. True perplexity needs an
+    * external n-gram LM; the unigram form is the self-contained variant
+    * with the same pipeline shape.
+    *
+    * Scale shape: global term counts partial-aggregate (one shuffle of
+    * (term, count) rows), then vocabulary AND corpus total reduce in ONE
+    * aggregate — the string-keyed bounded heap plus a sum — to a single
+    * stats row that broadcasts as a term→count MAP. Scoring is then a
+    * codegen map lookup per token (no join at all), so the exploded token
+    * stream never meets a skewed join key (stopwords are the hottest
+    * terms AND the most common keys), followed by one partial-aggregated
+    * per-doc average.
+    *
+    * Returns `(doc_id, n_tokens, logprob)`.
+    */
+  def unigramLogProbScore(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      vocabSize: Int = 50000,
+      oovCount: Double = 0.5): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be > 0")
+    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
+    val tok = df.select(idCol.as("doc_id"), explode(toks).as("term"))
+    val termCounts = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val stats = termCounts
+      .agg(
+        graft.functions.TopKByStrKey.topK(
+          col("cnt").cast("double"), col("term"), vocabSize).as("tk"),
+        sum("cnt").cast("double").as("n_total"))
+      .select(
+        map_from_arrays(
+          transform(col("tk"), e => e.getField("id")),
+          transform(col("tk"), e => e.getField("score"))).as("vocab"),
+        col("n_total"))
+    tok.crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (round(avg(log(
+          coalesce(element_at(col("vocab"), col("term")), lit(oovCount))
+            / col("n_total"))), 4) + lit(0.0)).as("logprob"))
+  }
+
   /** A PII class: display name (column suffix), detection regex, and the
     * replacement token. Patterns stay inside the RE2-compatible subset
     * (character classes, bounded quantifiers, optional groups, `\b`) so

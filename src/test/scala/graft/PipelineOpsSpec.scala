@@ -182,6 +182,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "projection must not shuffle")
   }
 
+  test("unigramLogProbScore: smoothed OOV, vocab tie-break, broadcast join") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // counts: a=3, b=1, c=1; N=5; top-2 vocab = a, b (tie c/b -> b)
+    val got = TextAnalysis.unigramLogProbScore(
+      docs, col("doc_id"), col("text"), vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, r4((2 * math.log(0.6) + math.log(0.2)) / 3))))
+    assert(got(2L) == ((2L, r4((math.log(0.6) + math.log(0.5 / 5)) / 2))))
+    val plan = TextAnalysis.unigramLogProbScore(
+      docs, col("doc_id"), col("text"), vocabSize = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "the one-row vocab/total stats must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "token stream must never shuffle into a join")
+  }
+
   // --------------------------------------------------------------- pii
 
   test("scrubPii: detects and redacts each class, ip wins over phone on dotted quads") {
