@@ -104,11 +104,46 @@ object Multimodal {
     else Array(channels, rate, block, dataOff, dataLen)
   }
 
+  /** Walks JPEG segments ([0xFF marker][BE16 length incl. itself]) to the
+    * first SOF0–SOF15 frame header (excluding DHT/DNL/DAC 0xC4/C8/CC) and
+    * returns (width, height), or null if the stream is not a well-formed
+    * JPEG. Dims live at fixed offsets inside SOF: [len 2][precision 1]
+    * [height BE16][width BE16].
+    */
+  private def jpegDims(b: Array[Byte]): Array[Int] = {
+    if (!(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)) return null
+    var off = 2
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return null
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone markers with no payload
+      } else if (marker == 0xda || marker == 0xd9) {
+        return null // entropy-coded data / EOI before any SOF
+      } else {
+        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > b.length) return null
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 7) return null
+          val h = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+          val w = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+          return Array(w, h)
+        }
+        off += 2 + len
+      }
+    }
+    null
+  }
+
   /** Pure-JVM header codec: sniffs the container by magic bytes and reads
     * the dimensions from the header at fixed offsets — PNG IHDR (big-endian
     * at 16/20), BMP DIB header (little-endian at 18/22, or the legacy
-    * 12-byte BITMAPCOREHEADER with 16-bit dims), WAV fmt/data chunks.
-    * Never throws: malformed input degrades to `format = "unknown"`.
+    * 12-byte BITMAPCOREHEADER with 16-bit dims), GIF logical screen
+    * (little-endian at 6/8), JPEG SOF frame header (segment walk), WAV
+    * fmt/data chunks. Never throws: malformed input degrades to
+    * `format = "unknown"`.
     */
   def decodeMeta(id: Long, b: Array[Byte]): DecodedMeta = {
     val n = b.length.toLong
@@ -121,11 +156,18 @@ object Multimodal {
       else if (dibSize >= 40 && b.length >= 14 + dibSize) // BITMAPINFOHEADER+
         DecodedMeta(id, "bmp", n, le32(b, 18), math.abs(le32(b, 22)), 1, 0, 0)
       else DecodedMeta(id, "unknown", n, 0, 0, 0, 0, 0)
+    } else if (b.length >= 10 &&
+      (hasPrefix(b, "GIF87a".getBytes) || hasPrefix(b, "GIF89a".getBytes))) {
+      DecodedMeta(id, "gif", n, le16(b, 6), le16(b, 8), 1, 0, 0)
     } else {
-      val w = wavChunks(b)
-      if (w != null)
-        DecodedMeta(id, "wav", n, 0, 0, w(4) / w(2), w(1), w(0))
-      else DecodedMeta(id, "unknown", n, 0, 0, 0, 0, 0)
+      val j = jpegDims(b)
+      if (j != null) DecodedMeta(id, "jpeg", n, j(0), j(1), 1, 0, 0)
+      else {
+        val w = wavChunks(b)
+        if (w != null)
+          DecodedMeta(id, "wav", n, 0, 0, w(4) / w(2), w(1), w(0))
+        else DecodedMeta(id, "unknown", n, 0, 0, 0, 0, 0)
+      }
     }
   }
 

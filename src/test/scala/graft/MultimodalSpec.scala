@@ -54,6 +54,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeMeta: JPEG and GIF written by the JDK's own encoders parse correctly") {
+    import java.awt.image.BufferedImage
+    for ((w, h) <- Seq((33, 21), (640, 480), (1, 1))) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (fmt <- Seq("jpg", "gif")) {
+        val bos = new java.io.ByteArrayOutputStream()
+        assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+        val m = Multimodal.decodeMeta(1L, bos.toByteArray)
+        val expect = if (fmt == "jpg") "jpeg" else "gif"
+        assert(m.format == expect, s"$fmt sniffed as ${m.format}")
+        assert(m.width == w && m.height == h, s"$fmt ${w}x$h parsed as ${m.width}x${m.height}")
+        assert(m.n_frames == 1)
+      }
+    }
+    // truncated JPEG (header cut before any SOF) degrades to unknown
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB), "jpg", bos)
+    assert(Multimodal.decodeMeta(1L, bos.toByteArray.take(8)).format == "unknown")
+  }
+
   test("decodeMeta: BMP legacy BITMAPCOREHEADER (12-byte DIB, 16-bit dims)") {
     // hand-built minimal COREHEADER bmp: 14 file header + 12 DIB
     val b = new Array[Byte](26)

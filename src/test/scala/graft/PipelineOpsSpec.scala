@@ -222,6 +222,15 @@ class PipelineOpsSpec extends SparkSpec {
     val plan = TextAnalysis.scrubPii(docs, col("doc_id"), col("text"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "scrub must not shuffle")
+    // idempotence: a scrubbed text has nothing left to scrub
+    val once = TextAnalysis.scrubPii(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text_clean"))
+    val twice = TextAnalysis.scrubPii(once, col("doc_id"), col("text_clean"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+    twice.foreach { case (id, (e, ip, ph, txt)) =>
+      assert(e == 0 && ip == 0 && ph == 0, s"doc $id re-detected PII")
+      assert(got(id)._4 == txt, s"doc $id changed on second scrub")
+    }
   }
 
   // ----------------------------------------------------- ranking/profiling

@@ -164,6 +164,49 @@ class TextDedupSpec extends SparkSpec {
     assert(got(4L) == "too few tokens") // sub-window doc passes whole
   }
 
+  test("span dedup matches a plain-Scala reference on a randomized corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val vocab = Array("a", "b", "c", "d", "e") // tiny vocab → dup windows certain
+    val docs = (1L to 40L).map { id =>
+      val n = 2 + rnd.nextInt(30)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val (w, s) = (4, 2)
+    // reference: the operator semantics in ~15 lines of plain Scala
+    val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val spans = toks.toSeq.flatMap { case (id, ts) =>
+      (0 to ts.length - w by s).map(st => (id, st, ts.slice(st, st + w).mkString(" ")))
+    }
+    val df = spans.groupBy(_._3).map { case (k, v) => k -> v.size }
+    val statsRef = spans.groupBy(_._1).map { case (id, ss) =>
+      val dup = ss.count(x => df(x._3) >= 2)
+      id -> ((ss.size.toLong, dup.toLong,
+        BigDecimal(dup.toDouble / ss.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val stripRef = toks.map { case (id, ts) =>
+      val dupStarts = spans.filter(x => x._1 == id && df(x._3) >= 2).map(_._2)
+      id -> ts.zipWithIndex.collect {
+        case (t, i) if !dupStarts.exists(st => st <= i && i < st + w) => t
+      }.mkString(" ")
+    }
+
+    val corpus = docs.toDF("doc_id", "text")
+    val gotStats = TextDedup.spanDuplicationStats(
+      corpus, col("doc_id"), col("text"), windowTokens = w, stride = s)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotStats == statsRef, "stats diverge from reference")
+    val gotStrip = TextDedup.stripDuplicateSpans(
+      corpus, col("doc_id"), col("text"), windowTokens = w, stride = s)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotStrip == stripRef, "strip diverges from reference")
+    // cross-invariant: zero duplicate spans ⇔ strip leaves the tokens intact
+    toks.foreach { case (id, ts) =>
+      if (gotStats.get(id).forall(_._2 == 0L))
+        assert(gotStrip(id) == ts.mkString(" "), s"doc $id stripped without dups")
+    }
+  }
+
   test("span dedup rejects degenerate window/stride") {
     import spark.implicits._
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
