@@ -46,6 +46,7 @@ object SparkEntry {
     */
   @volatile private[graft] var q53Centroids: Option[Array[Array[Double]]] = None
   @volatile private[graft] var q75Centroids: Option[Array[Array[Double]]] = None
+  @volatile private[graft] var q81Centroids: Option[Array[Array[Double]]] = None
 
   /** Centroids trained by the last q60 run (same capture pattern). */
   @volatile private[graft] var q60Centroids: Option[Array[Array[Double]]] = None
@@ -963,6 +964,24 @@ object SparkEntry {
       graft.operators.Profiling.histogram(
         table(s, dir, "documents"), "n_chars", nBuckets = 20)),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
+    // trained-codebook cosine near-dup pairs → connected components →
+    // keep ONE representative (min id) per semantic group. The composed
+    // form of q60 + q61 that a curation pipeline actually runs.
+    "q81_semdedup" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val (pairs, cb) = graft.operators.Dedup.cosineNearDupAuto(
+        emb, col("vec_id"), col("embedding"),
+        threshold = 0.3, nlist = 8, nprobe = 2, iters = 3)
+      q81Centroids = Some(cb)
+      // pointerHalving: a loose-threshold semantic graph is chain-shaped,
+      // so rounds must be O(log diameter), not O(diameter)
+      graft.operators.ConnectedComponents.clusterPairs(
+          pairs, emb, col("vec_id"), pointerHalving = true)
+        .filter(col("is_canonical"))
+        .select(col("id").as("vec_id"), col("component"))
+    }),
+
     // Unigram log-prob quality score (perplexity-filter family): top-30
     // vocabulary by corpus frequency (small so the OOV path exercises),
     // broadcast back onto the token stream, per-doc mean log p.
@@ -992,6 +1011,7 @@ object SparkEntry {
     ("q23_simhash_hamming" -> q23OracleSql) +
     ("q53_ivf_trained" -> q53OracleSql) +
     ("q75_disk_ivf" -> q75OracleSql) +
+    ("q81_semdedup" -> q81OracleSql) +
     ("q60_neardup_auto" -> q60OracleSql) +
     ("q64_pq_adc" -> q64OracleSql)
 
@@ -1105,6 +1125,45 @@ object SparkEntry {
            |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
            |      FROM s)
            |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
+    }
+  }
+
+  /** q81's oracle: q60's pair generation (captured centroids, 2-nearest
+    * probing, co-occurrence candidates, exact cosine > 0.3) feeding q61's
+    * recursive-CTE transitive closure, keeping only rows whose min
+    * reachable id is themselves — the SemDeDup survivors.
+    */
+  private def q81OracleSql: String = {
+    // Captured-run centroids ONLY — same FP-order rationale as q53.
+    q81Centroids match {
+      case None => unavailableOracle
+      case Some(cb) =>
+        s"""WITH RECURSIVE cent(cell, cvec) AS (VALUES ${centroidValues(cb)}),
+           |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+           |probed AS (
+           |  SELECT id, cell FROM (
+           |    SELECT id, cell, ROW_NUMBER() OVER (PARTITION BY id
+           |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
+           |        cell ASC) AS pr
+           |    FROM v CROSS JOIN cent) WHERE pr <= 2),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM probed a JOIN probed b ON a.cell = b.cell AND a.id < b.id),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM (
+           |    SELECT id_a, id_b, list_cosine_similarity(x.v, y.v) AS score
+           |    FROM cand JOIN v x ON x.id = id_a JOIN v y ON y.id = id_b)
+           |  WHERE score > 0.3),
+           |edges AS (SELECT id_a AS u, id_b AS w FROM pairs UNION SELECT id_b, id_a FROM pairs),
+           |reach(u, w) AS (
+           |  SELECT u, w FROM edges
+           |  UNION
+           |  SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u)
+           |SELECT d.id AS vec_id,
+           |  LEAST(d.id, COALESCE(MIN(r.w), d.id)) AS component
+           |FROM v d LEFT JOIN reach r ON r.u = d.id
+           |GROUP BY d.id
+           |HAVING LEAST(d.id, COALESCE(MIN(r.w), d.id)) = d.id""".stripMargin
     }
   }
 

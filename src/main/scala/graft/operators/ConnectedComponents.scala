@@ -10,29 +10,32 @@ import org.apache.spark.sql.functions._
   * trivial filter. The reference stops at pairwise loading; this is the
   * operator a 100 TB dedup pipeline actually ends with.
   *
-  * Algorithm: iterated min-label propagation. Each round every vertex
-  * takes the minimum component label among itself and its neighbors; the
-  * loop stops when a round changes no label. Each round is ONE shuffle
-  * (edge–label equi-join + min-aggregate on vertex id) over rows of two
-  * longs — never the document bodies — and rounds are bounded by the
-  * component diameter. Near-dup graphs are dense local cliques (threshold
-  * joins emit most pairs of a group directly), so diameters are tiny in
-  * practice; for adversarial long-chain graphs the same loop accepts a
-  * `maxIters` bound and reports non-convergence instead of looping forever.
-  * (The O(log n)-round large-star/small-star variant trades ~2× work per
-  * round for that guarantee; min-propagation is the better default for
-  * dedup-shaped graphs.)
+  * Algorithm: iterated min-label propagation, with OPTIONAL pointer
+  * halving. Each round every vertex takes the minimum component label
+  * among itself and its neighbors; with `pointerHalving` it then follows
+  * its label one hop (component := component's component — labels always
+  * point at vertex ids, so the hop is an id-keyed self-join). Neighbor-min
+  * alone converges in diameter rounds — right for the dense local cliques
+  * threshold near-dup joins emit (diameter 1–3), hopeless for chain-shaped
+  * graphs (a semantic-similarity graph at a loose threshold IS
+  * chain-shaped); the shortcut doubles how far label information reaches
+  * per round, giving O(log diameter) rounds for one extra two-long-column
+  * join per round. The loop stops when a round changes no label, and
+  * `maxIters` reports non-convergence instead of looping forever.
   *
   * Lineage & storage discipline: the symmetrized edge list is checkpointed
   * once (it usually IS a near-dup pipeline — re-running it per round would
-  * multiply the expensive part by the round count); each round's labels
-  * are persisted and the previous round's explicitly unpersisted, so the
-  * loop holds at most TWO label snapshots plus the edges at any moment;
-  * and the RETURNED frame is local-checkpointed so callers get a flat
-  * plan, not one nesting every round (a 25-round loop would otherwise
-  * plan ~100 exchanges and replay them all on recompute). On a cluster
-  * where executor loss must survive the loop, swap `localCheckpoint` for
-  * reliable `checkpoint()` — same shape, storage-backed.
+  * multiply the expensive part by the round count), and EVERY round's
+  * labels are eagerly local-checkpointed, not merely persisted. Persist
+  * caches the data but leaves the logical plan nesting round over round,
+  * and plan-proportional driver work (optimization, per-action explain
+  * instrumentation) goes super-linear with depth — a long-diameter graph
+  * hangs the DRIVER while executors sit idle. The checkpoint cuts each
+  * round's plan to a flat scan of the previous snapshot, so driver cost
+  * per round is constant; superseded snapshots are dropped by reference
+  * and reaped by the ContextCleaner. On a cluster where executor loss
+  * must survive the loop, swap `localCheckpoint` for reliable
+  * `checkpoint()` — same shape, storage-backed.
   */
 object ConnectedComponents {
 
@@ -43,7 +46,20 @@ object ConnectedComponents {
     * @throws IllegalStateException if `maxIters` rounds do not converge —
     *         a truncated closure would silently merge or split clusters.
     */
-  def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 25): DataFrame = {
+  /** @param pointerHalving follow each label one extra hop per round
+    *        (component := component's component), converging in
+    *        O(log diameter) rounds instead of O(diameter) at the cost of
+    *        one extra two-long-column join per round. Turn ON for graphs
+    *        with long chains (semantic-similarity edges at loose
+    *        thresholds); leave OFF for the dense local cliques threshold
+    *        near-dup joins emit, where diameters are 1–3 and the extra
+    *        per-round stages outweigh the saved rounds.
+    */
+  def run(
+      edges: DataFrame,
+      vertices: DataFrame,
+      maxIters: Int = 25,
+      pointerHalving: Boolean = false): DataFrame = {
     // checkpoint the symmetrized edge list ONCE: `edges` is typically the
     // output of a near-dup pipeline (minhash + verify joins), and every
     // propagation round joins against it — without materialization each
@@ -52,8 +68,9 @@ object ConnectedComponents {
       .select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint()
-    var labels = vertices.select(col("id"), col("id").as("component")).persist()
-    labels.count() // materialize so round 1 reads a snapshot, not a plan
+    // eager checkpoint: round 1 reads a flat snapshot, not a plan
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
 
     var converged = false
     var iter = 0
@@ -61,17 +78,33 @@ object ConnectedComponents {
       // neighbor messages: every edge u<-v forwards v's current component
       val msgs = sym.join(labels, sym("v") === labels("id"))
         .select(sym("u").as("id"), col("component"))
-      val next = labels.unionByName(msgs)
+      // LAZY localCheckpoint: the round's one action (the convergence
+      // count below) materializes it as a side effect, and from then on
+      // the plan reads a flat snapshot — the lineage cut that keeps
+      // per-round driver cost constant (persist leaves the plan nesting
+      // round over round, and plan-proportional driver work goes
+      // super-linear with depth). The cut also makes the shortcut below a
+      // self-join of a snapshot — self-joining the live union+agg plan
+      // trips analyzer constraint rewriting.
+      val mins = labels.unionByName(msgs)
         .groupBy("id").agg(min("component").as("component"))
-        .persist()
-      // one action materializes the round AND answers the convergence
-      // test: a vertex whose label shrank means another round is needed
+        .localCheckpoint(eager = false)
+      // pointer halving (optional): labels always point AT vertex ids, so
+      // following the pointer one hop doubles how far label information
+      // reaches per round — see the `pointerHalving` param doc.
+      val next =
+        if (!pointerHalving) mins
+        else mins
+          .join(mins.select(col("id").as("rid"), col("component").as("rcomp")),
+            col("component") === col("rid"))
+          .select(col("id"), col("rcomp").as("component"))
+      // convergence test over two flat snapshots: a vertex whose label
+      // shrank means another round is needed
       val changed = next.as("n")
         .join(labels.as("p"), "id")
         .filter(col("n.component") =!= col("p.component"))
         .limit(1).count()
-      labels.unpersist() // bound loop storage to two snapshots
-      labels = next
+      labels = next // superseded snapshot reaped by the ContextCleaner
       converged = changed == 0
       iter += 1
     }
@@ -79,20 +112,22 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds — " +
           "component diameter exceeds the bound; raise maxIters")
-    // hand the caller a flat-lineage frame, then release the loop snapshot
-    val result = labels.localCheckpoint()
-    labels.unpersist()
-    result
+    // hand the caller a materialized flat-lineage frame
+    labels.localCheckpoint()
   }
 
   /** Convenience: cluster a near-dup pair list `(id_a, id_b, ...)` over the
     * full corpus id set, returning every corpus id with its cluster and
     * whether it is the cluster's canonical representative (the minimum id).
     */
-  def clusterPairs(pairs: DataFrame, allIds: DataFrame, idCol: Column): DataFrame = {
+  def clusterPairs(
+      pairs: DataFrame,
+      allIds: DataFrame,
+      idCol: Column,
+      pointerHalving: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val vertices = allIds.select(idCol.as("id"))
-    run(edges, vertices)
+    run(edges, vertices, pointerHalving = pointerHalving)
       .withColumn("is_canonical", col("id") === col("component"))
   }
 }

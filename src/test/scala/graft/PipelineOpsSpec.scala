@@ -24,6 +24,27 @@ class PipelineOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("connected components: pointer halving matches plain propagation, in far fewer rounds") {
+    // 40-link chain: diameter-bound propagation needs ~40 rounds; with
+    // halving the same graph converges inside 10
+    val edges = (1L to 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val vertices = (1L to 41L).toDF("id")
+    val got = ConnectedComponents.run(edges, vertices, maxIters = 10, pointerHalving = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 41L).map(_ -> 1L).toMap)
+    // without halving the same budget must refuse rather than mis-answer
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, vertices, maxIters = 10)
+    }
+    // clique + singleton agree across both modes
+    val mixE = Seq((10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val mixV = Seq(10L, 11L, 12L, 20L).toDF("id")
+    val a = ConnectedComponents.run(mixE, mixV).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = ConnectedComponents.run(mixE, mixV, pointerHalving = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("connected components: non-convergence is an error, not a wrong answer") {
     // a 6-chain needs >1 min-propagation round; maxIters=1 must throw
     val edges = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
