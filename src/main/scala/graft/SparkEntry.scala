@@ -1342,13 +1342,16 @@ object SparkEntry {
         |GROUP BY doc_id""".stripMargin,
 
     // q78: the oracle recomputes min/max and replays the identical IEEE
-    // bucket arithmetic ((x-lo)/((hi-lo)/20), floor, clamp).
+    // bucket arithmetic ((x-lo)/((hi-lo)/20), floor, clamp). The mx = mn
+    // branch mirrors the engine's width==0 guard (constant column → all
+    // rows in bucket 0) so a degenerate corpus cannot diverge on 0/0.
     "q78_histogram" ->
       """WITH v AS (
         |  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE n_chars IS NOT NULL),
         |mm AS (SELECT min(x) AS mn, max(x) AS mx FROM v),
         |b AS (
-        |  SELECT least(19, CAST(floor((x - mn) / ((mx - mn) / 20)) AS BIGINT)) AS bucket,
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(19, CAST(floor((x - mn) / ((mx - mn) / 20)) AS BIGINT)) END AS bucket,
         |    mn, mx
         |  FROM v CROSS JOIN mm)
         |SELECT bucket,

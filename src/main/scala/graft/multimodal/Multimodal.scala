@@ -84,23 +84,28 @@ object Multimodal {
     */
   private def wavChunks(b: Array[Byte]): Array[Int] = {
     if (!(hasPrefix(b, "RIFF".getBytes) && tagAt(b, 8, "WAVE"))) return null
-    var off = 12
+    // Long arithmetic throughout: a crafted chunk size near 2^31 must not
+    // wrap `off + 8 + size` negative and slip past the bounds check.
+    var off = 12L
     var channels, rate, block = -1
     var dataOff, dataLen = -1
     while (off + 8 <= b.length && (block < 0 || dataOff < 0)) {
-      val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return null
-      if (tagAt(b, off, "fmt ") && size >= 16) {
-        channels = le16(b, off + 10)
-        rate = le32(b, off + 12)
-        block = le16(b, off + 20)
-      } else if (tagAt(b, off, "data")) {
-        dataOff = off + 8
-        dataLen = size
+      val size = le32(b, off.toInt + 4).toLong & 0xffffffffL
+      if (off + 8 + size > b.length) return null
+      if (tagAt(b, off.toInt, "fmt ") && size >= 16) {
+        channels = le16(b, off.toInt + 10)
+        rate = le32(b, off.toInt + 12)
+        block = le16(b, off.toInt + 20)
+      } else if (tagAt(b, off.toInt, "data")) {
+        dataOff = off.toInt + 8
+        dataLen = size.toInt
       }
       off += 8 + size + (size & 1) // chunks are even-aligned
     }
-    if (channels <= 0 || rate <= 0 || block <= 0 || dataOff < 0) null
+    // block >= 2: the PCM reader consumes 2 bytes (one 16-bit sample) per
+    // frame, so blockAlign=1 would read one byte past the data chunk.
+    if (channels <= 0 || rate <= 0 || block < 2 || dataOff < 0 ||
+      dataOff.toLong + dataLen > b.length) null
     else Array(channels, rate, block, dataOff, dataLen)
   }
 
@@ -115,6 +120,11 @@ object Multimodal {
     var off = 2
     while (off + 4 <= b.length) {
       if ((b(off) & 0xff) != 0xff) return null
+      // Fill bytes: any number of extra 0xFF bytes may pad the gap between
+      // segments (ITU T.81 B.1.1.2); skip them so the marker byte and its
+      // length field are read from the right offsets.
+      while (off + 4 <= b.length && (b(off + 1) & 0xff) == 0xff) off += 1
+      if (off + 4 > b.length) return null
       val marker = b(off + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
         off += 2 // standalone markers with no payload

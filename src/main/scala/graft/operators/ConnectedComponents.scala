@@ -1,7 +1,10 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
 
 /** Connected components over an undirected edge list — the clustering step
   * that turns pairwise near-duplicate hits (MinHash / SimHash / cosine
@@ -26,16 +29,28 @@ import org.apache.spark.sql.functions._
   * Lineage & storage discipline: the symmetrized edge list is checkpointed
   * once (it usually IS a near-dup pipeline — re-running it per round would
   * multiply the expensive part by the round count), and EVERY round's
-  * labels are eagerly local-checkpointed, not merely persisted. Persist
-  * caches the data but leaves the logical plan nesting round over round,
-  * and plan-proportional driver work (optimization, per-action explain
+  * labels are checkpointed, not merely persisted. Persist caches the data
+  * but leaves the logical plan nesting round over round, and
+  * plan-proportional driver work (optimization, per-action explain
   * instrumentation) goes super-linear with depth — a long-diameter graph
   * hangs the DRIVER while executors sit idle. The checkpoint cuts each
   * round's plan to a flat scan of the previous snapshot, so driver cost
-  * per round is constant; superseded snapshots are dropped by reference
-  * and reaped by the ContextCleaner. On a cluster where executor loss
-  * must survive the loop, swap `localCheckpoint` for reliable
-  * `checkpoint()` — same shape, storage-backed.
+  * per round is constant. Superseded snapshots are unpersisted EXPLICITLY
+  * as soon as the round's convergence count materializes the new one, so
+  * live storage is bounded to two snapshots regardless of round count
+  * (driver GC + ContextCleaner would get there eventually, but
+  * nondeterministically).
+  *
+  * Fault tolerance: `reliable = false` (default) uses `localCheckpoint`,
+  * whose snapshots live in executor memory/disk — fastest, but one
+  * executor loss mid-loop makes a snapshot unrecoverable and fails the
+  * job. `reliable = true` uses storage-backed `checkpoint()` (requires
+  * `SparkContext.setCheckpointDir` pointing at fault-tolerant storage,
+  * e.g. HDFS/S3), which survives executor loss — the right setting for a
+  * long clustering loop on a real cluster. Checkpoint FILES of a reliable
+  * run are reclaimed by the ContextCleaner when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, or by
+  * deleting the checkpoint dir after the job.
   */
 object ConnectedComponents {
 
@@ -43,10 +58,7 @@ object ConnectedComponents {
     * `edges(src, dst)`. Returns `(id, component)` where `component` is the
     * minimum id reachable from `id` (singletons map to themselves).
     *
-    * @throws IllegalStateException if `maxIters` rounds do not converge —
-    *         a truncated closure would silently merge or split clusters.
-    */
-  /** @param pointerHalving follow each label one extra hop per round
+    * @param pointerHalving follow each label one extra hop per round
     *        (component := component's component), converging in
     *        O(log diameter) rounds instead of O(diameter) at the cost of
     *        one extra two-long-column join per round. Turn ON for graphs
@@ -54,23 +66,47 @@ object ConnectedComponents {
     *        thresholds); leave OFF for the dense local cliques threshold
     *        near-dup joins emit, where diameters are 1–3 and the extra
     *        per-round stages outweigh the saved rounds.
+    * @param reliable checkpoint label snapshots to the SparkContext
+    *        checkpoint dir (fault-tolerant storage) instead of executor
+    *        memory/disk — survives executor loss mid-loop; see class doc.
+    * @throws IllegalStateException if `maxIters` rounds do not converge —
+    *         a truncated closure would silently merge or split clusters.
+    * @throws IllegalArgumentException if `reliable` and no checkpoint dir
+    *         has been set on the SparkContext.
     */
   def run(
       edges: DataFrame,
       vertices: DataFrame,
       maxIters: Int = 25,
-      pointerHalving: Boolean = false): DataFrame = {
+      pointerHalving: Boolean = false,
+      reliable: Boolean = false): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    require(!reliable || sc.getCheckpointDir.isDefined,
+      "reliable checkpointing needs SparkContext.setCheckpointDir to point " +
+        "at fault-tolerant storage (HDFS/S3/shared FS)")
+    def snap(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliable) df.checkpoint(eager = eager)
+      else df.localCheckpoint(eager = eager)
+    def unpersistSnap(rdd: RDD[InternalRow]): Unit =
+      // local snapshots hold executor memory/disk blocks — free them NOW;
+      // a reliable snapshot's RDD is file-backed (unpersist is a no-op)
+      if (!reliable) rdd.unpersist(blocking = false)
+
     // checkpoint the symmetrized edge list ONCE: `edges` is typically the
     // output of a near-dup pipeline (minhash + verify joins), and every
     // propagation round joins against it — without materialization each
     // round would re-execute the whole upstream pipeline
-    val sym = edges
+    val sym = snap(edges
       .select(col("src").as("u"), col("dst").as("v"))
-      .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint()
+      .union(edges.select(col("dst").as("u"), col("src").as("v"))),
+      eager = true)
     // eager checkpoint: round 1 reads a flat snapshot, not a plan
-    var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+    var labels = snap(vertices.select(col("id"), col("id").as("component")),
+      eager = true)
+    // the storage-holding RDD behind the round's snapshot, for explicit
+    // reclamation once superseded (None only if a Spark version change
+    // stopped surfacing LogicalRDD — then we fall back to GC reaping)
+    var liveSnap: Option[RDD[InternalRow]] = GraftSqlBridge.snapshotRdd(labels)
 
     var converged = false
     var iter = 0
@@ -78,17 +114,17 @@ object ConnectedComponents {
       // neighbor messages: every edge u<-v forwards v's current component
       val msgs = sym.join(labels, sym("v") === labels("id"))
         .select(sym("u").as("id"), col("component"))
-      // LAZY localCheckpoint: the round's one action (the convergence
-      // count below) materializes it as a side effect, and from then on
-      // the plan reads a flat snapshot — the lineage cut that keeps
-      // per-round driver cost constant (persist leaves the plan nesting
-      // round over round, and plan-proportional driver work goes
-      // super-linear with depth). The cut also makes the shortcut below a
-      // self-join of a snapshot — self-joining the live union+agg plan
-      // trips analyzer constraint rewriting.
-      val mins = labels.unionByName(msgs)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(eager = false)
+      // LAZY checkpoint: the round's one action (the convergence count
+      // below) materializes it as a side effect, and from then on the
+      // plan reads a flat snapshot — the lineage cut that keeps per-round
+      // driver cost constant (persist leaves the plan nesting round over
+      // round, and plan-proportional driver work goes super-linear with
+      // depth). The cut also makes the shortcut below a self-join of a
+      // snapshot — self-joining the live union+agg plan trips analyzer
+      // constraint rewriting.
+      val mins = snap(labels.unionByName(msgs)
+        .groupBy("id").agg(min("component").as("component")),
+        eager = false)
       // pointer halving (optional): labels always point AT vertex ids, so
       // following the pointer one hop doubles how far label information
       // reaches per round — see the `pointerHalving` param doc.
@@ -104,7 +140,12 @@ object ConnectedComponents {
         .join(labels.as("p"), "id")
         .filter(col("n.component") =!= col("p.component"))
         .limit(1).count()
-      labels = next // superseded snapshot reaped by the ContextCleaner
+      // the count materialized `mins`; the previous snapshot is now
+      // unreferenced by any future plan — reclaim it explicitly so live
+      // storage stays bounded to two snapshots however many rounds run
+      liveSnap.foreach(unpersistSnap)
+      liveSnap = GraftSqlBridge.snapshotRdd(mins)
+      labels = next
       converged = changed == 0
       iter += 1
     }
@@ -112,8 +153,12 @@ object ConnectedComponents {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds — " +
           "component diameter exceeds the bound; raise maxIters")
-    // hand the caller a materialized flat-lineage frame
-    labels.localCheckpoint()
+    // hand the caller a materialized flat-lineage frame, then release the
+    // loop's working snapshots (edge list + last round's labels)
+    val out = snap(labels, eager = true)
+    liveSnap.foreach(unpersistSnap)
+    GraftSqlBridge.snapshotRdd(sym).foreach(unpersistSnap)
+    out
   }
 
   /** Convenience: cluster a near-dup pair list `(id_a, id_b, ...)` over the
@@ -124,10 +169,11 @@ object ConnectedComponents {
       pairs: DataFrame,
       allIds: DataFrame,
       idCol: Column,
-      pointerHalving: Boolean = false): DataFrame = {
+      pointerHalving: Boolean = false,
+      reliable: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val vertices = allIds.select(idCol.as("id"))
-    run(edges, vertices, pointerHalving = pointerHalving)
+    run(edges, vertices, pointerHalving = pointerHalving, reliable = reliable)
       .withColumn("is_canonical", col("id") === col("component"))
   }
 }

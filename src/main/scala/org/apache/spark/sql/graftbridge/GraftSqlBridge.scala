@@ -14,4 +14,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The RDD backing a checkpoint-snapshot Dataset (one produced by
+    * `checkpoint()`/`localCheckpoint()`, whose analyzed plan is a
+    * `LogicalRDD`), if any. Lets iterative operators explicitly
+    * `unpersist` a superseded local-checkpoint snapshot instead of waiting
+    * on driver GC + ContextCleaner — on a memory-constrained cluster a
+    * long loop must bound live snapshots deterministically, not
+    * nondeterministically.
+    */
+  def snapshotRdd(ds: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] =
+    ds.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
 }

@@ -107,6 +107,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMeta(1L, lying).format == "unknown")
   }
 
+  test("decodeMeta: crafted chunk sizes near 2^31 must not wrap the bounds check") {
+    // fmt chunk claims size 0x7ffffffc: off + 8 + size wraps negative in
+    // 32-bit arithmetic, slipping past `> b.length` — long arithmetic must
+    // reject it (degrade to unknown), not walk to a negative offset
+    for (sz <- Seq(0x7ffffffcL, 0x7fffffffL, 0xfffffff0L)) {
+      val b = Multimodal.wavBytes(2L)
+      b(16) = sz.toByte; b(17) = (sz >>> 8).toByte
+      b(18) = (sz >>> 16).toByte; b(19) = (sz >>> 24).toByte
+      val m = Multimodal.decodeMeta(1L, b) // must not throw
+      assert(m.format == "unknown", s"size 0x${sz.toHexString} parsed as ${m.format}")
+    }
+  }
+
+  test("decodeMeta: WAV with blockAlign < 2 is rejected (PCM reader needs 2 bytes/frame)") {
+    // blockAlign=1 with the data chunk ending the file would read one byte
+    // past the chunk bound on the last frame
+    val b = Multimodal.wavBytes(2L)
+    b(32) = 1; b(33) = 0 // blockAlign LE16 = 1
+    assert(Multimodal.decodeMeta(1L, b).format == "unknown")
+    assert(Multimodal.extractAudioFeatures(
+      spark.createDataset(Seq(Multimodal.MediaRow(1L, b)))(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))
+      .collect().isEmpty)
+  }
+
+  test("decodeMeta: JPEG 0xFF fill bytes between segments are skipped") {
+    // build a real JPEG via the JDK encoder, then inject legal padding
+    // (extra 0xFF bytes) before the first segment after SOI
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      new java.awt.image.BufferedImage(33, 21, java.awt.image.BufferedImage.TYPE_INT_RGB),
+      "jpg", bos)
+    val orig = bos.toByteArray
+    val padded = new java.io.ByteArrayOutputStream()
+    padded.write(orig, 0, 2) // SOI
+    padded.write(Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte)) // fill bytes
+    padded.write(orig, 2, orig.length - 2)
+    val m = Multimodal.decodeMeta(1L, padded.toByteArray)
+    assert(m.format == "jpeg" && m.width == 33 && m.height == 21,
+      s"padded JPEG parsed as $m")
+  }
+
   test("decode: distributed parse matches fixture arithmetic for every row") {
     val decoded = Multimodal.decode(media).collect()
     assert(decoded.length == 500)

@@ -54,6 +54,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components: reliable checkpointing — storage-backed snapshots, identical labels") {
+    val edges = (1L to 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val vertices = (1L to 21L).toDF("id")
+    // without a checkpoint dir the reliable mode must refuse loudly, not
+    // fall back to executor-local snapshots
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        ConnectedComponents.run(edges, vertices, pointerHalving = true, reliable = true)
+      }
+    }
+    val ckDir = java.nio.file.Files.createTempDirectory("cc-reliable").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val got = ConnectedComponents.run(edges, vertices, maxIters = 10,
+        pointerHalving = true, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 21L).map(_ -> 1L).toMap)
+    // the label snapshots really went through fault-tolerant storage
+    val written = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(written > 0, s"reliable run left no checkpoint files under $ckDir")
+    // and the reliable path agrees with the local-checkpoint path
+    val local = ConnectedComponents.run(edges, vertices, maxIters = 10,
+        pointerHalving = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == local)
+  }
+
   test("clusterPairs marks the minimum id canonical") {
     val pairs = Seq((5L, 3L, 0.9), (3L, 8L, 0.8)).toDF("id_a", "id_b", "jac")
     val ids = Seq(1L, 3L, 5L, 8L).toDF("doc_id")
