@@ -72,6 +72,20 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Make sure the session has a checkpoint dir so the clustering queries
+    * (q61/q81) can run ConnectedComponents with storage-backed reliable
+    * checkpoints. Local runs get a temp dir; on a cluster the submitter
+    * points this at HDFS/S3 and the same query survives executor loss
+    * mid-loop. Returns true (the `reliable` flag value) for call-site
+    * readability.
+    */
+  private def ensureCheckpointDir(s: SparkSession): Boolean = {
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    true
+  }
+
   /** Sparse `struct<indices, values>` (the schema's `sparse_values` shape,
     * cfg.py:26) derived by thresholding a dense vector — shared by the
     * sparse/hybrid/fusion queries so the threshold can never drift between
@@ -770,7 +784,11 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val pairs = graft.operators.TextDedup.minhashNearDupPairs(
         docs, col("doc_id"), col("text"), threshold = 0.5)
-      graft.operators.ConnectedComponents.clusterPairs(pairs, docs, col("doc_id"))
+      // reliable=true: label snapshots go to checkpoint-dir storage, so the
+      // flagship clustering query exercises the executor-loss-tolerant path
+      // end-to-end (on a cluster the dir points at HDFS/S3)
+      graft.operators.ConnectedComponents.clusterPairs(pairs, docs, col("doc_id"),
+        reliable = ensureCheckpointDir(s))
     }),
 
     // RAG chunking: fixed 200-char windows, 50 overlap. Pure codegen row
@@ -975,9 +993,11 @@ object SparkEntry {
         threshold = 0.3, nlist = 8, nprobe = 2, iters = 3)
       q81Centroids = Some(cb)
       // pointerHalving: a loose-threshold semantic graph is chain-shaped,
-      // so rounds must be O(log diameter), not O(diameter)
+      // so rounds must be O(log diameter), not O(diameter); reliable=true
+      // runs the long loop on storage-backed checkpoints (see q61)
       graft.operators.ConnectedComponents.clusterPairs(
-          pairs, emb, col("vec_id"), pointerHalving = true)
+          pairs, emb, col("vec_id"), pointerHalving = true,
+          reliable = ensureCheckpointDir(s))
         .filter(col("is_canonical"))
         .select(col("id").as("vec_id"), col("component"))
     }),

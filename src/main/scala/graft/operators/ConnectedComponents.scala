@@ -110,55 +110,62 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      // neighbor messages: every edge u<-v forwards v's current component
-      val msgs = sym.join(labels, sym("v") === labels("id"))
-        .select(sym("u").as("id"), col("component"))
-      // LAZY checkpoint: the round's one action (the convergence count
-      // below) materializes it as a side effect, and from then on the
-      // plan reads a flat snapshot — the lineage cut that keeps per-round
-      // driver cost constant (persist leaves the plan nesting round over
-      // round, and plan-proportional driver work goes super-linear with
-      // depth). The cut also makes the shortcut below a self-join of a
-      // snapshot — self-joining the live union+agg plan trips analyzer
-      // constraint rewriting.
-      val mins = snap(labels.unionByName(msgs)
-        .groupBy("id").agg(min("component").as("component")),
-        eager = false)
-      // pointer halving (optional): labels always point AT vertex ids, so
-      // following the pointer one hop doubles how far label information
-      // reaches per round — see the `pointerHalving` param doc.
-      val next =
-        if (!pointerHalving) mins
-        else mins
-          .join(mins.select(col("id").as("rid"), col("component").as("rcomp")),
-            col("component") === col("rid"))
-          .select(col("id"), col("rcomp").as("component"))
-      // convergence test over two flat snapshots: a vertex whose label
-      // shrank means another round is needed
-      val changed = next.as("n")
-        .join(labels.as("p"), "id")
-        .filter(col("n.component") =!= col("p.component"))
-        .limit(1).count()
-      // the count materialized `mins`; the previous snapshot is now
-      // unreferenced by any future plan — reclaim it explicitly so live
-      // storage stays bounded to two snapshots however many rounds run
+    try {
+      while (!converged && iter < maxIters) {
+        // neighbor messages: every edge u<-v forwards v's current component
+        val msgs = sym.join(labels, sym("v") === labels("id"))
+          .select(sym("u").as("id"), col("component"))
+        // LAZY checkpoint: the round's one action (the convergence count
+        // below) materializes it as a side effect, and from then on the
+        // plan reads a flat snapshot — the lineage cut that keeps per-round
+        // driver cost constant (persist leaves the plan nesting round over
+        // round, and plan-proportional driver work goes super-linear with
+        // depth). The cut also makes the shortcut below a self-join of a
+        // snapshot — self-joining the live union+agg plan trips analyzer
+        // constraint rewriting.
+        val mins = snap(labels.unionByName(msgs)
+          .groupBy("id").agg(min("component").as("component")),
+          eager = false)
+        // pointer halving (optional): labels always point AT vertex ids, so
+        // following the pointer one hop doubles how far label information
+        // reaches per round — see the `pointerHalving` param doc.
+        val next =
+          if (!pointerHalving) mins
+          else mins
+            .join(mins.select(col("id").as("rid"), col("component").as("rcomp")),
+              col("component") === col("rid"))
+            .select(col("id"), col("rcomp").as("component"))
+        // convergence test over two flat snapshots: a vertex whose label
+        // shrank means another round is needed
+        val changed = next.as("n")
+          .join(labels.as("p"), "id")
+          .filter(col("n.component") =!= col("p.component"))
+          .limit(1).count()
+        // the count materialized `mins`; the previous snapshot is now
+        // unreferenced by any future plan — reclaim it explicitly so live
+        // storage stays bounded to two snapshots however many rounds run
+        liveSnap.foreach(unpersistSnap)
+        liveSnap = GraftSqlBridge.snapshotRdd(mins)
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIters rounds — " +
+            "component diameter exceeds the bound; raise maxIters")
+      // hand the caller a materialized flat-lineage frame; the finally
+      // below then releases the loop's working snapshots
+      snap(labels, eager = true)
+    } finally {
+      // BOTH paths — success and non-convergence/job failure — release the
+      // working snapshots (last live label snapshot + symmetrized edge
+      // list); without this the error path would leak executor storage
+      // blocks until GC/ContextCleaner got to them, the nondeterministic
+      // reclamation the explicit tracking exists to avoid
       liveSnap.foreach(unpersistSnap)
-      liveSnap = GraftSqlBridge.snapshotRdd(mins)
-      labels = next
-      converged = changed == 0
-      iter += 1
+      GraftSqlBridge.snapshotRdd(sym).foreach(unpersistSnap)
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIters rounds — " +
-          "component diameter exceeds the bound; raise maxIters")
-    // hand the caller a materialized flat-lineage frame, then release the
-    // loop's working snapshots (edge list + last round's labels)
-    val out = snap(labels, eager = true)
-    liveSnap.foreach(unpersistSnap)
-    GraftSqlBridge.snapshotRdd(sym).foreach(unpersistSnap)
-    out
   }
 
   /** Convenience: cluster a near-dup pair list `(id_a, id_b, ...)` over the

@@ -129,25 +129,54 @@ object Similarity {
     * `sparse_vector struct<indices: array<bigint>, values: array<float>>`
     * and their own `top_k` (reference `cfg.py:32,34`); candidates carry
     * `sparse_values` of the same struct shape (reference `cfg.py:26`,
-    * `MAINTAINERS.md:97`). Scores are the merge-join codegen
-    * [[graft.functions.SparseDotProduct]]; zero-overlap pairs score 0 and
-    * are dropped before selection, so only candidates sharing at least one
-    * index with the query reach the heap.
+    * `MAINTAINERS.md:97`).
+    *
+    * PLAN: posting-list retrieval, not scored brute force. The broadcast
+    * query batch explodes into `(qid, index, weight)` postings; candidates
+    * explode into the same shape; a broadcast hash EQUI-join on the shared
+    * `index` touches ONLY index-overlapping (query, candidate) pairs, and
+    * a partial-aggregated `sum(q_weight * n_weight)` per (qid, nid)
+    * reassembles the dot product — the inverted-index query plan of a
+    * sparse/BM25 engine, declared with built-in operators. Zero-overlap
+    * pairs are never materialized, let alone scored: at 100 TB with a
+    * realistic sparse vocabulary, a 10k-query batch scores the pairs that
+    * share a term (typically 0.1–10% of the cross product) instead of a
+    * full corpus×batch scoring pass — 10–1000× less work than the
+    * crossJoin formulation this replaced. Map-side partial aggregation
+    * bounds the shuffle to distinct surviving (qid, nid) pairs per task.
+    *
+    * Scores are identical to the merge-join
+    * [[graft.functions.SparseDotProduct]] semantic: sum over shared
+    * indices, pairs with no overlap (the old `score = 0` rows) dropped,
+    * and — preserving the previous contract exactly — overlapping pairs
+    * whose products sum ≤ 0 are dropped too.
     */
   def sparseTopKPerQuery(queries: DataFrame, candidates: DataFrame): DataFrame = {
     val maxK = maxTopK(queries)
-    val q = broadcast(queries.select(
+    val q = queries.select(
       col("qid"),
       col("sparse_vector.indices").cast("array<long>").as("qi"),
       col("sparse_vector.values").cast("array<double>").as("qw"),
-      col("top_k").cast("int").as("top_k")))
-    val scored = candidates
+      col("top_k").cast("int").as("top_k"))
+    // query postings: one row per (query, index) — batch_size × nnz rows,
+    // still broadcast-sized (the explode happens on the broadcast side)
+    val qPost = broadcast(q
+      .select(col("qid"), col("top_k"), col("qw"),
+        posexplode(col("qi")).as(Seq("qpos", "idx")))
+      .select(col("qid"), col("top_k"), col("idx"),
+        element_at(col("qw"), col("qpos") + 1).as("qval")))
+    // candidate postings: the corpus-side explode is a codegen Generate —
+    // no shuffle; each row carries one (candidate, index, weight) triple
+    val cPost = candidates
       .select(col("nid"),
         col("sparse_values.indices").cast("array<long>").as("ni"),
         col("sparse_values.values").cast("array<double>").as("nw"))
-      .crossJoin(q)
-      .select(col("qid"), col("top_k"), col("nid"),
-        GraftFunctions.sparseDot(col("qi"), col("qw"), col("ni"), col("nw")).as("score_raw"))
+      .select(col("nid"), col("nw"), posexplode(col("ni")).as(Seq("npos", "idx")))
+      .select(col("nid"), col("idx"),
+        element_at(col("nw"), col("npos") + 1).as("nval"))
+    val scored = cPost.join(qPost, "idx")
+      .groupBy(col("qid"), col("top_k"), col("nid"))
+      .agg(sum(col("qval") * col("nval")).as("score_raw"))
       .filter(col("score_raw") > 0.0)
     heapSelectPerQuery(scored, maxK)
   }
@@ -161,6 +190,20 @@ object Similarity {
     * standard hybrid-search blend. `alpha = 1` degenerates to
     * [[filteredTopKPerQuery]]; `alpha = 0` to pure sparse relevance.
     * Filtering happens before scoring; selection is the per-row-k heap.
+    *
+    * Why the sparse leg here stays the inline merge-join
+    * [[graft.functions.SparseDotProduct]] rather than the posting-list
+    * plan of [[sparseTopKPerQuery]]: with `alpha > 0` a zero-overlap pair
+    * still carries a live score (`alpha * cosine`) and can legitimately
+    * rank — so the pair stream CANNOT be pruned to index-overlapping
+    * pairs, and the brute-force dense term forces every filtered pair to
+    * be materialized anyway. Given that stream, the merge-join dot is the
+    * cheapest per-pair evaluation (O(nnz_q + nnz_n), inside the same
+    * whole-stage-codegen scan as the cosine); a posting-list side
+    * computation would have to shuffle the full dense-scored stream by
+    * (qid, nid) to join back — strictly more work. Callers wanting pure
+    * sparse relevance at scale should call [[sparseTopKPerQuery]]
+    * directly, which IS the posting-list plan.
     */
   def hybridTopKPerQuery(
       queries: DataFrame,

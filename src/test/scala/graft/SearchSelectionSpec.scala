@@ -99,6 +99,52 @@ class SearchSelectionSpec extends SparkSpec {
       (0L, 11L, 20.0, 1), (0L, 10L, 4.0, 2))) // top_k=2 trims 13L
   }
 
+  test("sparse top-k plans a posting-list equi-join and matches the merge-join cross-check") {
+    import org.apache.spark.sql.expressions.Window
+    def sparse(of: org.apache.spark.sql.Column) = struct(
+      transform(
+        filter(sequence(lit(0), size(of) - 1),
+          i => element_at(of, i + 1) > 0.1),
+        i => i.cast("long")).as("indices"),
+      filter(of, x => x > 0.1).as("values"))
+    val qs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), sparse(col("embedding")).as("sparse_vector"),
+        (col("vec_id") % 3 + 3).cast("int").as("top_k"))
+    val cs = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), sparse(col("embedding")).as("sparse_values"))
+    val df = Similarity.sparseTopKPerQuery(qs, cs)
+    // the plan is an inverted-index equi-join on the shared index — the
+    // corpus×batch nested-loop scoring pass must be gone
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"sparse retrieval still plans a nested-loop scoring pass:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast hash join on the posting index:\n$plan")
+    assertNoWindowSort(df)
+    // independent cross-check: the scored-cross-join formulation this
+    // replaced (merge-join sparse dot over every pair, Window selection)
+    val q = qs.select(col("qid"),
+      col("sparse_vector.indices").cast("array<long>").as("qi"),
+      col("sparse_vector.values").cast("array<double>").as("qw"),
+      col("top_k"))
+    val w = Window.partitionBy("qid").orderBy(col("score_raw").desc, col("nid").asc)
+    val expected = cs.select(col("nid"),
+        col("sparse_values.indices").cast("array<long>").as("ni"),
+        col("sparse_values.values").cast("array<double>").as("nw"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("top_k"), col("nid"),
+        graft.functions.GraftFunctions.sparseDot(
+          col("qi"), col("qw"), col("ni"), col("nw")).as("score_raw"))
+      .filter(col("score_raw") > 0.0)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("top_k"))
+      .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expected)
+  }
+
   test("disk IVF layout: partition-pruned search equals the in-memory index") {
     val tmp = java.nio.file.Files.createTempDirectory("ivf-layout").toString
     val trained = graft.operators.IvfIndex.buildTrained(cands, nlist = 8, iters = 2)
