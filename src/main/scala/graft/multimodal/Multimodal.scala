@@ -102,9 +102,11 @@ object Multimodal {
       }
       off += 8 + size + (size & 1) // chunks are even-aligned
     }
-    // block >= 2: the PCM reader consumes 2 bytes (one 16-bit sample) per
-    // frame, so blockAlign=1 would read one byte past the data chunk.
-    if (channels <= 0 || rate <= 0 || block < 2 || dataOff < 0 ||
+    // block >= 1 only: metadata extraction never reads samples, so 8-bit
+    // mono PCM (blockAlign=1) keeps its header metadata. The 16-bit sample
+    // reader in extractAudioFeatures enforces block >= 2 itself — that is
+    // where a 1-byte frame would read past the data chunk.
+    if (channels <= 0 || rate <= 0 || block < 1 || dataOff < 0 ||
       dataOff.toLong + dataLen > b.length) null
     else Array(channels, rate, block, dataOff, dataLen)
   }
@@ -239,7 +241,10 @@ object Multimodal {
           else {
             val Array(_, _, block, dataOff, dataLen) = w
             val nFrames = dataLen / block
-            if (nFrames <= 0) None
+            // block >= 2: this reader consumes 2 bytes (one 16-bit sample)
+            // per frame; a blockAlign=1 stream would read one byte past the
+            // data chunk, so 8-bit audio is metadata-only (see wavChunks)
+            if (block < 2 || nFrames <= 0) None
             else {
               val sums = new Array[Double](dim)
               val counts = new Array[Long](dim)

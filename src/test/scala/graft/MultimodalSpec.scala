@@ -120,12 +120,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decodeMeta: WAV with blockAlign < 2 is rejected (PCM reader needs 2 bytes/frame)") {
-    // blockAlign=1 with the data chunk ending the file would read one byte
-    // past the chunk bound on the last frame
+  test("WAV blockAlign=1: metadata decodes (8-bit mono), sample reader skips it") {
+    // metadata extraction never reads samples, so 8-bit mono PCM keeps its
+    // header metadata; the 16-bit sample reader would read one byte past
+    // the data chunk on the last frame, so feature extraction must skip it
     val b = Multimodal.wavBytes(2L)
+    val ref = Multimodal.decodeMeta(1L, b) // blockAlign=2 baseline
     b(32) = 1; b(33) = 0 // blockAlign LE16 = 1
-    assert(Multimodal.decodeMeta(1L, b).format == "unknown")
+    val m = Multimodal.decodeMeta(1L, b)
+    assert(m.format == "wav" && m.sample_rate == ref.sample_rate &&
+      m.channels == ref.channels && m.n_frames == 2 * ref.n_frames,
+      s"8-bit WAV lost metadata: $m vs baseline $ref")
     assert(Multimodal.extractAudioFeatures(
       spark.createDataset(Seq(Multimodal.MediaRow(1L, b)))(
         org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]))

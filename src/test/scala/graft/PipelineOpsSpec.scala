@@ -64,21 +64,33 @@ class PipelineOpsSpec extends SparkSpec {
         ConnectedComponents.run(edges, vertices, pointerHalving = true, reliable = true)
       }
     }
-    val ckDir = java.nio.file.Files.createTempDirectory("cc-reliable").toString
-    spark.sparkContext.setCheckpointDir(ckDir)
-    val got = ConnectedComponents.run(edges, vertices, maxIters = 10,
-        pointerHalving = true, reliable = true)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == (1L to 21L).map(_ -> 1L).toMap)
-    // the label snapshots really went through fault-tolerant storage
-    val written = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
-      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
-    assert(written > 0, s"reliable run left no checkpoint files under $ckDir")
-    // and the reliable path agrees with the local-checkpoint path
-    val local = ConnectedComponents.run(edges, vertices, maxIters = 10,
-        pointerHalving = true)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == local)
+    // NOTE: setCheckpointDir persists on the shared SparkContext for the
+    // rest of the JVM (there is no unset API) — the intercept above guards
+    // on emptiness so it stays order-independent, and later tests are
+    // unaffected beyond having a checkpoint dir available.
+    val ckPath = java.nio.file.Files.createTempDirectory("cc-reliable")
+    try {
+      spark.sparkContext.setCheckpointDir(ckPath.toString)
+      val got = ConnectedComponents.run(edges, vertices, maxIters = 10,
+          pointerHalving = true, reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (1L to 21L).map(_ -> 1L).toMap)
+      // the label snapshots really went through fault-tolerant storage
+      val walk = java.nio.file.Files.walk(ckPath)
+      val written = try walk.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+                    finally walk.close()
+      assert(written > 0, s"reliable run left no checkpoint files under $ckPath")
+      // and the reliable path agrees with the local-checkpoint path
+      val local = ConnectedComponents.run(edges, vertices, maxIters = 10,
+          pointerHalving = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == local)
+    } finally {
+      val walk = java.nio.file.Files.walk(ckPath)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   test("clusterPairs marks the minimum id canonical") {
