@@ -54,6 +54,12 @@ object SparkEntry {
   /** PQ codebook trained by the last q64 run (same capture pattern). */
   @volatile private[graft] var q64Codebook: Option[graft.operators.ProductQuantization.PQCodebook] = None
 
+  /** Coarse + residual-PQ codebooks trained by the last q47 run (same
+    * capture pattern; both halves of the IVF-PQ composition are needed to
+    * replay assignment, residual encoding, probing and ADC scoring).
+    */
+  @volatile private[graft] var q47Codebooks: Option[graft.operators.IvfPq.Codebooks] = None
+
   private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     lastRunCtx = Some((spark, dir))
     spark.read.parquet(s"$dir/$name.parquet")
@@ -583,6 +589,28 @@ object SparkEntry {
         .select("c_custkey", "c_nationkey", "c_acctbal")
     }),
 
+    // IVF-PQ composition — the production 100 TB ANN shape: the corpus is
+    // laid out as cell=<id> partition dirs whose rows carry residual PQ
+    // codes; a search prunes to the probed cells (PartitionFilters) AND
+    // reads only the m-int codes column (ReadSchema excludes the raw
+    // vectors), scoring dot(q, centroid) + dot(q, decoded residual). Both
+    // codebooks are trained deterministically and captured so the oracle
+    // replays assignment, residual encoding, probing and ADC scoring from
+    // SQL literals (q47OracleSql).
+    "q47_ivfpq_adc" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val candidates = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q47-ivfpq-").toString
+      val idx = graft.operators.IvfPq.buildTrained(s, candidates, tmp,
+        dim = 64, nlist = 8, m = 4, k = 16, iters = 3)
+      q47Codebooks = Some(idx.codebooks)
+      idx.search(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 10, nprobe = 3)
+    }),
+
     // Window frames: running total, lag, and a 3-row moving sum per
     // customer — one shuffle serves all three frames.
     "q48_window_frames" -> ((s, dir) => {
@@ -1033,7 +1061,8 @@ object SparkEntry {
     ("q75_disk_ivf" -> q75OracleSql) +
     ("q81_semdedup" -> q81OracleSql) +
     ("q60_neardup_auto" -> q60OracleSql) +
-    ("q64_pq_adc" -> q64OracleSql)
+    ("q64_pq_adc" -> q64OracleSql) +
+    ("q47_ivfpq_adc" -> q47OracleSql)
 
   private def centroidValues(cb: Array[Array[Double]]): String =
     cb.zipWithIndex
@@ -1252,6 +1281,69 @@ object SparkEntry {
          |s AS (SELECT qid, nid, list_dot_product(qv, rv) AS score FROM q CROSS JOIN recon),
          |r AS (SELECT qid, nid, score,
          |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
+         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
+  }
+
+  /** q47's oracle: BOTH captured codebooks as literals; DuckDB replays the
+    * whole IVF-PQ composition — coarse cell assignment (argmin |c|² − 2vc,
+    * ties to the smaller cell), elementwise residual, per-subspace residual
+    * encoding, reconstruction, nprobe=3 probing, and the two-term ADC score
+    * dot(q, centroid) + dot(q, reconstructed residual). Term order mirrors
+    * the engine's expression exactly so the FP sums associate identically.
+    */
+  private def q47OracleSql: String = q47Codebooks match {
+    case None => unavailableOracle
+    case Some(cbs) =>
+      val pq = cbs.pq
+      val sd = pq.subDim
+      val dim = sd * pq.m
+      val pqVals = (for {
+        s <- pq.codebooks.indices
+        c <- pq.codebooks(s).indices
+      } yield s"($s, $c, [${pq.codebooks(s)(c).mkString(", ")}]::DOUBLE[])")
+        .mkString(", ")
+      s"""WITH cent(cell, cvec) AS (VALUES ${centroidValues(cbs.centroids)}),
+         |pqcb(sub, pcell, pvec) AS (VALUES $pqVals),
+         |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
+         |      FROM embeddings WHERE vec_id >= 10),
+         |assigned AS (
+         |  SELECT nid, v,
+         |    (SELECT cell FROM cent
+         |     ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
+         |       cell ASC LIMIT 1) AS cell
+         |  FROM c),
+         |resid AS (
+         |  SELECT a.nid, a.cell, [a.v[i] - ct.cvec[i] FOR i IN range(1, ${dim + 1})] AS rv0
+         |  FROM assigned a JOIN cent ct USING (cell)),
+         |subv AS (
+         |  SELECT nid, cell, s.sub, rv0[s.sub*$sd + 1 : s.sub*$sd + $sd] AS sv
+         |  FROM resid CROSS JOIN (SELECT unnest(range(${pq.m})) AS sub) s),
+         |codes AS (
+         |  SELECT nid, cell, sub,
+         |    (SELECT pcell FROM pqcb WHERE pqcb.sub = subv.sub
+         |     ORDER BY list_dot_product(pvec, pvec) - 2 * list_dot_product(sv, pvec) ASC,
+         |       pcell ASC LIMIT 1) AS code
+         |  FROM subv),
+         |recon AS (
+         |  SELECT nid, ANY_VALUE(cell) AS cell,
+         |    flatten(list(pvec ORDER BY codes.sub ASC)) AS rv
+         |  FROM codes JOIN pqcb ON pqcb.sub = codes.sub AND pqcb.pcell = codes.code
+         |  GROUP BY nid),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < 10),
+         |probed AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT qid, qv, cell, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
+         |        cell ASC) AS pr
+         |    FROM q CROSS JOIN cent) WHERE pr <= 3),
+         |s AS (
+         |  SELECT p.qid, r.nid,
+         |    list_dot_product(p.qv, ct.cvec) + list_dot_product(p.qv, r.rv) AS score
+         |  FROM probed p JOIN recon r USING (cell) JOIN cent ct ON ct.cell = p.cell),
+         |r AS (SELECT qid, nid, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+         |      FROM s)
          |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
   }
 

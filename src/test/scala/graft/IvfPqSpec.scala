@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IvfPq
+
+/** IVF-PQ composition guarantees: the probed-cell ADC search matches an
+  * independent scalar re-implementation from the captured codebooks, the
+  * scan plan both prunes partitions (PartitionFilters) AND excludes the
+  * raw-vector column (ReadSchema), the layout reopens cold, and the exact
+  * re-rank path returns true dot-product ranks of the ADC survivors.
+  */
+class IvfPqSpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  private def queries = emb.filter(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private def cands = emb.filter(col("vec_id") >= 5)
+    .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Same metric + tie-break as CentroidOps.nearest: argmin of
+    * |c|² − 2·v·c, ties to the smaller cell id.
+    */
+  private def nearest(v: Array[Double], cents: Array[Array[Double]]): Int =
+    cents.indices.minBy(j => (dot(cents(j), cents(j)) - 2.0 * dot(v, cents(j)), j))
+
+  test("ivf-pq: ADC search matches a scalar replay; plan prunes partitions AND the raw-vector column") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val idx = IvfPq.buildTrained(spark, cands, tmp, dim = 64,
+      nlist = 8, m = 4, k = 16, iters = 2)
+    val df = idx.search(queries, k = 5, nprobe = 3)
+
+    // --- plan shape: the composition is visible in the scan itself
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"probed cells did not reach the scan as PartitionFilters:\n$plan")
+    val readSchema = "ReadSchema: struct<[^>]*>".r.findFirstIn(plan)
+    assert(readSchema.isDefined, plan)
+    assert(readSchema.get.contains("codes:"), s"scan must read codes: $readSchema")
+    assert(!readSchema.get.contains("v:"),
+      s"ADC search must NOT read the raw vector column: $readSchema")
+    assert(!plan.contains("Window"), s"Window survives in plan:\n$plan")
+
+    // --- value oracle: scalar replay of assign → residual → encode →
+    // reconstruct → coarse+fine ADC score → per-query top-k from the
+    // captured codebooks (independent of every Spark expression involved)
+    val cents = idx.codebooks.centroids
+    val pq = idx.codebooks.pq
+    val cRows = cands.select(col("nid"), col("nvec").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val qRows = queries.select(col("qid"), col("qvec").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val sd = pq.subDim
+    // candidate → (cell, reconstructed residual)
+    val recon = cRows.map { case (nid, v) =>
+      val cell = nearest(v, cents)
+      val resid = v.indices.map(i => v(i) - cents(cell)(i)).toArray
+      val rv = (0 until pq.m).flatMap { s =>
+        val sub = resid.slice(s * sd, s * sd + sd)
+        pq.codebooks(s)(nearest(sub, pq.codebooks(s)))
+      }.toArray
+      (nid, cell, rv)
+    }
+    val expected = qRows.flatMap { case (qid, qv) =>
+      val probed = cents.indices
+        .sortBy(j => (dot(cents(j), cents(j)) - 2.0 * dot(qv, cents(j)), j))
+        .take(3).toSet
+      recon.filter(t => probed.contains(t._2))
+        .map { case (nid, cell, rv) => (nid, dot(qv, cents(cell)) + dot(qv, rv)) }
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, s), i) =>
+          (qid, nid, math.rint(s * 1e4) / 1e4, i + 1) }
+    }.toSet
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expected.map(t => (t._1, t._2, t._3, t._4)))
+
+    // --- cold reopen: codebooks round-trip through JSON, results identical
+    val reopened = IvfPq.load(spark, tmp)
+    assert(reopened.codebooks.centroids.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(reopened.codebooks.pq.subDim == sd)
+    assert(reopened.codebooks.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val again = reopened.search(queries, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(again == got)
+
+    // --- layout: one directory per cell, codebooks ride alongside
+    val files = new java.io.File(tmp).listFiles()
+    assert(files.count(_.getName.startsWith("cell=")) > 1)
+    assert(files.exists(_.getName == "_ivfpq_codebooks.json"))
+  }
+
+  test("ivf-pq refined: survivors re-ranked by exact dots, still no raw scan in the ADC stage") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-refine").toString
+    val idx = IvfPq.buildTrained(spark, cands, tmp, dim = 64,
+      nlist = 8, m = 4, k = 16, iters = 2)
+    val refined = idx.searchRefined(queries, k = 5, nprobe = 3, rerank = 20)
+    val got = refined.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // exact scores: every returned (qid, nid) must carry the TRUE dot
+    // product of the raw vectors, not the ADC approximation
+    val cMap = cands.select(col("nid"), col("nvec").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qMap = queries.select(col("qid"), col("qvec").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    got.foreach { case (qid, nid, score, _) =>
+      val exact = math.rint(dot(qMap(qid), cMap(nid)) * 1e4) / 1e4
+      assert(score == exact, s"($qid, $nid): refined=$score exact=$exact")
+    }
+    // ranks are dense 1..k per query and ordered by the exact score
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted(Ordering[Double].reverse).toSeq,
+        s"qid=$qid not ordered by exact score: $sorted")
+    }
+    // the ADC stage's scan excludes the raw vector column even when the
+    // refine pass (a separate scan) reads it
+    val adcPlan = idx.search(queries, k = 20, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    val rs = "ReadSchema: struct<[^>]*>".r.findFirstIn(adcPlan)
+    assert(rs.isDefined && !rs.get.contains("v:"), s"$rs")
+  }
+}
