@@ -2089,32 +2089,39 @@ object SparkEntry {
     // over doc_id (Multimodal.fixture*), so the oracle replays the header
     // arithmetic: PNG = 68 + h*(w+1) bytes (sig + IHDR + one stored-block
     // IDAT + IEND), BMP = 54 + 4-aligned stride * h, WAV = 44 + 2*samples.
+    // fixture cycle: doc_id % 4 → png / bmp / wav / mp4; the mp4 fixture
+    // reuses the png dim arithmetic, the wav frame/rate arithmetic (stts
+    // delta = 1 makes n_frames/sample_rate the duration in seconds), and
+    // has the constant all-v0-boxes byte count 324
     "q34_media_decode" ->
       """WITH d AS (
         |  SELECT doc_id,
         |    16 + doc_id % 317 AS w,
         |    16 + (doc_id * 7) % 97 AS h,
-        |    64 + doc_id % 937 AS ns
+        |    64 + doc_id % 937 AS ns,
+        |    8000 + (doc_id % 5) * 4000 AS rate
         |  FROM documents)
         |SELECT doc_id AS media_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
-        |  CAST(CASE doc_id % 3
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |                  WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+        |  CAST(CASE doc_id % 4
         |       WHEN 0 THEN 68 + h * (w + 1)
         |       WHEN 1 THEN 54 + ((w * 3 + 3) // 4) * 4 * h
-        |       ELSE 44 + 2 * ns END AS BIGINT) AS n_bytes,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE w END AS INT) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE h END AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN ns ELSE 1 END AS INT) AS n_frames,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 5) * 4000 ELSE 0 END AS INT) AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS INT) AS channels
+        |       WHEN 2 THEN 44 + 2 * ns
+        |       ELSE 324 END AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE w END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE h END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 4 IN (2, 3) THEN ns ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 IN (2, 3) THEN rate ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS INT) AS channels
         |FROM d""".stripMargin,
 
     "q58_media_frames" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id,
-        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 16 + doc_id % 317 END AS INT) AS width,
-        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 16 + (doc_id * 7) % 97 END AS INT) AS height,
-        |    CASE WHEN doc_id % 3 = 2 THEN 64 + doc_id % 937 ELSE 1 END AS n_frames
+        |    CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 16 + doc_id % 317 END AS INT) AS width,
+        |    CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 16 + (doc_id * 7) % 97 END AS INT) AS height,
+        |    CASE WHEN doc_id % 4 IN (2, 3) THEN 64 + doc_id % 937 ELSE 1 END AS n_frames
         |  FROM documents)
         |SELECT media_id, CAST(unnest(range(0, n_frames, 25)) AS INT) AS frame_idx,
         |  width, height
@@ -2128,7 +2135,7 @@ object SparkEntry {
     "q59_media_features" ->
       """WITH w AS (
         |  SELECT doc_id AS media_id, 64 + doc_id % 937 AS n
-        |  FROM documents WHERE doc_id % 3 = 2),
+        |  FROM documents WHERE doc_id % 4 = 2),
         |s AS (
         |  SELECT media_id, n, unnest(range(0, n)) AS j FROM w),
         |v AS (

@@ -111,6 +111,109 @@ object Multimodal {
     else Array(channels, rate, block, dataOff, dataLen)
   }
 
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i).toLong & 0xffffffffL) << 32) | (be32(b, i + 4).toLong & 0xffffffffL)
+
+  /** ISO-BMFF box walk: boxes are [size BE32][type 4cc][payload]. size==1
+    * reads a 64-bit largesize after the type; size==0 extends to the end of
+    * the enclosing span (ISO 14496-12 §4.2). Long arithmetic and
+    * subtraction-form bounds checks throughout — the same discipline as the
+    * RIFF walk: a crafted 2^31 (or 2^63) size must not wrap past the
+    * bounds check. Returns the payload span `[start, end)` of the first
+    * `tag` box inside `[from, to)`, or null.
+    */
+  private def findBox(b: Array[Byte], from: Long, to: Long, tag: String): Array[Long] = {
+    var off = from
+    while (off + 8 <= to) {
+      val size32 = be32(b, off.toInt).toLong & 0xffffffffL
+      val large = size32 == 1
+      if (large && off + 16 > to) return null
+      val hdr = if (large) 16L else 8L
+      val size =
+        if (size32 == 0) to - off
+        else if (large) be64(b, off.toInt + 8)
+        else size32
+      // subtraction form: `size > to - off` cannot overflow, `off + size`
+      // with a crafted 2^63 largesize could
+      if (size < hdr || size > to - off) return null
+      if (tagAt(b, off.toInt + 4, tag)) return Array(off + hdr, off + size)
+      off += size
+    }
+    null
+  }
+
+  /** Parses MP4/ISO-BMFF movie metadata by walking
+    * `moov/trak/{tkhd, mdia/{mdhd, minf/stbl/stts}}` — all fixed-offset
+    * reads once the boxes are located. Picks the first trak with nonzero
+    * tkhd dimensions (the video track), falling back to the first trak
+    * (audio-only movies). Returns (width, height, nFrames, timescale) or
+    * null if the stream is not a well-formed movie. Width/height are the
+    * integer part of tkhd's 16.16 fixed-point dims; nFrames is the stts
+    * sample-count total; timescale is the track mdhd's (so
+    * nFrames · delta / timescale is the duration in seconds — with the
+    * fixture's delta = 1, the same `n_frames / sample_rate` convention as
+    * WAV rows). Version 0 and version 1 (64-bit time) headers both parse.
+    */
+  private def mp4Meta(b: Array[Byte]): Array[Int] = {
+    val n = b.length.toLong
+    if (!(b.length >= 12 && tagAt(b, 4, "ftyp"))) return null
+    val moov = findBox(b, 0L, n, "moov")
+    if (moov == null) return null
+    if (findBox(b, moov(0), moov(1), "mvhd") == null) return null
+    var best: Array[Int] = null
+    var trakFrom = moov(0)
+    var continue = true
+    while (continue) {
+      val trak = findBox(b, trakFrom, moov(1), "trak")
+      if (trak == null) continue = false
+      else {
+        var w, h = 0
+        val tkhd = findBox(b, trak(0), trak(1), "tkhd")
+        if (tkhd != null && tkhd(1) - tkhd(0) >= 4) {
+          val p = tkhd(0)
+          // v1 widens the two times and the duration by 4 bytes each
+          val dimOff = if (b(p.toInt) == 1) 88L else 76L
+          if (tkhd(1) - p >= dimOff + 8) {
+            w = be32(b, (p + dimOff).toInt) >>> 16
+            h = be32(b, (p + dimOff + 4).toInt) >>> 16
+          }
+        }
+        var frames, tscale = 0
+        val mdia = findBox(b, trak(0), trak(1), "mdia")
+        if (mdia != null) {
+          val mdhd = findBox(b, mdia(0), mdia(1), "mdhd")
+          if (mdhd != null && mdhd(1) - mdhd(0) >= 4) {
+            val p = mdhd(0)
+            val tsOff = if (b(p.toInt) == 1) 20L else 12L
+            if (mdhd(1) - p >= tsOff + 4) tscale = be32(b, (p + tsOff).toInt)
+          }
+          val minf = findBox(b, mdia(0), mdia(1), "minf")
+          val stbl = if (minf == null) null else findBox(b, minf(0), minf(1), "stbl")
+          val stts = if (stbl == null) null else findBox(b, stbl(0), stbl(1), "stts")
+          if (stts != null && stts(1) - stts(0) >= 8) {
+            val p = stts(0)
+            val declared = be32(b, (p + 4).toInt).toLong & 0xffffffffL
+            // never trust the declared count past the box's actual bytes
+            val avail = (stts(1) - p - 8) / 8
+            val entries = math.min(declared, avail)
+            var i = 0L
+            var total = 0L
+            while (i < entries) {
+              total += be32(b, (p + 8 + i * 8).toInt).toLong & 0xffffffffL
+              i += 1
+            }
+            frames = math.min(total, Int.MaxValue.toLong).toInt
+          }
+        }
+        val cand = Array(w, h, frames, tscale)
+        if (w > 0 && h > 0) { best = cand; continue = false } // video track wins
+        else if (best == null) best = cand // first trak as fallback
+        trakFrom = trak(1)
+      }
+    }
+    best
+  }
+
   /** Walks JPEG segments ([0xFF marker][BE16 length incl. itself]) to the
     * first SOF0–SOF15 frame header (excluding DHT/DNL/DAC 0xC4/C8/CC) and
     * returns (width, height), or null if the stream is not a well-formed
@@ -171,6 +274,13 @@ object Multimodal {
     } else if (b.length >= 10 &&
       (hasPrefix(b, "GIF87a".getBytes) || hasPrefix(b, "GIF89a".getBytes))) {
       DecodedMeta(id, "gif", n, le16(b, 6), le16(b, 8), 1, 0, 0)
+    } else if (b.length >= 12 && tagAt(b, 4, "ftyp")) {
+      val m = mp4Meta(b)
+      // sample_rate carries the track timescale; with sample delta = 1,
+      // n_frames / sample_rate is the duration in seconds — the same
+      // convention as WAV rows
+      if (m != null) DecodedMeta(id, "mp4", n, m(0), m(1), m(2), m(3), 0)
+      else DecodedMeta(id, "unknown", n, 0, 0, 0, 0, 0)
     } else {
       val j = jpegDims(b)
       if (j != null) DecodedMeta(id, "jpeg", n, j(0), j(1), 1, 0, 0)
@@ -412,11 +522,62 @@ object Multimodal {
     b
   }
 
-  /** Container for media `id`: ids cycle png / bmp / wav by `id % 3`. */
-  def fixturePayload(id: Long): Array[Byte] = (id % 3) match {
+  /** A valid minimal MP4: ftyp + moov(mvhd + trak(tkhd + mdia(mdhd +
+    * minf(stbl(stts))))) + empty mdat — every box v0 with fixed sizes, so
+    * the byte count is the constant 324. Dims reuse the PNG arithmetic
+    * (fixtureWidth/Height), the frame count reuses fixtureSamples, and the
+    * mdhd timescale reuses fixtureSampleRate with stts delta = 1 — so
+    * `n_frames / sample_rate` is the duration in seconds, the same
+    * convention as the WAV rows, and the oracle replays one formula set.
+    */
+  def mp4Bytes(id: Long): Array[Byte] = {
+    val w = fixtureWidth(id); val h = fixtureHeight(id)
+    val nf = fixtureSamples(id); val ts = fixtureSampleRate(id)
+    val b = new Array[Byte](324)
+    var p = 0
+    def be32(v: Int): Unit = {
+      b(p) = (v >>> 24).toByte; b(p + 1) = (v >>> 16).toByte
+      b(p + 2) = (v >>> 8).toByte; b(p + 3) = v.toByte; p += 4
+    }
+    def tag(t: String): Unit = { var i = 0; while (i < 4) { b(p) = t(i).toByte; p += 1; i += 1 } }
+    def skip(nBytes: Int): Unit = p += nBytes // already zeroed
+    // ftyp: major 'isom', minor 0, one compatible brand
+    be32(20); tag("ftyp"); tag("isom"); be32(0); tag("isom")
+    be32(296); tag("moov")
+    //   mvhd v0: ver/flags, 2 times, timescale, duration, rate 1.0,
+    //   volume 1.0, 10 reserved, unity matrix, 24 predefined, next track
+    be32(108); tag("mvhd"); be32(0); skip(8); be32(ts); be32(nf)
+    be32(0x00010000); b(p) = 0x01; skip(12) // rate 1.0, volume 1.0, 10 reserved
+    be32(0x00010000); skip(12); be32(0x00010000); skip(12); be32(0x40000000)
+    skip(24); be32(2)
+    //   trak
+    be32(180); tag("trak")
+    //     tkhd v0: ver/flags(enabled), 2 times, track id, reserved,
+    //     duration, 8 reserved, layer/alt/volume/reserved, matrix, w, h
+    be32(92); tag("tkhd"); be32(7); skip(8); be32(1); skip(4); be32(nf)
+    skip(8 + 8) // reserved + layer/alternate/volume/reserved
+    be32(0x00010000); skip(12); be32(0x00010000); skip(12); be32(0x40000000)
+    be32(w << 16); be32(h << 16) // 16.16 fixed
+    //     mdia
+    be32(80); tag("mdia")
+    //       mdhd v0: ver/flags, 2 times, timescale, duration, lang, pre
+    be32(32); tag("mdhd"); be32(0); skip(8); be32(ts); be32(nf); skip(4)
+    //       minf/stbl/stts: one run of nf samples, delta 1
+    be32(40); tag("minf")
+    be32(32); tag("stbl")
+    be32(24); tag("stts"); be32(0); be32(1); be32(nf); be32(1)
+    // empty mdat
+    be32(8); tag("mdat")
+    require(p == 324, s"mp4 fixture layout drifted: wrote $p of 324")
+    b
+  }
+
+  /** Container for media `id`: ids cycle png / bmp / wav / mp4 by `id % 4`. */
+  def fixturePayload(id: Long): Array[Byte] = (id % 4) match {
     case 0 => pngBytes(id)
     case 1 => bmpBytes(id)
-    case _ => wavBytes(id)
+    case 2 => wavBytes(id)
+    case _ => mp4Bytes(id)
   }
 
   /** Fixture source: one real container payload per id in `df(idCol)`,

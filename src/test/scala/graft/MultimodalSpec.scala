@@ -16,11 +16,11 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == 500)
     assert(rows.forall(_.payload.nonEmpty))
     val formats = rows.map(r => Multimodal.decodeMeta(r.media_id, r.payload).format)
-    assert(formats.toSet == Set("png", "bmp", "wav"))
+    assert(formats.toSet == Set("png", "bmp", "wav", "mp4"))
   }
 
   test("generated PNGs are real: the JDK's own ImageIO decodes them with matching dims") {
-    for (id <- Seq(0L, 3L, 6L, 99L, 498L)) {
+    for (id <- Seq(0L, 4L, 8L, 100L, 496L)) {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(Multimodal.pngBytes(id)))
       assert(img != null, s"ImageIO rejected generated PNG for id=$id")
       assert(img.getWidth == Multimodal.fixtureWidth(id))
@@ -31,7 +31,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("generated BMPs are real: ImageIO decodes them with matching dims") {
-    for (id <- Seq(1L, 4L, 100L, 499L)) {
+    for (id <- Seq(1L, 5L, 101L, 497L)) {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(Multimodal.bmpBytes(id)))
       assert(img != null, s"ImageIO rejected generated BMP for id=$id")
       assert(img.getWidth == Multimodal.fixtureWidth(id))
@@ -42,7 +42,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("generated WAVs are real: javax.sound parses rate/channels/frames identically") {
-    for (id <- Seq(2L, 5L, 101L, 497L)) {
+    for (id <- Seq(2L, 6L, 102L, 498L)) {
       val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new ByteArrayInputStream(Multimodal.wavBytes(id)))
       val m = Multimodal.decodeMeta(id, Multimodal.wavBytes(id))
@@ -154,18 +154,90 @@ class MultimodalSpec extends SparkSpec {
       s"padded JPEG parsed as $m")
   }
 
+  test("decodeMeta: MP4 box walk — v0/v1 headers, largesize, truncation, crafted sizes") {
+    val id = 3L
+    val b = Multimodal.mp4Bytes(id)
+    val m = Multimodal.decodeMeta(id, b)
+    assert(m.format == "mp4" && m.n_bytes == 324)
+    assert(m.width == Multimodal.fixtureWidth(id) && m.height == Multimodal.fixtureHeight(id))
+    assert(m.n_frames == Multimodal.fixtureSamples(id))
+    assert(m.sample_rate == Multimodal.fixtureSampleRate(id) && m.channels == 0)
+
+    // every truncation point degrades to unknown or parses partially —
+    // never throws (the at-scale contract)
+    (0 until b.length).foreach { cut =>
+      Multimodal.decodeMeta(id, b.take(cut)) // must not throw
+    }
+
+    // crafted box sizes near 2^31 / 2^32-1 must not wrap the bounds walk:
+    // patch the moov size field (offset 20) and every parse must reject
+    for (sz <- Seq(0x7ffffffcL, 0x7fffffffL, 0xfffffff0L)) {
+      val evil = Multimodal.mp4Bytes(id).clone()
+      evil(20) = (sz >>> 24).toByte; evil(21) = (sz >>> 16).toByte
+      evil(22) = (sz >>> 8).toByte; evil(23) = sz.toByte
+      assert(Multimodal.decodeMeta(id, evil).format == "unknown",
+        s"moov size 0x${sz.toHexString} did not reject")
+    }
+    // size==1 largesize path: rewrite moov with a 64-bit size; the walk
+    // must read the largesize and still find mvhd 8 bytes further in.
+    // Crafted 2^63-range largesize must reject, not wrap.
+    val big = new Array[Byte](b.length + 8)
+    System.arraycopy(b, 0, big, 0, 20) // ftyp
+    big(20) = 0; big(21) = 0; big(22) = 0; big(23) = 1 // size = 1
+    System.arraycopy(b, 24, big, 24, 4) // 'moov'
+    val large = 296L + 8L
+    (0 until 8).foreach(i => big(28 + i) = (large >>> (56 - 8 * i)).toByte)
+    System.arraycopy(b, 28, big, 36, b.length - 28) // moov payload + mdat
+    val lm = Multimodal.decodeMeta(id, big.take(36 + 296 - 8))
+    assert(lm.format == "mp4" && lm.width == Multimodal.fixtureWidth(id),
+      s"largesize moov did not parse: $lm")
+    val evil64 = big.clone()
+    evil64(28) = 0x7f.toByte // largesize ≈ 2^63: off + size would wrap
+    assert(Multimodal.decodeMeta(id, evil64.take(36 + 296 - 8)).format == "unknown")
+
+    // v1 tkhd (64-bit times): dims move from payload+76 to +88
+    val v1 = Multimodal.mp4Bytes(id)
+    // tkhd box starts at 20(ftyp)+8(moov hdr)+108(mvhd)+8(trak hdr) = 144;
+    // rebuild it as v1 inside a fresh buffer with the 12 extra bytes
+    val v1b = new Array[Byte](v1.length + 12)
+    System.arraycopy(v1, 0, v1b, 0, 144)
+    def putBe32(arr: Array[Byte], i: Int, v: Int): Unit = {
+      arr(i) = (v >>> 24).toByte; arr(i + 1) = (v >>> 16).toByte
+      arr(i + 2) = (v >>> 8).toByte; arr(i + 3) = v.toByte
+    }
+    putBe32(v1b, 144, 92 + 12) // tkhd size
+    System.arraycopy(v1, 148, v1b, 148, 4) // 'tkhd'
+    v1b(152) = 1 // version 1
+    // times 8+8, track id 4, reserved 4, duration 8 = 32 bytes (zeros ok)
+    System.arraycopy(v1, 156 + 20, v1b, 156 + 32, 92 - 8 - 4 - 20) // rest of payload
+    // fix enclosing sizes: moov, trak grew by 12
+    putBe32(v1b, 20, 296 + 12)
+    putBe32(v1b, 136, 180 + 12)
+    System.arraycopy(v1, 144 + 92, v1b, 144 + 92 + 12, v1.length - 144 - 92)
+    val vm = Multimodal.decodeMeta(id, v1b)
+    assert(vm.format == "mp4" && vm.width == Multimodal.fixtureWidth(id) &&
+      vm.height == Multimodal.fixtureHeight(id), s"v1 tkhd did not parse: $vm")
+  }
+
   test("decode: distributed parse matches fixture arithmetic for every row") {
     val decoded = Multimodal.decode(media).collect()
     assert(decoded.length == 500)
     decoded.foreach { m =>
       val id = m.media_id
-      (id % 3) match {
+      (id % 4) match {
         case 2 =>
           assert(m.format == "wav" && m.width == 0 && m.height == 0)
           assert(m.n_frames == Multimodal.fixtureSamples(id))
           assert(m.sample_rate == Multimodal.fixtureSampleRate(id))
           assert(m.channels == 1)
           assert(m.n_bytes == 44 + 2L * Multimodal.fixtureSamples(id))
+        case 3 =>
+          assert(m.format == "mp4" && m.n_bytes == 324)
+          assert(m.width == Multimodal.fixtureWidth(id))
+          assert(m.height == Multimodal.fixtureHeight(id))
+          assert(m.n_frames == Multimodal.fixtureSamples(id))
+          assert(m.sample_rate == Multimodal.fixtureSampleRate(id))
+          assert(m.channels == 0)
         case i =>
           assert(m.format == (if (i == 0) "png" else "bmp"))
           assert(m.width == Multimodal.fixtureWidth(id))
@@ -210,7 +282,7 @@ class MultimodalSpec extends SparkSpec {
   test("extractAudioFeatures: real PCM chunk means, batch-size invariant") {
     val f = Multimodal.extractAudioFeatures(media, dim = 16, batchSize = 32)
       .collect().sortBy(_.media_id)
-    val wavIds = media.collect().map(_.media_id).filter(_ % 3 == 2).sorted
+    val wavIds = media.collect().map(_.media_id).filter(_ % 4 == 2).sorted
     assert(f.map(_.media_id).toSeq == wavIds.toSeq) // only wav rows survive
     assert(f.forall(_.feature.length == 16))
     // reference computation straight from the fixture sample generator
