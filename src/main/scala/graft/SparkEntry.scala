@@ -1030,6 +1030,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("component"))
     }),
 
+    // Variable-length duplicated spans: stride-1 seed windows whose keys
+    // repeat corpus-wide chain into maximal runs (gaps-and-islands inside
+    // one per-doc codegen aggregate — no Window over the span stream),
+    // reported as (start, length, text). The Lee-et-al-shaped extension of
+    // q72's fixed windows; the oracle replays windows + islands as a CTE.
+    "q82_maximal_spans" -> ((s, dir) =>
+      graft.operators.TextDedup.maximalDuplicateSpans(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        windowTokens = 8)),
+
     // Unigram log-prob quality score (perplexity-filter family): top-30
     // vocabulary by corpus frequency (small so the OOV path exercises),
     // broadcast back onto the token stream, per-doc mean log p.
@@ -1386,6 +1396,33 @@ object SparkEntry {
         |  CAST(n_dup AS BIGINT) AS n_dup_spans,
         |  ROUND(CAST(n_dup AS DOUBLE) / n_spans, 4) AS dup_frac
         |FROM per""".stripMargin,
+
+    // q82 replays stride-1 windows, corpus-wide key counts, and
+    // gaps-and-islands run chaining (s − ROW_NUMBER() groups consecutive
+    // duplicated starts) — the window-replay formulation of the engine's
+    // per-doc aggregate() chain.
+    "q82_maximal_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |seeds AS (
+        |  SELECT doc_id, unnest(range(0, len(ts) - 8 + 1)) AS s, ts
+        |  FROM toks WHERE len(ts) >= 8),
+        |keyed AS (
+        |  SELECT doc_id, s, lower(array_to_string(list_slice(ts, s + 1, s + 8), ' ')) AS key
+        |  FROM seeds),
+        |kc AS (SELECT key, COUNT(*) AS c FROM keyed GROUP BY key),
+        |dup AS (
+        |  SELECT doc_id, s,
+        |    s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS island
+        |  FROM keyed JOIN kc USING (key) WHERE kc.c >= 2),
+        |runs AS (
+        |  SELECT doc_id, MIN(s) AS a, MAX(s) AS b
+        |  FROM dup GROUP BY doc_id, island)
+        |SELECT r.doc_id, CAST(a AS INT) AS span_start,
+        |  CAST(b - a + 8 AS INT) AS span_tokens,
+        |  array_to_string(list_slice(t.ts, a + 1, b + 8), ' ') AS span_text
+        |FROM runs r JOIN toks t ON t.doc_id = r.doc_id""".stripMargin,
 
     // q76: passes compares the ROUNDED mean/frac columns on both sides —
     // the gate's published value is the gate's tested value.

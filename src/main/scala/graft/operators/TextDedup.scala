@@ -365,6 +365,76 @@ object TextDedup {
           .as("text_clean"))
   }
 
+  /** VARIABLE-LENGTH duplicated spans: maximal runs of consecutive
+    * duplicated seed windows, the scalable relaxation of Lee et al.'s
+    * maximal duplicated substrings (their suffix-array formulation reports
+    * exact maximal substrings; chaining stride-1 duplicated windows keys
+    * the same passages without a corpus-wide suffix sort — a window-join
+    * instead of a suffix array, at the cost of w−1 tokens of boundary
+    * slack and the possibility that one chain's windows match different
+    * partners).
+    *
+    * Every w-token window (stride 1) is keyed and counted corpus-wide; a
+    * document's duplicated starts then chain into maximal runs [a..b]
+    * (consecutive starts, gap 1), each reported as the span of tokens
+    * [a, b + w). Stripping needs no new path: the union of covered tokens
+    * equals stride-1 [[stripDuplicateSpans]]'s, so this operator only
+    * REPORTS the maximal extents (dedup diagnostics, span-length
+    * distributions, targeted review).
+    *
+    * Scale shape: the span stream is one row per corpus token (the
+    * wordcount-explode shape) and partial-aggregates by key map-side; the
+    * duplicated-key join-back rides AQE's skew split exactly like
+    * [[stripDuplicateSpans]]; run chaining happens INSIDE a per-document
+    * aggregate (one codegen `aggregate()` pass over the sorted starts
+    * array, document-bounded like chunking) — no Window over the span
+    * stream, no driver collection.
+    *
+    * Returns `(doc_id, span_start, span_tokens, span_text)` — one row per
+    * maximal duplicated span; `span_text` is the original (case-preserved)
+    * token sequence re-joined with single spaces.
+    */
+  def maximalDuplicateSpans(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be > 0")
+    val w = windowTokens
+    val spans = spanInstances(df, idCol, textCol, w, stride = 1)
+    val dupKeys = spans.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("g")
+    val dupStarts = spans.join(dupKeys, "g")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("s"))).as("ss"))
+    // gaps-and-islands over the sorted starts, inside one codegen
+    // aggregate(): state = (closed runs, current run [ca, cb])
+    val emptyRuns = array().cast("array<struct<a:int,b:int>>")
+    def push(runs: Column, a: Column, b: Column): Column =
+      concat(runs, array(struct(a.as("a"), b.as("b"))))
+    val runs = aggregate(
+      col("ss"),
+      struct(emptyRuns.as("runs"), lit(-1).as("ca"), lit(-1).as("cb")),
+      (st, s) =>
+        when(st("ca") === -1,
+          struct(st("runs").as("runs"), s.as("ca"), s.as("cb")))
+          .when(s === st("cb") + 1,
+            struct(st("runs").as("runs"), st("ca").as("ca"), s.as("cb")))
+          .otherwise(
+            struct(push(st("runs"), st("ca"), st("cb")).as("runs"),
+              s.as("ca"), s.as("cb"))),
+      st => when(st("ca") === -1, st("runs"))
+        .otherwise(push(st("runs"), st("ca"), st("cb"))))
+    dupStarts
+      .select(col("doc_id"), explode(runs).as("r"))
+      .join(df.select(idCol.as("doc_id"), spanTokens(textCol).as("ts")), "doc_id")
+      .select(col("doc_id"),
+        col("r.a").as("span_start"),
+        (col("r.b") - col("r.a") + w).as("span_tokens"),
+        concat_ws(" ",
+          slice(col("ts"), col("r.a") + 1, col("r.b") - col("r.a") + w))
+          .as("span_text"))
+  }
+
   /** Exhaustive n-gram Jaccard similarity join (no sketch): candidates are
     * pairs sharing ≥1 shingle. Exact but quadratic in the worst case —
     * use [[minhashNearDupPairs]] at scale; this is the oracle-friendly

@@ -164,6 +164,58 @@ class TextDedupSpec extends SparkSpec {
     assert(got(4L) == "too few tokens") // sub-window doc passes whole
   }
 
+  test("maximalDuplicateSpans: consecutive dup windows chain into variable-length spans") {
+    import spark.implicits._
+    val corpus = Seq(
+      // docs 1 and 2 share the 6-token passage "a b c d e f": with w=4,
+      // starts 0,1,2 are duplicated in doc 1 → ONE maximal span of 6
+      // tokens, not three 4-token windows
+      (1L, "a b c d e f X Y"),
+      (2L, "P Q a b c d e f"),
+      // doc 3 repeats its own 4-token window at two non-adjacent places:
+      // two separate maximal spans of exactly w tokens
+      (3L, "k l m n Z Z Z k l m n"),
+      (4L, "too few tokens")).toDF("doc_id", "text")
+    val got = TextDedup.maximalDuplicateSpans(
+      corpus, col("doc_id"), col("text"), windowTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 0, 6, "a b c d e f"),
+      (2L, 2, 6, "a b c d e f"),
+      (3L, 0, 4, "k l m n"),
+      (3L, 7, 4, "k l m n")))
+  }
+
+  test("maximalDuplicateSpans matches a plain-Scala reference on a randomized corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4321)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (1L to 40L).map { id =>
+      val n = 2 + rnd.nextInt(30)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val w = 4
+    val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val spans = toks.toSeq.flatMap { case (id, ts) =>
+      (0 to ts.length - w).map(st => (id, st, ts.slice(st, st + w).mkString(" ")))
+    }
+    val df = spans.groupBy(_._3).map { case (k, v) => k -> v.size }
+    val ref = toks.toSeq.flatMap { case (id, ts) =>
+      val dupStarts = spans.filter(x => x._1 == id && df(x._3) >= 2).map(_._2).sorted
+      // chain consecutive starts into maximal runs
+      val runs = dupStarts.foldLeft(List.empty[(Int, Int)]) {
+        case ((a, b) :: rest, s) if s == b + 1 => (a, s) :: rest
+        case (acc, s) => (s, s) :: acc
+      }.reverse
+      runs.map { case (a, b) =>
+        (id, a, b - a + w, ts.slice(a, b + w).mkString(" ")) }
+    }.toSet
+    val got = TextDedup.maximalDuplicateSpans(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), windowTokens = w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == ref)
+  }
+
   test("span dedup matches a plain-Scala reference on a randomized corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(1234)
