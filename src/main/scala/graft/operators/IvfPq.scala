@@ -160,6 +160,26 @@ final class DiskIvfPqIndex(
         GraftFunctions.vecDot(col("qv"), col("v")).as("score_raw"))
     Similarity.heapSelect(scored, k)
   }
+
+  /** Incrementally add vectors without a rebuild (the
+    * [[DiskIvfIndex.append]] contract, composed with encoding): new rows
+    * are assigned their trained cell, residual-encoded against the FROZEN
+    * codebooks, and appended as new files under the existing `cell=<id>`
+    * directories — one map stage over the batch, never a corpus reshuffle.
+    * Codebooks drift from the data distribution as ingest accumulates;
+    * retrain + re-layout when recall sags.
+    */
+  def append(newCandidates: DataFrame): Unit = {
+    val centLit = typedlit(codebooks.centroids.map(_.toSeq).toSeq)
+    newCandidates
+      .select(col("nid"), col("nvec").cast("array<double>").as("v"))
+      .withColumn("cell", KMeans.assignCell(col("v"), codebooks.centroids))
+      .withColumn("resid",
+        zip_with(col("v"), element_at(centLit, col("cell") + 1), (a, b) => a - b))
+      .select(col("nid"), col("v"),
+        ProductQuantization.encode(col("resid"), codebooks.pq).as("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+  }
 }
 
 object DiskIvfPqIndex {

@@ -33,6 +33,40 @@ class IvfPqSpec extends SparkSpec {
   private def nearest(v: Array[Double], cents: Array[Array[Double]]): Int =
     cents.indices.minBy(j => (dot(cents(j), cents(j)) - 2.0 * dot(v, cents(j)), j))
 
+  /** Scalar replay of the full IVF-PQ pipeline (assign → residual →
+    * encode → reconstruct → probe → two-term ADC score → top-k) from a
+    * codebook pair — independent of every Spark expression involved.
+    */
+  private def scalarReplay(
+      cbs: IvfPq.Codebooks,
+      cRows: Array[(Long, Array[Double])],
+      qRows: Array[(Long, Array[Double])],
+      nprobe: Int,
+      k: Int): Set[(Long, Long, Double, Int)] = {
+    val cents = cbs.centroids
+    val pq = cbs.pq
+    val sd = pq.subDim
+    val recon = cRows.map { case (nid, v) =>
+      val cell = nearest(v, cents)
+      val resid = v.indices.map(i => v(i) - cents(cell)(i)).toArray
+      val rv = (0 until pq.m).flatMap { s =>
+        val sub = resid.slice(s * sd, s * sd + sd)
+        pq.codebooks(s)(nearest(sub, pq.codebooks(s)))
+      }.toArray
+      (nid, cell, rv)
+    }
+    qRows.flatMap { case (qid, qv) =>
+      val probed = cents.indices
+        .sortBy(j => (dot(cents(j), cents(j)) - 2.0 * dot(qv, cents(j)), j))
+        .take(nprobe).toSet
+      recon.filter(t => probed.contains(t._2))
+        .map { case (nid, cell, rv) => (nid, dot(qv, cents(cell)) + dot(qv, rv)) }
+        .sortBy { case (nid, sc) => (-sc, nid) }
+        .take(k).zipWithIndex
+        .map { case ((nid, sc), i) => (qid, nid, math.rint(sc * 1e4) / 1e4, i + 1) }
+    }.toSet
+  }
+
   test("ivf-pq: ADC search matches a scalar replay; plan prunes partitions AND the raw-vector column") {
     val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString
     val idx = IvfPq.buildTrained(spark, cands, tmp, dim = 64,
@@ -50,47 +84,23 @@ class IvfPqSpec extends SparkSpec {
       s"ADC search must NOT read the raw vector column: $readSchema")
     assert(!plan.contains("Window"), s"Window survives in plan:\n$plan")
 
-    // --- value oracle: scalar replay of assign → residual → encode →
-    // reconstruct → coarse+fine ADC score → per-query top-k from the
-    // captured codebooks (independent of every Spark expression involved)
-    val cents = idx.codebooks.centroids
-    val pq = idx.codebooks.pq
+    // --- value oracle: scalar replay from the captured codebooks
     val cRows = cands.select(col("nid"), col("nvec").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     val qRows = queries.select(col("qid"), col("qvec").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    val sd = pq.subDim
-    // candidate → (cell, reconstructed residual)
-    val recon = cRows.map { case (nid, v) =>
-      val cell = nearest(v, cents)
-      val resid = v.indices.map(i => v(i) - cents(cell)(i)).toArray
-      val rv = (0 until pq.m).flatMap { s =>
-        val sub = resid.slice(s * sd, s * sd + sd)
-        pq.codebooks(s)(nearest(sub, pq.codebooks(s)))
-      }.toArray
-      (nid, cell, rv)
-    }
-    val expected = qRows.flatMap { case (qid, qv) =>
-      val probed = cents.indices
-        .sortBy(j => (dot(cents(j), cents(j)) - 2.0 * dot(qv, cents(j)), j))
-        .take(3).toSet
-      recon.filter(t => probed.contains(t._2))
-        .map { case (nid, cell, rv) => (nid, dot(qv, cents(cell)) + dot(qv, rv)) }
-        .sortBy { case (nid, s) => (-s, nid) }
-        .take(5).zipWithIndex
-        .map { case ((nid, s), i) =>
-          (qid, nid, math.rint(s * 1e4) / 1e4, i + 1) }
-    }.toSet
+    val expected = scalarReplay(idx.codebooks, cRows, qRows, nprobe = 3, k = 5)
     val got = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    assert(got == expected.map(t => (t._1, t._2, t._3, t._4)))
+    assert(got == expected)
 
     // --- cold reopen: codebooks round-trip through JSON, results identical
     val reopened = IvfPq.load(spark, tmp)
-    assert(reopened.codebooks.centroids.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
-    assert(reopened.codebooks.pq.subDim == sd)
+    assert(reopened.codebooks.centroids.map(_.toSeq).toSeq ==
+      idx.codebooks.centroids.map(_.toSeq).toSeq)
+    assert(reopened.codebooks.pq.subDim == idx.codebooks.pq.subDim)
     assert(reopened.codebooks.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
-      pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      idx.codebooks.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
     val again = reopened.search(queries, k = 5, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(again == got)
@@ -99,6 +109,29 @@ class IvfPqSpec extends SparkSpec {
     val files = new java.io.File(tmp).listFiles()
     assert(files.count(_.getName.startsWith("cell=")) > 1)
     assert(files.exists(_.getName == "_ivfpq_codebooks.json"))
+  }
+
+  test("ivf-pq append: new vectors searchable without rebuild, frozen codebooks") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-append").toString
+    // build on the first half, append the second half as an ingest batch
+    val first = cands.filter(col("nid") < 250)
+    val second = cands.filter(col("nid") >= 250)
+    val idx = IvfPq.buildTrained(spark, first, tmp, dim = 64,
+      nlist = 8, m = 4, k = 16, iters = 2)
+    idx.append(second)
+    val got = IvfPq.load(spark, tmp).search(queries, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // reference: the scalar replay over ALL candidates with the codebooks
+    // trained on `first` only — append must equal "the rows were always
+    // there" under frozen codebooks
+    val cRows = cands.select(col("nid"), col("nvec").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val qRows = queries.select(col("qid"), col("qvec").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val expected = scalarReplay(idx.codebooks, cRows, qRows, nprobe = 3, k = 5)
+    assert(got == expected && got.nonEmpty)
+    // appended rows actually land: some result id is from the second half
+    assert(got.exists(_._2 >= 250), s"no appended vector ever surfaced: $got")
   }
 
   test("ivf-pq refined: survivors re-ranked by exact dots, still no raw scan in the ADC stage") {
