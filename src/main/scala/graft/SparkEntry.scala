@@ -60,6 +60,11 @@ object SparkEntry {
     */
   @volatile private[graft] var q47Codebooks: Option[graft.operators.IvfPq.Codebooks] = None
 
+  /** Codebooks trained by the last q83 run — captured separately from q47
+    * so each query stays self-contained (the driver may run any subset).
+    */
+  @volatile private[graft] var q83Codebooks: Option[graft.operators.IvfPq.Codebooks] = None
+
   private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     lastRunCtx = Some((spark, dir))
     spark.read.parquet(s"$dir/$name.parquet")
@@ -1060,7 +1065,42 @@ object SparkEntry {
         // opposite sides of zero per engine and round to -0.0 vs 0.0,
         // which the driver's string-keyed row sort treats as different
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
-          (round(col("col"), 4) + lit(0.0)).as("val")))
+          (round(col("col"), 4) + lit(0.0)).as("val"))),
+
+    // Two-stage IVF-PQ serving: ADC over the probed cells' codes picks
+    // rerank=30 candidates per query, then an exact inner-product pass over
+    // JUST those survivors (raw vectors fetched from the same pruned
+    // partitions) fixes the final ranks — the standard production recipe
+    // for recovering exact-score ordering at code-scan cost.
+    "q83_ivfpq_refine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val candidates = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q83-ivfpq-").toString
+      val idx = graft.operators.IvfPq.buildTrained(s, candidates, tmp,
+        dim = 64, nlist = 8, m = 4, k = 16, iters = 3)
+      q83Codebooks = Some(idx.codebooks)
+      idx.searchRefined(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 10, nprobe = 3, rerank = 30)
+    }),
+
+    // Sequence packing (concat-and-chunk): per-language token streams cut
+    // into 64-token context windows; one row per (document, bin) segment.
+    // The per-shard window sort is the plan's only shuffle.
+    "q84_pack_sequences" -> ((s, dir) =>
+      graft.operators.Chunking.packSequences(
+        table(s, dir, "documents"), col("doc_id"), col("text"), col("lang"),
+        capacity = 64)),
+
+    // Fuzzy (edit-distance) entity resolution: supplier-name pairs within
+    // the same nation at Levenshtein distance <= 2, candidate-generated by
+    // the lossless (block, length-band) equi-join — never a cross join.
+    "q85_fuzzy_join" -> ((s, dir) =>
+      graft.operators.Dedup.fuzzyPairs(
+        table(s, dir, "supplier"),
+        col("s_suppkey"), col("s_name"), col("s_nationkey"), maxDist = 2))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1072,7 +1112,8 @@ object SparkEntry {
     ("q81_semdedup" -> q81OracleSql) +
     ("q60_neardup_auto" -> q60OracleSql) +
     ("q64_pq_adc" -> q64OracleSql) +
-    ("q47_ivfpq_adc" -> q47OracleSql)
+    ("q47_ivfpq_adc" -> q47OracleSql) +
+    ("q83_ivfpq_refine" -> q83OracleSql)
 
   private def centroidValues(cb: Array[Array[Double]]): String =
     cb.zipWithIndex
@@ -1304,6 +1345,52 @@ object SparkEntry {
   private def q47OracleSql: String = q47Codebooks match {
     case None => unavailableOracle
     case Some(cbs) =>
+      s"""${ivfPqOracleCtes(cbs)},
+         |s AS (
+         |  SELECT p.qid, r.nid,
+         |    list_dot_product(p.qv, ct.cvec) + list_dot_product(p.qv, r.rv) AS score
+         |  FROM probed p JOIN recon r USING (cell) JOIN cent ct ON ct.cell = p.cell),
+         |r AS (SELECT qid, nid, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+         |      FROM s)
+         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
+  }
+
+  /** q83's oracle: the same IVF-PQ replay through ADC scoring, then the
+    * refine stage — top rerank=30 per query by ADC score become the
+    * survivor set, and the FINAL ranks come from exact inner products
+    * against the raw vectors (`c.v`), mirroring
+    * [[graft.operators.DiskIvfPqIndex.searchRefined]].
+    */
+  private def q83OracleSql: String = q83Codebooks match {
+    case None => unavailableOracle
+    case Some(cbs) =>
+      s"""${ivfPqOracleCtes(cbs)},
+         |s AS (
+         |  SELECT p.qid, r.nid,
+         |    list_dot_product(p.qv, ct.cvec) + list_dot_product(p.qv, r.rv) AS score
+         |  FROM probed p JOIN recon r USING (cell) JOIN cent ct ON ct.cell = p.cell),
+         |a AS (SELECT qid, nid,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS ar
+         |      FROM s),
+         |surv AS (SELECT qid, nid FROM a WHERE ar <= 30),
+         |ex AS (
+         |  SELECT sv.qid, sv.nid, list_dot_product(q.qv, c.v) AS score
+         |  FROM surv sv JOIN q USING (qid) JOIN c ON c.nid = sv.nid),
+         |r AS (SELECT qid, nid, score,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+         |      FROM ex)
+         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
+  }
+
+  /** Shared CTE prefix for the IVF-PQ oracles (q47/q83): both captured
+    * codebooks as literals; DuckDB replays coarse cell assignment
+    * (argmin |c|² − 2vc, ties to the smaller cell), elementwise residual,
+    * per-subspace residual encoding, reconstruction, and nprobe=3 probing.
+    * Term order mirrors the engine's expressions exactly so the FP sums
+    * associate identically.
+    */
+  private def ivfPqOracleCtes(cbs: graft.operators.IvfPq.Codebooks): String = {
       val pq = cbs.pq
       val sd = pq.subDim
       val dim = sd * pq.m
@@ -1346,18 +1433,56 @@ object SparkEntry {
          |    SELECT qid, qv, cell, ROW_NUMBER() OVER (PARTITION BY qid
          |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
          |        cell ASC) AS pr
-         |    FROM q CROSS JOIN cent) WHERE pr <= 3),
-         |s AS (
-         |  SELECT p.qid, r.nid,
-         |    list_dot_product(p.qv, ct.cvec) + list_dot_product(p.qv, r.rv) AS score
-         |  FROM probed p JOIN recon r USING (cell) JOIN cent ct ON ct.cell = p.cell),
-         |r AS (SELECT qid, nid, score,
-         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
-         |      FROM s)
-         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
+         |    FROM q CROSS JOIN cent) WHERE pr <= 3)""".stripMargin
   }
 
   private def staticOracleSql: Map[String, String] = Map(
+
+    // Replays concat-and-chunk packing: per-shard running token total →
+    // the bins each document straddles → per-(doc, bin) segment bounds.
+    // Whitespace tokenization parity: string_split keeps empty tokens and
+    // `split('', ' ') = ['']` in both engines, so every doc has >= 1 token.
+    "q84_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang AS shard, doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT shard, doc_id, toks, tok,
+        |    CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM t),
+        |b AS (
+        |  SELECT shard, doc_id, toks, tok, cum - tok AS strt,
+        |    (cum - tok) // 64 AS bin_first, (cum - 1) // 64 AS bin_last
+        |  FROM w),
+        |e AS (
+        |  SELECT shard, doc_id, toks, tok, strt,
+        |    unnest(range(bin_first, bin_last + 1)) AS bin
+        |  FROM b),
+        |s AS (
+        |  SELECT shard, doc_id, bin, strt, toks,
+        |    GREATEST(0, bin * 64 - strt) AS seg_start,
+        |    LEAST(tok, (bin + 1) * 64 - strt) - GREATEST(0, bin * 64 - strt) AS seg_len
+        |  FROM e)
+        |SELECT shard, CAST(bin AS BIGINT) AS bin, doc_id,
+        |  CAST(seg_start AS BIGINT) AS seg_start,
+        |  CAST(seg_len AS BIGINT) AS seg_len,
+        |  CAST(strt + seg_start - bin * 64 AS BIGINT) AS bin_offset,
+        |  array_to_string(toks[seg_start + 1 : seg_start + seg_len], ' ') AS seg_text
+        |FROM s""".stripMargin,
+
+    // Models the lossless (block, length-band) candidate join as the naive
+    // within-block join it is provably identical to: |len(a)-len(b)| <=
+    // lev(a,b), so band width maxDist+1 with probe-side band±1 explosion
+    // misses no qualifying pair, and levenshtein filters the rest. The
+    // engine additionally drops bands larger than maxBlockSize=10000
+    // (logged, never silent) — far below the cap at test SFs.
+    "q85_fuzzy_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2""".stripMargin,
 
     // Fixed-width lowercase hex compares lexicographically == numerically,
     // so the string ORDER BY replicates the engine's 48-bit numeric rank.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document chunking for RAG / training-window pipelines: split each
@@ -74,5 +75,71 @@ object Chunking {
         array_join(slice(col("toks"), col("col") + 1, lit(chunkSize)), " ").as("chunk_text"),
         least(size(col("toks")) - col("col"), lit(chunkSize))
           .cast("long").as("chunk_tokens"))
+  }
+
+  /** Sequence packing (concat-and-chunk): lay every shard's documents
+    * end-to-end in `orderCol` order and cut the concatenated token stream
+    * into consecutive fixed-`capacity` context windows ("bins") — the
+    * packed-dataset construction LLM training pipelines use to avoid
+    * padding waste. A document whose tokens straddle a bin boundary is
+    * split; the output is the PACK PLAN, one row per (document, bin)
+    * segment:
+    *
+    *   (shard, bin, doc_id, seg_start, seg_len, bin_offset, seg_text)
+    *
+    * where `seg_start` is the token offset inside the document,
+    * `bin_offset` the position inside the bin, and `seg_text` the
+    * segment's whitespace-rejoined tokens. Materializing the actual
+    * packed windows is then a `groupBy(shard, bin)` + `bin_offset`-ordered
+    * concat — deliberately left to the caller, because most consumers
+    * (tokenizer shards, tfrecord writers) stream the plan directly.
+    *
+    * Scale shape: packing is inherently SEQUENTIAL within a shard (each
+    * bin boundary depends on every prior document's length), so the shard
+    * column is the parallelism lever — hash-shard to O(cluster cores)
+    * groups and each shard packs independently. The plan is one shuffle
+    * (the per-shard window sort), then pure codegen arithmetic and a
+    * `sequence(...)` explosion; nothing is collected and no shard's
+    * token stream is ever materialized as one row. At 100 TB with ~10k
+    * shards each window partition is ~10 GB of (id, count) pairs — the
+    * window state per row is one running long, not the token arrays.
+    *
+    * Empty documents count as one empty token (`split("", " ") = [""]`),
+    * so every document appears in the plan — dropping empties is an
+    * explicit upstream filter, same contract as [[chunkByChars]].
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shardCol: Column,
+      capacity: Int,
+      orderCol: Option[Column] = None): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val c = lit(capacity.toLong)
+    val ord = orderCol.getOrElse(idCol)
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"))
+    df.select(shardCol.as("shard"), idCol.as("doc_id"), ord.as("ord"),
+        split(textCol, " ").as("toks"))
+      .withColumn("tok", size(col("toks")).cast("long"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("start", col("cum") - col("tok"))
+      // first/last bin this document touches: its tokens occupy stream
+      // positions [start, cum)
+      .select(col("shard"), col("doc_id"), col("toks"), col("tok"), col("start"),
+        explode(sequence(floor(col("start") / c), floor((col("cum") - 1) / c)))
+          .as("bin"))
+      .withColumn("seg_start", greatest(lit(0L), col("bin") * c - col("start")))
+      .withColumn("seg_len",
+        least(col("tok"), (col("bin") + 1) * c - col("start")) - col("seg_start"))
+      .select(
+        col("shard"),
+        col("bin"),
+        col("doc_id"),
+        col("seg_start"),
+        col("seg_len"),
+        (col("start") + col("seg_start") - col("bin") * c).as("bin_offset"),
+        array_join(slice(col("toks"), col("seg_start") + 1, col("seg_len")), " ")
+          .as("seg_text"))
   }
 }

@@ -133,6 +133,63 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: straddling doc splits at the bin boundary, shards pack independently") {
+    val docs = Seq(
+      (1L, "a", "t1 t2 t3"),    // shard a: 3 tokens, bin 0 offsets 0-2
+      (2L, "a", "u1 u2 u3 u4"), // starts at stream pos 3 → straddles bins 0/1
+      (3L, "b", "v1 v2"))       // own shard: restarts at bin 0
+      .toDF("doc_id", "lang", "text")
+    val got = Chunking.packSequences(docs, col("doc_id"), col("text"), col("lang"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))).toSet
+    assert(got == Set(
+      ("a", 0L, 1L, 0L, 3L, 0L, "t1 t2 t3"),
+      ("a", 0L, 2L, 0L, 1L, 3L, "u1"),
+      ("a", 1L, 2L, 1L, 3L, 0L, "u2 u3 u4"),
+      ("b", 0L, 3L, 0L, 2L, 0L, "v1 v2")))
+  }
+
+  test("packSequences: bins fill to exactly capacity, documents reconstruct, one shuffle") {
+    val docs = (1L to 9L).map { i =>
+      (i, "s", (1L to i).map(j => s"w$i-$j").mkString(" ")) // 45 tokens total
+    }.toDF("doc_id", "lang", "text")
+    val plan = Chunking.packSequences(docs, col("doc_id"), col("text"), col("lang"), 7)
+    val rows = plan.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))
+    // every bin except the shard's last holds exactly `capacity` tokens,
+    // laid contiguously from offset 0
+    val byBin = rows.groupBy(_._2)
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (bin, segs) =>
+      val expected = if (bin == lastBin) 45 - 7 * lastBin else 7
+      assert(segs.map(_._5).sum == expected, s"bin $bin token count")
+      val covered = segs.sortBy(_._6).foldLeft(0L) { case (at, seg) =>
+        assert(seg._6 == at, s"bin $bin gap at offset $at"); at + seg._5
+      }
+      assert(covered == expected)
+    }
+    // concatenating each document's segments in bin order restores it
+    (1L to 9L).foreach { i =>
+      val restored = rows.filter(_._3 == i).sortBy(_._4).map(_._7).mkString(" ")
+      assert(restored == (1L to i).map(j => s"w$i-$j").mkString(" "), s"doc $i")
+    }
+    // the per-shard window sort is the plan's ONLY exchange
+    // AdaptiveSparkPlan prints final + initial plans; count the final only
+    val exec = plan.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(exec).size == 1,
+      s"expected exactly one shuffle:\n$exec")
+  }
+
+  test("packSequences: empty document still occupies one (empty) token slot") {
+    val docs = Seq((1L, "s", ""), (2L, "s", "a b")).toDF("doc_id", "lang", "text")
+    val got = Chunking.packSequences(docs, col("doc_id"), col("text"), col("lang"), 8)
+      .collect().map(r => (r.getLong(2), r.getLong(4), r.getLong(5), r.getString(6)))
+      .sortBy(_._3)
+    // split("", " ") = [""] — one empty token, so doc 2 starts at offset 1
+    assert(got.toSeq == Seq((1L, 1L, 0L, ""), (2L, 2L, 1L, "a b")))
+  }
+
   // --------------------------------------------------------------- tf-idf
 
   test("tfidf: corpus-wide terms rank below distinctive ones") {

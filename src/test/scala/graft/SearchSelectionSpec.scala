@@ -228,6 +228,41 @@ class SearchSelectionSpec extends SparkSpec {
     assert(unconstrained.collect().toSet == legacy.collect().toSet)
   }
 
+  test("fuzzyPairs equals the naive within-block quadratic join, across length bands") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "kitten", 0), (2L, "sitten", 0), (3L, "sittin", 0), // 1-edit chain
+      (4L, "kittn", 0), // len 5 vs 6: bands 1 vs 2 at w=3 — boundary-crossing
+      (5L, "cat", 0), (6L, "dog", 1), (7L, "dot", 1), (8L, "kitten", 1))
+      .toDF("id", "s", "blk")
+    val got = Dedup.fuzzyPairs(rows, col("id"), col("s"), col("blk"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: the naive quadratic within-block join the banded equi-join
+    // is provably identical to
+    val a = rows.select(col("id").as("ia"), col("s").as("sa"), col("blk").as("ba"))
+    val b = rows.select(col("id").as("ib"), col("s").as("sb"), col("blk").as("bb"))
+    val naive = a.join(b, col("ba") === col("bb") && col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), levenshtein(col("sa"), col("sb")).as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naive)
+    assert(got.contains((1L, 4L, 1)), "pair straddling a length-band boundary must be found")
+    assert(!got.exists { case (x, y, _) => x <= 5 && y >= 6 }, "blocks never mix")
+  }
+
+  test("fuzzy block guard drops oversized bands, keeps the rest") {
+    import spark.implicits._
+    val rows = (0 until 30).map(i => (i.toLong, f"n$i%03d", if (i < 25) 0 else 1))
+      .toDF("id", "s", "blk") // fixed-width names: one length band per block
+    val capped = Dedup.fuzzyPairs(rows, col("id"), col("s"), col("blk"),
+      maxDist = 2, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // block 0's single band (25 rows > cap) contributes nothing; block 1
+    // ("n025".."n029", pairwise distance 1-2) pairs fully
+    assert(capped.nonEmpty && capped.forall { case (x, y) => x >= 25 && y >= 25 })
+    assert(capped.length == 5 * 4 / 2)
+  }
+
   test("block-guard drops are observed: metrics reach a QueryExecutionListener") {
     import spark.implicits._
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, org.apache.spark.sql.Row)]()
