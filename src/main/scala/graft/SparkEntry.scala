@@ -1100,7 +1100,26 @@ object SparkEntry {
     "q85_fuzzy_join" -> ((s, dir) =>
       graft.operators.Dedup.fuzzyPairs(
         table(s, dir, "supplier"),
-        col("s_suppkey"), col("s_name"), col("s_nationkey"), maxDist = 2))
+        col("s_suppkey"), col("s_name"), col("s_nationkey"), maxDist = 2)),
+
+    // Group-aware (leakage-free) split: membership is a pure function of
+    // the SOURCE hash, so near-duplicates within a source can never
+    // straddle train/test. Codegen projection, zero shuffles.
+    "q86_group_split" -> ((s, dir) =>
+      graft.operators.Sampling.groupSplit(
+        table(s, dir, "documents").select("doc_id", "source"),
+        col("source"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
+    // Temperature-based source mixing (τ=0.5 flattens the char-mass
+    // distribution): per-source keep rates from one tiny stats agg,
+    // broadcast back as quantized hash thresholds; the corpus itself sees
+    // only a scan filter.
+    "q87_temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        table(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        col("doc_id"), col("source"), col("n_chars"),
+        temperature = 0.5, budget = 50000)
+        .select("doc_id", "source"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1470,6 +1489,35 @@ object SparkEntry {
         |  CAST(strt + seg_start - bin * 64 AS BIGINT) AS bin_offset,
         |  array_to_string(toks[seg_start + 1 : seg_start + seg_len], ' ') AS seg_text
         |FROM s""".stripMargin,
+
+    // Cumulative 48-bit group-hash thresholds: floor(0.8·2^48) and
+    // floor(0.9·2^48) as fixed-width lowercase hex (compares
+    // lexicographically == numerically, the q71 idiom).
+    "q86_group_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substring(md5(source), 1, 12) < 'cccccccccccc' THEN 'train'
+        |       WHEN substring(md5(source), 1, 12) < 'e66666666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    // Replays the temperature rule: per-source char mass → rate
+    // min(1, B·n^τ/(Z·n)) → 3-hex-digit quantized threshold (1/4096 grid,
+    // so 1-ulp FP drift in the rate arithmetic cannot flip membership).
+    "q87_temperature_mix" ->
+      """WITH stats AS (
+        |  SELECT source AS src, CAST(SUM(n_chars) AS DOUBLE) AS n
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT SUM(pow(n, 0.5)) AS z FROM stats),
+        |thr AS (
+        |  SELECT src,
+        |    CASE WHEN LEAST(1.0, 50000 * pow(n, 0.5) / z / n) >= 1.0 THEN 'g'
+        |         ELSE lpad(to_hex(CAST(floor(
+        |           LEAST(1.0, 50000 * pow(n, 0.5) / z / n) * 4096) AS INT)), 3, '0')
+        |    END AS t
+        |  FROM stats, z)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN thr ON thr.src = d.source
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) < thr.t""".stripMargin,
 
     // Models the lossless (block, length-band) candidate join as the naive
     // within-block join it is provably identical to: |len(a)-len(b)| <=

@@ -89,4 +89,92 @@ object Sampling {
     }
     df.filter(substring(md5(key.cast("string")), 1, 3) < thr)
   }
+
+  /** Group-aware train/val/test split: the split is a pure function of the
+    * GROUP key (author, domain, source...), so every row of a group lands
+    * in the same split — the leakage-prevention contract for held-out
+    * evaluation (a near-duplicate of a training document from the same
+    * source can never sit in the test set). `splits` are
+    * `(name, fraction)` in declaration order; fractions must sum to 1.
+    *
+    * Membership compares the group's first 12 md5 hex digits (48-bit
+    * resolution, byte-identical in any engine with a standard md5 —
+    * fixed-width lowercase hex compares lexicographically == numerically)
+    * against the cumulative-fraction thresholds. A codegen'd projection:
+    * no shuffle, no join, stable across reruns and repartitioning.
+    *
+    * Returns `df` plus a `split` column. Note the fractions divide GROUP
+    * hash space, not rows: with few groups the realized row split tracks
+    * the fractions only as closely as group sizes allow.
+    */
+  def groupSplit(
+      df: DataFrame,
+      groupCol: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0),
+      "splits must be non-empty positive fractions")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val hexThr = cum.map(c =>
+      if (c >= 1.0) "g" // sorts above every hex digit — the final catch-all
+      else f"${math.floor(c * (1L << 48)).toLong}%012x")
+    val h = substring(md5(groupCol.cast("string")), 1, 12)
+    val expr = splits.map(_._1).zip(hexThr).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, (name, thr)) =>
+        when(h < lit(thr), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Temperature-based source mixing (the multilingual/data-mixture
+    * rebalancing rule, XLM-R-style): source `i` with mass `n_i` (tokens,
+    * chars, rows — `weightCol`) is sampled with probability proportional
+    * to `n_i^temperature`, scaled so the expected kept mass is `budget`.
+    * `temperature = 1` reproduces the natural distribution;
+    * `temperature → 0` flattens toward uniform across sources — the knob
+    * that keeps low-resource sources from vanishing in the mix.
+    *
+    * Per-source keep rate: `min(1, budget · n_i^τ / (Z · n_i))` with
+    * `Z = Σ n_j^τ`. Rates are quantized to 1/4096 (3 md5 hex digits, the
+    * [[weightedMix]] granularity) so membership stays a pure string
+    * compare — byte-identical across engines, immune to 1-ulp FP drift in
+    * the rate arithmetic flipping a row at the 48-bit boundary.
+    *
+    * Scale shape: one partial-agg pass over the (tiny) per-source masses,
+    * a broadcast of the per-source thresholds, then a codegen'd scan
+    * filter — the corpus itself is never shuffled. Oversampling
+    * (rate > 1, i.e. multiple epochs of a small source) is clamped to 1:
+    * epoch replication is a separate explode, not a filter.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      key: Column,
+      srcCol: Column,
+      weightCol: Column,
+      temperature: Double,
+      budget: Double): DataFrame = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature in (0, 1], got $temperature")
+    require(budget > 0.0, s"budget must be positive, got $budget")
+    // internal names carry a prefix so they can never collide with (or
+    // ambiguously resolve against) the caller's own columns
+    val stats = df.groupBy(srcCol.as("__mix_src"))
+      .agg(sum(weightCol).cast("double").as("__mix_n"))
+    val z = stats.agg(sum(pow(col("__mix_n"), temperature)).as("__mix_z"))
+    val thr = stats.crossJoin(z)
+      .select(col("__mix_src"),
+        least(lit(1.0),
+          lit(budget) * pow(col("__mix_n"), temperature) / col("__mix_z") /
+            col("__mix_n"))
+          .as("__mix_rate"))
+      .select(col("__mix_src"),
+        when(col("__mix_rate") >= 1.0, lit("g"))
+          .otherwise(lower(lpad(
+            hex(floor(col("__mix_rate") * 4096).cast("long")), 3, "0")))
+          .as("__mix_thr"))
+    df.join(broadcast(thr), srcCol === col("__mix_src"))
+      .filter(substring(md5(key.cast("string")), 1, 3) < col("__mix_thr"))
+      .drop("__mix_src", "__mix_thr")
+  }
 }

@@ -109,4 +109,56 @@ class MergeSamplingSpec extends SparkSpec {
       assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq, s"$lang ranks")
     }
   }
+
+  test("groupSplit: whole groups land in one split, fractions track over many groups") {
+    import spark.implicits._
+    // 400 groups × 3 rows — enough groups for the hash split to converge
+    val rows = (0 until 1200).map(i => (i.toLong, s"grp${i % 400}"))
+      .toDF("id", "grp")
+    val got = Sampling.groupSplit(rows, col("grp"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // leakage-free: every group maps to exactly one split
+    val perGroup = got.groupBy("grp").agg(countDistinct(col("split")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 1L))
+    // fractions realized at group granularity (loose: binomial over 400)
+    val bySplit = got.select("grp", "split").distinct()
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == 400)
+    assert(bySplit("train") > 280 && bySplit("train") < 360, s"$bySplit")
+    assert(bySplit("val") > 15 && bySplit("val") < 70, s"$bySplit")
+    // no shuffle: pure projection
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"groupSplit must not shuffle:\n$plan")
+    // degenerate fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplit(rows, col("grp"), Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("temperatureMix: flattening favors small sources; τ=1 is the natural rate; clamp keeps all") {
+    import spark.implicits._
+    // source masses 9:1 (900 vs 100 unit-weight rows)
+    val rows = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))).toDF("id", "src")
+    def kept(tau: Double, budget: Double): Map[String, Long] =
+      Sampling.temperatureMix(rows, col("id"), col("src"), lit(1L), tau, budget)
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    // τ=1: rates equal across sources (budget/total) — natural distribution
+    val nat = kept(1.0, 500.0)
+    val rBig = nat("big") / 900.0
+    val rSmall = nat("small") / 100.0
+    assert(math.abs(rBig - rSmall) < 0.15, s"natural rates: $rBig vs $rSmall")
+    // τ=0.5: the small source keeps a ~3× larger fraction (sqrt(9) flatten)
+    val flat = kept(0.5, 500.0)
+    val fBig = flat("big") / 900.0
+    val fSmall = flat("small") / 100.0
+    assert(fSmall > 2.0 * fBig, s"flattened rates: $fBig vs $fSmall")
+    // budget >= total mass: every row survives (rate clamps at 1 → 'g')
+    assert(kept(0.5, 10000.0).values.sum == 1000L)
+    // deterministic across evaluations
+    assert(kept(0.5, 500.0) == kept(0.5, 500.0))
+  }
 }
