@@ -1119,7 +1119,35 @@ object SparkEntry {
         table(s, dir, "documents").select("doc_id", "source", "n_chars"),
         col("doc_id"), col("source"), col("n_chars"),
         temperature = 0.5, budget = 50000)
-        .select("doc_id", "source"))
+        .select("doc_id", "source")),
+
+    // Oversampling leg of the temperature rule: low-resource langs (rate>1
+    // at τ=0.3) replicate floor(rate) full epochs plus a hash-thresholded
+    // fractional epoch; `en` (rate<1) degenerates to the q87 filter. One
+    // broadcast of 5 thresholds + a codegen explode — the corpus never
+    // shuffles and only SMALL sources amplify.
+    "q88_epoch_mix" -> ((s, dir) =>
+      graft.operators.Sampling.epochReplicate(
+        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        col("doc_id"), col("lang"), col("n_chars"),
+        temperature = 0.3, budget = 150000)
+        .select("doc_id", "lang", "epoch"))
+,
+    // Split-leakage audit: the q86 group split composed with the q70
+    // contamination gate — every TRAIN doc scored by distinct-bigram
+    // overlap against the TEST split's broadcast shingle set. The audit a
+    // pipeline runs after any split to prove the held-out set is clean
+    // (group splitting prevents within-source leakage; this measures the
+    // cross-source residue).
+    "q89_split_leakage" -> ((s, dir) => {
+      val split = graft.operators.Sampling.groupSplit(
+        table(s, dir, "documents").select("doc_id", "text", "source"),
+        col("source"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      graft.operators.TextDedup.flagContaminated(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "test"),
+        col("doc_id"), col("text"), shingleSize = 2, minOverlap = 5)
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1511,13 +1539,57 @@ object SparkEntry {
         |thr AS (
         |  SELECT src,
         |    CASE WHEN LEAST(1.0, 50000 * pow(n, 0.5) / z / n) >= 1.0 THEN 'g'
-        |         ELSE lpad(to_hex(CAST(floor(
-        |           LEAST(1.0, 50000 * pow(n, 0.5) / z / n) * 4096) AS INT)), 3, '0')
+        |         ELSE lpad(lower(to_hex(CAST(floor(
+        |           LEAST(1.0, 50000 * pow(n, 0.5) / z / n) * 4096) AS INT))), 3, '0')
         |    END AS t
         |  FROM stats, z)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN thr ON thr.src = d.source
         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) < thr.t""".stripMargin,
+
+    // Replays the un-clamped rule: nf = floor(rate) unconditional epochs,
+    // plus epoch nf iff the doc hash clears the 1/4096-quantized
+    // fractional threshold (expected mass = rate · n exactly). The epoch
+    // condition lives in a list_filter BEFORE the unnest — filtering an
+    // unnest alias across a CTE boundary trips a DuckDB binder bug.
+    "q88_epoch_mix" ->
+      """WITH stats AS (
+        |  SELECT lang AS src, CAST(SUM(n_chars) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |z AS (SELECT SUM(pow(n, 0.3)) AS z FROM stats),
+        |thr AS (
+        |  SELECT src,
+        |    CAST(floor(150000 * pow(n, 0.3) / z / n) AS BIGINT) AS nf,
+        |    lpad(lower(to_hex(CAST(floor((150000 * pow(n, 0.3) / z / n
+        |      - floor(150000 * pow(n, 0.3) / z / n)) * 4096) AS INT))), 3, '0') AS ft
+        |  FROM stats, z)
+        |SELECT d.doc_id, d.lang,
+        |  unnest(list_filter(range(t.nf + 1),
+        |    e -> e < t.nf
+        |      OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 3) < t.ft)) AS epoch
+        |FROM documents d JOIN thr t ON t.src = d.lang""".stripMargin,
+
+    // q86's split CASE feeding q70's overlap CTE: train docs scored
+    // against the test split's distinct bigram set.
+    "q89_split_leakage" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substring(md5(source), 1, 12) < 'cccccccccccc' THEN 'train'
+        |         WHEN substring(md5(source), 1, 12) < 'e66666666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, split, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
+        |  FROM sp),
+        |b AS (SELECT DISTINCT unnest(bg) AS g FROM big WHERE split = 'test'),
+        |e AS (SELECT doc_id, unnest(bg) AS g FROM big WHERE split = 'train'),
+        |o AS (SELECT e.doc_id, COUNT(*) AS overlap FROM e JOIN b USING (g) GROUP BY e.doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(o.overlap, 0) AS overlap_shingles,
+        |  COALESCE(o.overlap, 0) >= 5 AS contaminated
+        |FROM (SELECT doc_id FROM big WHERE split = 'train') t
+        |LEFT JOIN o ON t.doc_id = o.doc_id""".stripMargin,
 
     // Models the lossless (block, length-band) candidate join as the naive
     // within-block join it is provably identical to: |len(a)-len(b)| <=

@@ -177,4 +177,57 @@ object Sampling {
       .filter(substring(md5(key.cast("string")), 1, 3) < col("__mix_thr"))
       .drop("__mix_src", "__mix_thr")
   }
+
+  /** Epoch replication: the oversampling half of temperature mixing.
+    * [[temperatureMix]] clamps per-source rates at 1 — a FILTER can only
+    * drop. Training mixes also need the other direction: a low-resource
+    * source with rate 2.4 should contribute every row twice plus a 0.4
+    * fractional epoch. Each input row is replicated `floor(rate)` times
+    * (epochs `0..floor(rate)-1`, unconditional) and once more at epoch
+    * `floor(rate)` iff the row's hash lands under the quantized
+    * fractional-part threshold — so expected kept mass per source is
+    * exactly `rate · n_i`, i.e. the un-clamped temperature rule, and
+    * `rate < 1` degenerates to the [[temperatureMix]] filter. The epoch
+    * index is returned so downstream shuffling/packing can keep copies
+    * apart.
+    *
+    * Determinism is the same 48-bit-md5 / 1-4096-grid contract as
+    * [[temperatureMix]]; `floor(rate)` adds an integer boundary, which is
+    * why rates are quantized AFTER the floor split (a 1-ulp drift in the
+    * rate arithmetic flips membership only if `rate` sits within ~1e-13 of
+    * a boundary — callers choosing pathological budget/τ combinations can
+    * see one row of skew, the documented limit of cross-engine FP replay).
+    *
+    * Scale shape: one tiny stats agg → broadcast thresholds → a codegen'd
+    * `explode(sequence(...))` projection. Row amplification is `rate`,
+    * which is bounded by `budget / n_i` — only SMALL sources amplify, so
+    * output mass ≈ `budget` no matter how large the corpus; the corpus is
+    * never shuffled.
+    */
+  def epochReplicate(
+      df: DataFrame,
+      key: Column,
+      srcCol: Column,
+      weightCol: Column,
+      temperature: Double,
+      budget: Double): DataFrame = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature in (0, 1], got $temperature")
+    require(budget > 0.0, s"budget must be positive, got $budget")
+    val stats = df.groupBy(srcCol.as("__mix_src"))
+      .agg(sum(weightCol).cast("double").as("__mix_n"))
+    val z = stats.agg(sum(pow(col("__mix_n"), temperature)).as("__mix_z"))
+    val rate = lit(budget) * pow(col("__mix_n"), temperature) /
+      col("__mix_z") / col("__mix_n")
+    val thr = stats.crossJoin(z)
+      .select(col("__mix_src"),
+        floor(rate).cast("long").as("__mix_full"),
+        lower(lpad(hex(floor((rate - floor(rate)) * 4096).cast("long")),
+          3, "0")).as("__mix_frac"))
+    df.join(broadcast(thr), srcCol === col("__mix_src"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__mix_full"))))
+      .filter(col("epoch") < col("__mix_full") ||
+        substring(md5(key.cast("string")), 1, 3) < col("__mix_frac"))
+      .drop("__mix_src", "__mix_full", "__mix_frac")
+  }
 }

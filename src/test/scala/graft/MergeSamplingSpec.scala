@@ -161,4 +161,40 @@ class MergeSamplingSpec extends SparkSpec {
     // deterministic across evaluations
     assert(kept(0.5, 500.0) == kept(0.5, 500.0))
   }
+
+  test("epochReplicate: rate>1 replicates, rate<1 matches the temperatureMix filter") {
+    import spark.implicits._
+    // masses 9:1 → at τ=0.5, budget=1000: big rate 0.833 (filter),
+    // small rate 2.5 (2 full epochs + 0.5 fractional)
+    val rows = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val got = Sampling.epochReplicate(rows, col("id"), col("src"), lit(1L),
+      temperature = 0.5, budget = 1000.0)
+    val perRow = got.groupBy("id", "src").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val big = perRow.filter(_._2 == "big")
+    val small = perRow.filter(_._2 == "small")
+    // big: kept rows appear exactly once (epoch 0 only)
+    assert(big.forall(_._3 == 1L))
+    assert(big.length > 680 && big.length < 820, s"big kept ${big.length}")
+    // small: EVERY row appears, 2 or 3 times (2 full + fractional epoch)
+    assert(small.length == 100)
+    assert(small.forall(r => r._3 == 2L || r._3 == 3L))
+    val smallCopies = small.map(_._3).sum
+    assert(smallCopies > 215 && smallCopies < 285, s"small copies $smallCopies")
+    // small full epochs are 0 and 1; the fractional epoch is 2
+    val epochs = got.filter(col("src") === "small").groupBy("epoch").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(epochs(0L) == 100 && epochs(1L) == 100)
+    assert(epochs(2L) > 15 && epochs(2L) < 85, s"$epochs")
+    // rate<1 leg replays the clamped temperatureMix selection exactly
+    val mixBig = Sampling.temperatureMix(rows, col("id"), col("src"), lit(1L),
+      0.5, 1000.0).filter(col("src") === "big").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(big.map(_._1).toSet == mixBig)
+    // corpus side never shuffle-joins: thresholds come by broadcast
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"epochReplicate must broadcast thresholds:\n$plan")
+  }
 }

@@ -23,9 +23,10 @@ class SparkEntryContractSpec extends SparkSpec {
 
   test("every query runs at sf0.001; only the known set-difference pair is empty") {
     // q06/q32 are except/anti-join shapes whose result is legitimately
-    // empty at the smallest SF (the oracle agrees); anything else going
-    // empty is a regression.
-    val expectEmpty = Set("q06_except", "q32_anti_join")
+    // empty at the smallest SF (the oracle agrees); q85's nation-blocked
+    // fuzzy join has no within-block supplier pairs among sf0.001's 10
+    // suppliers. Anything else going empty is a regression.
+    val expectEmpty = Set("q06_except", "q32_anti_join", "q85_fuzzy_join")
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (_, fn) =>
       fn(spark, "/root/testdata/sf0.001").count() == 0
     }.map(_._1).toSet
