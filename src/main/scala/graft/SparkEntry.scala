@@ -70,15 +70,14 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.ts is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects; read it as long nanos and convert (floor to micros,
-    * exactly what DuckDB's reader does).
+  /** events.ts has shipped as both TIMESTAMP(NANOS) (readable only as
+    * long nanos) and TIMESTAMP(MICROS) across testdata generations;
+    * [[graft.sources.Events.normalize]] yields the same (ts, ts_ns)
+    * pair for either — matching DuckDB's reader + `epoch_ns(ts)`.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Events.normalize(table(spark, dir, "events"))
   }
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")

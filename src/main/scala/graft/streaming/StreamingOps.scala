@@ -27,6 +27,11 @@ object StreamingOps {
 
   final case class SessionState(startNs: Long, lastNs: Long, count: Long)
 
+  /** Historical fixed read schema for nanos-as-long events files. Kept
+    * for callers with that generation of data; prefer
+    * [[graft.sources.Events.streamReadSchema]], which probes the file's
+    * actual physical `ts` type.
+    */
   val eventsReadSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as long nanos
@@ -49,10 +54,14 @@ object StreamingOps {
     val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = s"stream_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val stream = spark.readStream
-      .schema(eventsReadSchema)
+    val readSchema = graft.sources.Events.streamReadSchema(spark, eventsPath)
+    val tsIsLongNanos = readSchema("ts").dataType == LongType
+    val raw = spark.readStream
+      .schema(readSchema)
       .parquet(eventsPath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = (if (tsIsLongNanos)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", col("ts").cast("timestamp")))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),

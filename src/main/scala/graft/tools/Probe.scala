@@ -12,8 +12,8 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Events.normalize(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     ev.printSchema()
     ev.show(3, false)
     spark.stop()

@@ -50,11 +50,11 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("matches a per-row lookup oracle on events-shaped data") {
-    // events.ts is nanosecond parquet; read as long nanos (same as the
-    // SparkEntry events helper)
+    // normalize ts to (timestamp, long nanos) whatever the file's
+    // physical type (same as the SparkEntry events helper)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_ns", col("ts"))
+    val ev = graft.sources.Events.normalize(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id".as("click_id"), $"user_id", $"ts_ns".as("click_ns"))
     val purchases = ev.filter($"event_type" === "purchase")

@@ -15,8 +15,8 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.sources.Events.normalize(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -233,8 +233,8 @@ class StreamingSpec extends SparkSpec {
 
   test("typed sessionization matches the window/lag SQL formulation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_ns", col("ts"))
+    val events = graft.sources.Events.normalize(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val typed = StreamingOps.sessionCountsTyped(events)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
