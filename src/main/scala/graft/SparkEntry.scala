@@ -1146,6 +1146,19 @@ object SparkEntry {
         split.filter(col("split") === "train"),
         split.filter(col("split") === "test"),
         col("doc_id"), col("text"), shingleSize = 2, minOverlap = 5)
+    }),
+
+    // DSIR importance resampling (Xie et al.): hashed unigram+bigram
+    // bucket distributions of raw corpus vs a target exemplar subset
+    // (here: the German docs), per-doc log-likelihood-ratio weights as a
+    // plan-literal array lookup, deterministic top-n selection. The
+    // classifier-free "make the crawl look like the quality domain"
+    // selector.
+    "q90_dsir_resample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Sampling.importanceResample(
+        docs, docs.filter(col("lang") === "de"),
+        col("doc_id"), col("text"), n = 150)
     })
   )
 
@@ -1589,6 +1602,43 @@ object SparkEntry {
         |  COALESCE(o.overlap, 0) >= 5 AS contaminated
         |FROM (SELECT doc_id FROM big WHERE split = 'train') t
         |LEFT JOIN o ON t.doc_id = o.doc_id""".stripMargin,
+
+    // DSIR replay: the 4096-bucket hash is plain digit arithmetic on the
+    // first 3 md5 hex digits (what the engine's conv(substring(md5),16,10)
+    // computes), both distributions are re-derived in SQL, and the rounded
+    // weight ranks the same top-n with the same doc_id tie-break. Docs
+    // here always have >=1 token, so every doc_id appears in the weight
+    // CTE (the engine scores token-less docs as 0.0, which a gram-stream
+    // GROUP BY would drop — not reachable on this corpus).
+    "q90_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(list_concat(ts,
+        |    list_transform(range(1, greatest(len(ts), 1)), i -> ts[i] || ' ' || ts[i+1]))) AS g
+        |  FROM toks),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    (strpos('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substring(md5(g), 2, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(md5(g), 3, 1)) - 1) AS bkt
+        |  FROM grams),
+        |raw_c AS (SELECT bkt, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY bkt),
+        |raw_t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM b),
+        |tgt_c AS (SELECT bkt, CAST(COUNT(*) AS DOUBLE) AS c FROM b WHERE lang = 'de' GROUP BY bkt),
+        |tgt_t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM b WHERE lang = 'de'),
+        |w AS (
+        |  SELECT b.doc_id,
+        |    SUM(ln((COALESCE(tc.c, 0) + 1.0) / (tt.t + 4096.0))
+        |      - ln((COALESCE(rc.c, 0) + 1.0) / (rt.t + 4096.0))) AS w
+        |  FROM b
+        |  LEFT JOIN tgt_c tc USING (bkt) LEFT JOIN raw_c rc USING (bkt)
+        |  CROSS JOIN tgt_t tt CROSS JOIN raw_t rt
+        |  GROUP BY b.doc_id)
+        |SELECT doc_id, ROUND(w, 4) + 0.0 AS logw
+        |FROM w ORDER BY logw DESC, doc_id ASC LIMIT 150""".stripMargin,
 
     // Models the lossless (block, length-band) candidate join as the naive
     // within-block join it is provably identical to: |len(a)-len(b)| <=

@@ -13,7 +13,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.flatMap { case (name, fn) =>
+    // Dev knob (same contract as Bench): SPARK_GRAFT_ONLY=q90 dumps a
+    // comma-separated subset. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val failed = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -35,7 +40,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // In subset mode only the subset's oracles are dumped (and checked):
+    // a data-dependent oracle for a query that did not run this pass has
+    // no captured context, by design.
     val oracle = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     // Fail loudly on inconsistent state: a query that ran successfully must
     // never ship the degenerate placeholder oracle — that would record a
     // false result for the round instead of surfacing the bug. (A FAILED

@@ -230,4 +230,86 @@ object Sampling {
         substring(md5(key.cast("string")), 1, 3) < col("__mix_frac"))
       .drop("__mix_src", "__mix_full", "__mix_frac")
   }
+
+  /** Number of hashed-n-gram feature buckets for [[importanceResample]]:
+    * fixed at 4096 = 3 md5 hex digits, the same cross-engine-portable
+    * grid every other operator here uses (an independent engine
+    * replicates the bucket with plain digit arithmetic on the md5 hex
+    * string — no engine-specific hash).
+    */
+  val DsirBuckets = 4096
+
+  /** Unigrams ++ bigrams of the lowercase whitespace tokens — the hashed
+    * feature set of DSIR (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling").
+    */
+  private def dsirGrams(textCol: Column): Column = {
+    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
+    // sequence(1, 0) would DESCEND in Spark, so guard the <2-token case
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    concat(toks, bigrams)
+  }
+
+  /** First 3 md5 hex digits as an int in [0, 4096). */
+  private def dsirBucket(g: Column): Column =
+    conv(substring(md5(g), 1, 3), 16, 10).cast("int")
+
+  /** Per-bucket gram counts of a corpus — a bounded driver artifact
+    * (≤4096 rows) like a k-means centroid set: one corpus scan with
+    * map-side partial aggregation over ≤4096 keys.
+    */
+  private def dsirBucketCounts(df: DataFrame, textCol: Column): (Array[Long], Long) = {
+    val counts = df.select(explode(dsirGrams(textCol)).as("__g"))
+      .select(dsirBucket(col("__g")).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
+      .collect()
+    val arr = new Array[Long](DsirBuckets)
+    counts.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    (arr, arr.sum)
+  }
+
+  /** DSIR-style importance resampling (Xie et al. 2023): select the `n`
+    * rows of `raw` whose hashed-n-gram distribution looks most like the
+    * (small) `target` exemplar corpus. A document's log importance weight
+    * is `Σ_g log p̂_target(bucket(g)) − log p̂_raw(bucket(g))` over its
+    * unigrams+bigrams, with Laplace-smoothed bucket probabilities — the
+    * estimator that steers a web-scale crawl toward a quality domain
+    * (Wikipedia, textbooks) without training a classifier.
+    *
+    * Deterministic variant: the paper samples Gumbel-top-k; here
+    * selection is top-`n` by weight (rounded to 4 decimals so a 1-ulp
+    * cross-engine drift in the float sum cannot reorder the cutoff),
+    * tie-broken by id — reproducible across engines and reruns.
+    *
+    * Scale shape: two bounded distribution scans (partial-agg over ≤4096
+    * keys, collected like centroids), then ONE corpus projection scoring
+    * each doc against the 4096 log-ratios as a plan-literal array
+    * (codegen `aggregate`, no join, no shuffle of the corpus), then
+    * top-`n` as TakeOrderedAndProject — a per-partition bounded heap and
+    * an O(n) driver merge, never a global sort.
+    *
+    * Returns `(doc_id, logw)`, the selected ids with their weights.
+    */
+  def importanceResample(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val (rawCnt, rawTot) = dsirBucketCounts(raw, textCol)
+    val (tgtCnt, tgtTot) = dsirBucketCounts(target, textCol)
+    val logRatio: Seq[Double] = (0 until DsirBuckets).map { b =>
+      math.log((tgtCnt(b) + 1.0) / (tgtTot + DsirBuckets.toDouble)) -
+        math.log((rawCnt(b) + 1.0) / (rawTot + DsirBuckets.toDouble))
+    }
+    val ratioLit = typedlit(logRatio)
+    val w = aggregate(dsirGrams(textCol), lit(0.0),
+      (acc, g) => acc + element_at(ratioLit, dsirBucket(g) + 1))
+    raw.select(idCol.as("doc_id"), (round(w, 4) + lit(0.0)).as("logw"))
+      .orderBy(col("logw").desc, col("doc_id").asc)
+      .limit(n)
+  }
 }

@@ -197,4 +197,51 @@ class MergeSamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
       s"epochReplicate must broadcast thresholds:\n$plan")
   }
+
+  test("importanceResample: target-like docs outrank the rest; bounded-heap top-n plan") {
+    import spark.implicits._
+    // two disjoint vocabularies; the target exemplars use vocabulary B
+    val aDocs = (1L to 40L).map(i => (i, s"alpha beta gamma delta epsilon tok$i"))
+    val bDocs = (101L to 110L).map(i => (i, s"zink quark wurst brezel strudel tok$i"))
+    val raw = (aDocs ++ bDocs).toDF("doc_id", "text")
+    val target = Seq((900L, "zink quark wurst brezel strudel kraut"))
+      .toDF("doc_id", "text")
+
+    val got = Sampling.importanceResample(raw, target, col("doc_id"), col("text"), n = 10)
+    val picked = got.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // exactly the 10 vocabulary-B docs win (their grams are likelier
+    // under the target distribution; absolute weights can still be
+    // negative — Laplace smoothing over 4096 buckets dominates a
+    // few-gram exemplar corpus)
+    assert(picked.map(_._1).toSet == (101L to 110L).toSet, picked.mkString(","))
+    // result comes back in rank order: weights descending, id tie-break
+    assert(picked.map(_._2).toSeq == picked.map(_._2).sortBy(-_).toSeq)
+    // weights are a pure function of content: identical text => identical
+    // weight (the per-doc tok$i differs, so weights differ only via it)
+    val rerun = Sampling.importanceResample(raw, target, col("doc_id"), col("text"), n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(picked.toSeq == rerun.toSeq)
+    // selection is TakeOrderedAndProject (per-partition bounded heap +
+    // O(n) driver merge), never a global Sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-n must plan as TakeOrderedAndProject:\n$plan")
+  }
+
+  test("importanceResample: single-token docs and equal-length ranking behave") {
+    import spark.implicits._
+    // equal token counts, so the raw log-likelihood-ratio sum (which is
+    // length-sensitive by design — it is a whole-doc likelihood ratio)
+    // ranks purely on vocabulary match
+    val raw = Seq((1L, "solo"), (2L, "dup dup dup dup"), (3L, "aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val target = Seq((9L, "dup dup")).toDF("doc_id", "text")
+    val got = Sampling.importanceResample(raw, target, col("doc_id"), col("text"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // single-token doc (no bigrams) scores without error; among the two
+    // 4-token docs the target-vocabulary one ranks higher
+    assert(got.length == 3)
+    val byId = got.toMap
+    assert(byId(2L) > byId(3L), got.mkString(","))
+  }
 }
