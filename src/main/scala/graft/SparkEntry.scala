@@ -1159,6 +1159,29 @@ object SparkEntry {
       graft.operators.Sampling.importanceResample(
         docs, docs.filter(col("lang") === "de"),
         col("doc_id"), col("text"), n = 150)
+    }),
+
+    // Token-budget corpus selection: highest-n_chars docs greedily until
+    // a global character budget is spent — the two-level prefix sum
+    // (per-value histogram → driver prefix walk → codegen filter for full
+    // values → boundary-value-only window), never a global sort.
+    "q91_budget_select" -> ((s, dir) =>
+      graft.operators.Sampling.selectUnderBudget(
+        table(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), col("n_chars"), budget = 60000L)
+        .select(col("id").as("doc_id"), col("q").cast("long").as("n_chars"),
+          col("w").as("n_chars_w"))),
+
+    // Bloom-prefiltered decontamination: same exact contract as q70 but
+    // through Spark's BloomFilterAggregate/might_contain runtime-filter
+    // expressions — the corpus-side shingle stream is pruned at scan
+    // speed before the exact confirm join, the shape for benchmark sets
+    // too large to broadcast exactly.
+    "q92_bloom_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.TextDedup.flagContaminatedBloom(
+        docs.filter(col("doc_id") >= 30), docs.filter(col("doc_id") < 30),
+        col("doc_id"), col("text"), shingleSize = 3, minOverlap = 3)
     })
   )
 
@@ -1639,6 +1662,37 @@ object SparkEntry {
         |  GROUP BY b.doc_id)
         |SELECT doc_id, ROUND(w, 4) + 0.0 AS logw
         |FROM w ORDER BY logw DESC, doc_id ASC LIMIT 150""".stripMargin,
+
+    // Global-cumsum replay of the engine's two-level prefix sum: identical
+    // selection because ties resolve by doc_id ASC on both sides.
+    "q91_budget_select" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_chars AS n_chars_w
+        |FROM r WHERE cum <= 60000""".stripMargin,
+
+    // Exact-overlap replay (trigram shingles): the Bloom filter only
+    // prefilters on the engine side — counts stay exact, so the oracle is
+    // the same CTE family as q70's.
+    "q92_bloom_decontaminate" ->
+      """WITH tri AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1] || ' ' ||
+        |         string_split(lower(text), ' ')[i+2])) AS tg
+        |  FROM documents),
+        |b AS (SELECT DISTINCT unnest(tg) AS g FROM tri WHERE doc_id < 30),
+        |e AS (SELECT doc_id, unnest(tg) AS g FROM tri WHERE doc_id >= 30),
+        |o AS (SELECT e.doc_id, COUNT(*) AS overlap FROM e JOIN b USING (g) GROUP BY e.doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(o.overlap, 0) AS overlap_shingles,
+        |  COALESCE(o.overlap, 0) >= 3 AS contaminated
+        |FROM (SELECT doc_id FROM tri WHERE doc_id >= 30) t
+        |LEFT JOIN o ON t.doc_id = o.doc_id""".stripMargin,
 
     // Models the lossless (block, length-band) candidate join as the naive
     // within-block join it is provably identical to: |len(a)-len(b)| <=

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -311,5 +312,72 @@ object Sampling {
     raw.select(idCol.as("doc_id"), (round(w, 4) + lit(0.0)).as("logw"))
       .orderBy(col("logw").desc, col("doc_id").asc)
       .limit(n)
+  }
+
+  /** Greedy corpus selection under a global weight budget: walk rows in
+    * (`orderCol` DESC, id ASC) order and keep each row while the running
+    * `weightCol` total stays ≤ `budget` — "take the highest-quality
+    * documents until the token budget is spent", the last step of every
+    * curated-pretraining recipe.
+    *
+    * The naive formulation is a GLOBAL window cumsum — a total sort of
+    * the corpus. The scale shape here is the two-level prefix sum:
+    * (1) one partial-aggregated pass sums weight per distinct `orderCol`
+    * value (cardinality-bounded by contract: scores are quantized — a
+    * rounded quality score, an integer length), collected to the driver
+    * like a histogram; (2) the driver prefix-walks the sorted values and
+    * finds the boundary value `v*`; (3) rows with `orderCol` strictly
+    * above `v*` pass a codegen scan filter (no shuffle, no sort); (4) only
+    * the boundary-value rows — one value's worth of the corpus — pay a
+    * window cumsum, ordered by id with the remaining budget. So the total
+    * sort never happens; the expensive path touches ~1/|distinct values|
+    * of the data.
+    *
+    * Ties inside the boundary value resolve by id ASC — deterministic and
+    * replayable by any engine's `SUM() OVER (ORDER BY q DESC, id ASC)`.
+    *
+    * Returns `(id, q, w)` — the selected rows with their order key and
+    * weight.
+    */
+  def selectUnderBudget(
+      df: DataFrame,
+      idCol: Column,
+      orderCol: Column,
+      weightCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val keyed = df.select(idCol.as("id"), orderCol.cast("double").as("q"),
+      weightCol.cast("long").as("w"))
+    // (1) per-value weight histogram — bounded driver artifact
+    val hist = keyed.groupBy("q").agg(sum("w").as("tw"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(-_._1)
+    // (2) driver prefix walk: values kept whole, then the boundary value
+    var remaining = budget
+    var fullAbove = Double.NegativeInfinity // keep all q > fullAbove ...
+    var boundary: Option[(Double, Long)] = None // ... plus q == v* under rest
+    val it = hist.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (v, tw) = it.next()
+      if (tw <= remaining) { remaining -= tw; fullAbove = v }
+      else { boundary = Some((v, remaining)); done = true }
+    }
+    val full =
+      if (fullAbove == Double.NegativeInfinity) keyed.filter(lit(false))
+      else keyed.filter(col("q") >= lit(fullAbove))
+    boundary match {
+      case None => full
+      case Some((v, rest)) =>
+        // (4) one value's rows pay the window — a deliberate single
+        // partition: this slice is ~1/|distinct q| of the corpus
+        val w = Window.orderBy(col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val edge = keyed.filter(col("q") === lit(v))
+          .withColumn("__cum", sum(col("w")).over(w))
+          .filter(col("__cum") <= lit(rest))
+          .drop("__cum")
+        full.unionByName(edge)
+    }
   }
 }

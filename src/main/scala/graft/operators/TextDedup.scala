@@ -253,6 +253,79 @@ object TextDedup {
         (col("overlap_shingles") >= minOverlap).as("contaminated"))
   }
 
+  /** [[flagContaminated]] with a Bloom-filter prefilter — the shape for
+    * benchmark sets too large to broadcast as an exact hash set. A 10M-
+    * shingle benchmark is ~hundreds of MB as a broadcast join table but
+    * ~17 MB as a 1%-FPR Bloom filter; at 100 TB the corpus-side shingle
+    * stream is pruned at scan speed by the codegen `might_contain`
+    * predicate (Spark's own runtime-filter expressions, reused here as a
+    * first-class operator), so the exact confirm join only ever sees the
+    * ~FPR-sized survivor stream. Results are EXACT: the Bloom filter only
+    * prefilters; a broadcast equi-join confirms every hit, so false
+    * positives cost a lookup, never a wrong count.
+    *
+    * Trade-off vs [[flagContaminated]]: zero-overlap documents are
+    * re-attached with a second corpus-side pass over the id column
+    * (column-pruned scan + broadcast join of the tiny per-doc hit counts)
+    * instead of riding the single exploded pass — the right trade exactly
+    * when the benchmark is too big to broadcast exactly.
+    *
+    * Returns `(doc_id, overlap_shingles, contaminated)`.
+    */
+  def flagContaminatedBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleSize: Int = 2,
+      minOverlap: Int = 1,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    import org.apache.spark.sql.types.BinaryType
+    require(fpp > 0.0 && fpp < 1.0, s"fpp in (0,1), got $fpp")
+
+    def shingled(df: DataFrame) = df.select(idCol.as("doc_id"),
+      SketchFunctions.wordNgramHashes(lower(textCol), shingleSize, distinct = true).as("sh"))
+    val benchShingles = shingled(bench)
+      .select(explode(col("sh")).as("g")).distinct()
+
+    // Build the filter in ONE partial-aggregated pass (BloomFilterAggregate
+    // is mergeable: per-partition filters OR together). Sizing needs the
+    // distinct count; benchmarks are the small side, so a count() scan is
+    // cheap — and the result is a driver artifact like a codebook.
+    val nItems = math.max(benchShingles.count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = benchShingles.agg(GraftSqlBridge.column(
+        new BloomFilterAggregate(
+          GraftSqlBridge.expression(col("g")),
+          Literal(nItems), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = (g: Column) => GraftSqlBridge.column(
+      new BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType), GraftSqlBridge.expression(g)))
+
+    // Pass 1: exploded shingle stream pruned by the Bloom predicate BEFORE
+    // the (still-exact) confirm join; per-doc hit counts partial-aggregate.
+    val hits = shingled(train)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .filter(mightContain(col("g")))
+      .join(broadcast(benchShingles.withColumn("hit", lit(1))), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap_shingles"))
+    // Pass 2: re-attach zero-overlap docs — a column-pruned id scan joined
+    // by broadcast with the (contaminated-docs-only, tiny) count table.
+    train.select(idCol.as("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("overlap_shingles"), lit(0L)).as("overlap_shingles"))
+      .select(col("doc_id"), col("overlap_shingles"),
+        (col("overlap_shingles") >= minOverlap).as("contaminated"))
+  }
+
   /** Tokens of `textCol` split on single spaces, empties dropped — the
     * shared tokenization of the span-dedup pair below (positions must
     * align between key hashing and text reconstruction).

@@ -244,4 +244,38 @@ class MergeSamplingSpec extends SparkSpec {
     val byId = got.toMap
     assert(byId(2L) > byId(3L), got.mkString(","))
   }
+
+  test("selectUnderBudget: greedy prefix selection equals a window-cumsum oracle") {
+    import spark.implicits._
+    // quantized scores with ties; weights chosen so the boundary value is
+    // only partially kept
+    val rows = Seq(
+      (1L, 9.0, 30L), (2L, 9.0, 30L),          // q=9: 60 total
+      (3L, 5.0, 25L), (4L, 5.0, 25L), (5L, 5.0, 25L), // q=5: 75 total
+      (6L, 1.0, 10L))                           // q=1
+      .toDF("id", "score", "toks")
+    def run(b: Long) = Sampling.selectUnderBudget(
+        rows, col("id"), col("score"), col("toks"), b)
+      .collect().map(_.getLong(0)).toSet
+    // 110: q=9 whole (60), then q=5 rows by id until 50 spent -> ids 3,4
+    assert(run(110L) == Set(1L, 2L, 3L, 4L))
+    // exact fit keeps the full boundary value, then continues below
+    assert(run(135L) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(run(145L) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // budget below the first row -> empty
+    assert(run(20L) == Set.empty[Long])
+    // window-cumsum oracle on a randomized corpus
+    val rng = new scala.util.Random(7)
+    val rand = (1L to 300L).map(i =>
+      (i, rng.nextInt(20).toDouble, (rng.nextInt(40) + 1).toLong))
+    val randDf = rand.toDF("id", "score", "toks")
+    val budget = 1500L
+    val got = Sampling.selectUnderBudget(
+        randDf, col("id"), col("score"), col("toks"), budget)
+      .collect().map(_.getLong(0)).toSet
+    val expected = rand.sortBy { case (i, q, _) => (-q, i) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (i, _, w)) => (i, w, cum + w) }
+      .drop(1).takeWhile(_._3 <= budget).map(_._1).toSet
+    assert(got == expected)
+  }
 }

@@ -284,4 +284,28 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2L) == ((2L, true)), s"got ${got(2L)}")
     assert(got(3L) == ((0L, false)), "empty doc must survive with zero overlap")
   }
+
+  test("flagContaminatedBloom: exact counts match flagContaminated; plan uses might_contain") {
+    import spark.implicits._
+    val bench = (1L to 20L).map(i => (100L + i, s"secret benchmark question number$i about spark"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "innocuous text with nothing shared"),
+      (2L, "a secret benchmark question indeed"),
+      (3L, ""),
+      (4L, "secret benchmark question number7 about spark exactly")).toDF("doc_id", "text")
+    val bloomed = TextDedup.flagContaminatedBloom(train, bench, col("doc_id"), col("text"),
+      shingleSize = 2, minOverlap = 2)
+    val exact = TextDedup.flagContaminated(train, bench, col("doc_id"), col("text"),
+      shingleSize = 2, minOverlap = 2)
+    val gotB = bloomed.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val gotE = exact.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // the Bloom path is a PREFILTER: results are exactly the broadcast-set path's
+    assert(gotB == gotE, s"bloom $gotB vs exact $gotE")
+    assert(gotB(4L)._2 && !gotB(1L)._2 && gotB(3L) == ((0L, false)))
+    // the corpus-side stream is pruned by the codegen bloom predicate
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter must appear in the plan:\n$plan")
+  }
 }
