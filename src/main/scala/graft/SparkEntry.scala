@@ -1182,6 +1182,43 @@ object SparkEntry {
       graft.operators.TextDedup.flagContaminatedBloom(
         docs.filter(col("doc_id") >= 30), docs.filter(col("doc_id") < 30),
         col("doc_id"), col("text"), shingleSize = 3, minOverlap = 3)
+    }),
+
+    // End-to-end eval-set build: leakage-free group split (by source) →
+    // decontaminate the TEST split against the train split → per-language
+    // balanced downsample of the clean survivors. The composed shape of
+    // "give me a clean, balanced held-out set" — every stage is an
+    // already-verified operator.
+    "q93_eval_set_build" -> ((s, dir) => {
+      val split = graft.operators.Sampling.groupSplit(
+        table(s, dir, "documents").select("doc_id", "text", "lang", "source"),
+        col("source"), Seq("train" -> 0.9, "test" -> 0.1))
+      val test = split.filter(col("split") === "test")
+      val clean = graft.operators.TextDedup.flagContaminated(
+          test, split.filter(col("split") === "train"),
+          col("doc_id"), col("text"), shingleSize = 2, minOverlap = 50)
+        .filter(!col("contaminated"))
+        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.operators.Sampling.balancedSample(
+        clean, col("doc_id"), col("lang"), n = 10)
+        .select(col("stratum").as("lang"), col("id").as("doc_id"), col("rnk"))
+    }),
+
+    // Dataset version diff: deterministic "next ingestion round" of the
+    // orders table (every 11th key dropped, every 7th price-bumped, every
+    // 13th re-keyed into a new id range) classified added / removed /
+    // changed / unchanged in one full-outer key join.
+    "q94_snapshot_diff" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val next = orders
+        .filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, round(col("o_totalprice") * 2.0, 2))
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      graft.operators.Merge.snapshotDiff(orders, next, "o_orderkey")
+        .groupBy("change").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -1693,6 +1730,53 @@ object SparkEntry {
         |  COALESCE(o.overlap, 0) >= 3 AS contaminated
         |FROM (SELECT doc_id FROM tri WHERE doc_id >= 30) t
         |LEFT JOIN o ON t.doc_id = o.doc_id""".stripMargin,
+
+    // Composition replay: q86's split CASE (0.9 cumulative threshold as
+    // the engine's 48-bit hex), q70's overlap CTE with the roles swapped
+    // (test scored against train), q71's md5-rank row_number.
+    "q93_eval_set_build" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN substring(md5(source), 1, 12) < 'e66666666666'
+        |         THEN 'train' ELSE 'test' END AS split
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, split, lang, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
+        |  FROM sp),
+        |b AS (SELECT DISTINCT unnest(bg) AS g FROM big WHERE split = 'train'),
+        |e AS (SELECT doc_id, unnest(bg) AS g FROM big WHERE split = 'test'),
+        |o AS (SELECT e.doc_id, COUNT(*) AS overlap FROM e JOIN b USING (g) GROUP BY e.doc_id),
+        |clean AS (
+        |  SELECT t.doc_id, t.lang
+        |  FROM (SELECT doc_id, lang FROM big WHERE split = 'test') t
+        |  LEFT JOIN o ON t.doc_id = o.doc_id
+        |  WHERE COALESCE(o.overlap, 0) < 50),
+        |r AS (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) ASC, doc_id ASC) AS rnk
+        |  FROM clean)
+        |SELECT lang, doc_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Only o_totalprice can differ for a matched key (the synthetic next
+    // version only filters, bumps price, or re-keys), so the null-safe
+    // struct compare reduces to one IS NOT DISTINCT FROM.
+    "q94_snapshot_diff" ->
+      """WITH nxt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN ROUND(o_totalprice * 2.0, 2)
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |d AS (
+        |  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              WHEN o.o_totalprice IS NOT DISTINCT FROM n.p THEN 'unchanged'
+        |              ELSE 'changed' END AS change
+        |  FROM orders o FULL JOIN nxt n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY change""".stripMargin,
 
     // Models the lossless (block, length-band) candidate join as the naive
     // within-block join it is provably identical to: |len(a)-len(b)| <=

@@ -51,4 +51,36 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Snapshot diff: classify every key across two dataset versions as
+    * `added` (new only), `removed` (old only), `changed` (both, any
+    * non-key column differs) or `unchanged` — the audit that makes
+    * incremental dataset maintenance reviewable (what did this ingestion
+    * round actually do?) and feeds incremental downstream recompute (only
+    * `added`/`changed` need re-embedding, re-indexing, re-scoring).
+    *
+    * Comparison is null-safe per column (`<=>` over packed structs), so a
+    * null→null column is `unchanged` and null→value is `changed` —
+    * matching SQL `IS NOT DISTINCT FROM` semantics, which is how an
+    * independent engine replays it.
+    *
+    * Scale shape: ONE key-partitioned full-outer join — both versions
+    * shuffle once on the key (or zero times if stored bucketed by it);
+    * the struct pack/compare is a codegen projection. Nothing else moves.
+    *
+    * Returns `(key, change)` for every key in either version.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"schemas must match by name: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    val cols = newDf.columns.filterNot(_ == key).sorted
+    def packed(df: DataFrame, as: String) =
+      df.select(col(key), struct(cols.map(col): _*).as(as))
+    packed(oldDf, "__old").join(packed(newDf, "__new"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(col("__old") <=> col("__new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("change"))
+  }
 }

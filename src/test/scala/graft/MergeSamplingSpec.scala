@@ -198,6 +198,32 @@ class MergeSamplingSpec extends SparkSpec {
       s"epochReplicate must broadcast thresholds:\n$plan")
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe compare, one key join") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("d"), 40.0))
+      .toDF("id", "v", "p")
+    val neu = Seq(
+      (1L, Some("a"), 10.0),              // unchanged
+      (2L, Some("B"), 20.0),              // changed (v)
+      (3L, None: Option[String], 30.0),   // unchanged (null <=> null)
+      (5L, Some("e"), 50.0))              // added; 4 removed
+      .toDF("id", "v", "p")
+    val got = Merge.snapshotDiff(old, neu, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"))
+    // null -> value flips to changed (null-safe, not null-poisoned)
+    val neu2 = Seq((3L, Some("x"), 30.0)).toDF("id", "v", "p")
+    val got2 = Merge.snapshotDiff(old.filter($"id" === 3L), neu2, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(3L -> "changed"))
+    // one full-outer equi-join on the key is the whole plan
+    val plan = Merge.snapshotDiff(old, neu, "id").queryExecution.executedPlan.toString
+    assert("FullOuter".r.findAllIn(plan).nonEmpty, s"plan:\n$plan")
+  }
+
   test("importanceResample: target-like docs outrank the rest; bounded-heap top-n plan") {
     import spark.implicits._
     // two disjoint vocabularies; the target exemplars use vocabulary B
