@@ -348,9 +348,18 @@ object Sampling {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     val keyed = df.select(idCol.as("id"), orderCol.cast("double").as("q"),
       weightCol.cast("long").as("w"))
-    // (1) per-value weight histogram — bounded driver artifact
-    val hist = keyed.groupBy("q").agg(sum("w").as("tw"))
-      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // (1) per-value weight histogram — bounded driver artifact. The
+    // quantized-score contract is enforced, not assumed: an unquantized
+    // order column (distinct count ~ corpus size) would silently move
+    // the whole corpus to the driver, so overflowing the cap is an
+    // error, not an OOM.
+    val maxDistinct = 1 << 22
+    val histRows = keyed.groupBy("q").agg(sum("w").as("tw"))
+      .take(maxDistinct + 1)
+    require(histRows.length <= maxDistinct,
+      s"orderCol has more than $maxDistinct distinct values — quantize " +
+        "the score (e.g. round(score, 3)) before selectUnderBudget")
+    val hist = histRows.map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy(-_._1)
     // (2) driver prefix walk: values kept whole, then the boundary value
     var remaining = budget

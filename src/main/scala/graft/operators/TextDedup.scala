@@ -261,7 +261,7 @@ object TextDedup {
     * predicate (Spark's own runtime-filter expressions, reused here as a
     * first-class operator), so the exact confirm join only ever sees the
     * ~FPR-sized survivor stream. Results are EXACT: the Bloom filter only
-    * prefilters; a broadcast equi-join confirms every hit, so false
+    * prefilters; an equi-join confirms every hit, so false
     * positives cost a lookup, never a wrong count.
     *
     * Trade-off vs [[flagContaminated]]: zero-overlap documents are
@@ -310,16 +310,23 @@ object TextDedup {
 
     // Pass 1: exploded shingle stream pruned by the Bloom predicate BEFORE
     // the (still-exact) confirm join; per-doc hit counts partial-aggregate.
+    // The confirm join is a plain shuffle equi-join ON PURPOSE: this
+    // operator exists precisely because the bench set is too big to
+    // broadcast exactly, and its survivor-side input is already
+    // FPR-sized — forcing a broadcast here would re-create the problem
+    // the bloom solved. (AQE still upgrades to broadcast when the set
+    // turns out small.)
     val hits = shingled(train)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .filter(mightContain(col("g")))
-      .join(broadcast(benchShingles.withColumn("hit", lit(1))), Seq("g"))
+      .join(benchShingles.withColumn("hit", lit(1)), Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("overlap_shingles"))
-    // Pass 2: re-attach zero-overlap docs — a column-pruned id scan joined
-    // by broadcast with the (contaminated-docs-only, tiny) count table.
+    // Pass 2: re-attach zero-overlap docs — a column-pruned id scan
+    // joined with the contaminated-docs-only count table (tiny in the
+    // realistic regime; AQE broadcasts it when it is).
     train.select(idCol.as("doc_id"))
-      .join(broadcast(hits), Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("overlap_shingles"), lit(0L)).as("overlap_shingles"))
       .select(col("doc_id"), col("overlap_shingles"),
