@@ -240,17 +240,30 @@ object Sampling {
     */
   val DsirBuckets = 4096
 
-  /** Unigrams ++ bigrams of the lowercase whitespace tokens — the hashed
-    * feature set of DSIR (Xie et al. 2023, "Data Selection for Language
-    * Models via Importance Resampling").
+  /** Exploded unigram++bigram stream — the hashed feature set of DSIR
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"). The tokens array is materialized in its
+    * OWN projection before the bigram builder touches it: referencing
+    * the raw `filter(split(lower(text)))` expression inside the
+    * `transform` lambda would re-evaluate the full tokenizer once per
+    * element index — quadratic in document length (measured ~5× on the
+    * gram stream alone at sf0.1). CollapseProject leaves the
+    * multi-referenced non-cheap alias in place.
     */
-  private def dsirGrams(textCol: Column): Column = {
-    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
+  private def gramStream(
+      df: DataFrame, textCol: Column, keep: Seq[(Column, String)],
+      outer: Boolean): DataFrame = {
+    val toksExpr = filter(split(lower(textCol), " "), t => length(t) > 0)
+    val base = df.select(keep.map { case (c, n) => c.as(n) } :+
+      toksExpr.as("__toks"): _*)
+    val toks = col("__toks")
     // sequence(1, 0) would DESCEND in Spark, so guard the <2-token case
     val bigrams = when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-    concat(toks, bigrams)
+    val grams = concat(toks, bigrams)
+    base.select(keep.map { case (_, n) => col(n) } :+
+      (if (outer) explode_outer(grams) else explode(grams)).as("__g"): _*)
   }
 
   /** First 3 md5 hex digits as an int in [0, 4096). */
@@ -262,7 +275,7 @@ object Sampling {
     * map-side partial aggregation over ≤4096 keys.
     */
   private def dsirBucketCounts(df: DataFrame, textCol: Column): (Array[Long], Long) = {
-    val counts = df.select(explode(dsirGrams(textCol)).as("__g"))
+    val counts = gramStream(df, textCol, Nil, outer = false)
       .select(dsirBucket(col("__g")).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__c"))
       .collect()
@@ -285,9 +298,14 @@ object Sampling {
     * tie-broken by id — reproducible across engines and reruns.
     *
     * Scale shape: two bounded distribution scans (partial-agg over ≤4096
-    * keys, collected like centroids), then ONE corpus projection scoring
-    * each doc against the 4096 log-ratios as a plan-literal array
-    * (codegen `aggregate`, no join, no shuffle of the corpus), then
+    * keys, collected like centroids), then one scoring pass: the gram
+    * stream explodes, each gram's log-ratio is a WHOLE-STAGE-CODEGEN
+    * lookup into the 4096-double plan-literal array, and per-doc sums
+    * partial-aggregate map-side (the shuffle carries ~one row per doc
+    * per task). A higher-order `aggregate` over the gram array would
+    * avoid that shuffle but drops the md5/bucket arithmetic out of
+    * codegen into interpreted per-element evaluation — measured ~10×
+    * slower; the tiny doc-keyed shuffle is the right trade. Selection is
     * top-`n` as TakeOrderedAndProject — a per-partition bounded heap and
     * an O(n) driver merge, never a global sort.
     *
@@ -307,9 +325,13 @@ object Sampling {
         math.log((rawCnt(b) + 1.0) / (rawTot + DsirBuckets.toDouble))
     }
     val ratioLit = typedlit(logRatio)
-    val w = aggregate(dsirGrams(textCol), lit(0.0),
-      (acc, g) => acc + element_at(ratioLit, dsirBucket(g) + 1))
-    raw.select(idCol.as("doc_id"), (round(w, 4) + lit(0.0)).as("logw"))
+    // explode_outer keeps zero-gram docs alive (null gram scores 0.0)
+    gramStream(raw, textCol, Seq(idCol -> "doc_id"), outer = true)
+      .select(col("doc_id"),
+        when(col("__g").isNull, lit(0.0))
+          .otherwise(element_at(ratioLit, dsirBucket(col("__g")) + 1)).as("__r"))
+      .groupBy("doc_id")
+      .agg((round(sum("__r"), 4) + lit(0.0)).as("logw"))
       .orderBy(col("logw").desc, col("doc_id").asc)
       .limit(n)
   }
