@@ -33,11 +33,17 @@ object TextDedup {
           slice(words, lit(1), greatest(size(words) - 1, lit(0))),
           slice(words, lit(2), greatest(size(words) - 1, lit(0))),
           (a, b) => concat_ws(" ", a, b))
-      else
-        when(size(words) >= n,
-          transform(sequence(lit(0), size(words) - n),
-            i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))
+      else {
+        // chained zip_with over shifted slices: `words` appears only as a
+        // HOF *argument* (evaluated once per row). Putting it inside a
+        // transform lambda (slice(words, i+1, n) per index) would re-run
+        // the tokenizer per element — quadratic in document length.
+        val m = greatest(size(words) - (n - 1), lit(0))
+        (2 to n).foldLeft(slice(words, lit(1), m)) { (acc, k) =>
+          zip_with(acc, slice(words, lit(k), m),
+            (a, b) => concat_ws(" ", a, b))
+        }
+      }
     array_distinct(grams)
   }
 
