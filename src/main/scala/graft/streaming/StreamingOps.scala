@@ -167,6 +167,64 @@ object StreamingOps {
       }
   }
 
+  final case class SketchedDoc(doc_id: Long, sim: Long, ts: java.sql.Timestamp)
+  final case class BucketSketches(sims: List[Long], lastMs: Long)
+
+  /** Streaming near-duplicate admission gate: a document is admitted iff
+    * no already-admitted document in its simhash bucket is within
+    * `maxDist` Hamming bits — the ingest-time filter that keeps verbatim
+    * near-copies (mirrors, boilerplate re-crawls) out of a corpus without
+    * a batch dedup pass. Emits admitted docs only.
+    *
+    * Bucketing is the top `prefixBits` bits of the 64-bit simhash, so the
+    * gate is APPROXIMATE-RECALL by design: a true near-dup pair whose
+    * differing bits fall inside the prefix lands in different buckets and
+    * both are admitted. The batch operator (`TextDedup
+    * .simhashNearDupPairs`) gets full recall from pigeonhole
+    * multi-chunk replication, but an admission decision must be atomic
+    * across a doc's chunk keys and `flatMapGroupsWithState` offers no
+    * cross-key transactions — streaming trades that recall slice for a
+    * single-key decision (run the batch pass periodically to catch the
+    * residue). Precision is exact: admitted docs are genuinely ≥
+    * `maxDist+1` bits from every admitted bucket-mate.
+    *
+    * State per bucket is the admitted sketch list within the TTL, evicted
+    * by event-time timeout once the watermark passes `lastSeen + ttl` —
+    * bounded by ingest rate × ttl / 2^prefixBits per key, never O(stream).
+    * Input must carry a watermark (`withWatermark("ts", ...)`).
+    */
+  def nearDupGateStream(
+      docs: Dataset[SketchedDoc],
+      prefixBits: Int = 16,
+      maxDist: Int = 3,
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[SketchedDoc] = {
+    require(prefixBits >= 1 && prefixBits <= 32, "prefixBits in [1,32]")
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.sim >>> (64 - prefixBits))
+      .flatMapGroupsWithState[BucketSketches, SketchedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[SketchedDoc], state: GroupState[BucketSketches]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var sims = state.getOption.map(_.sims).getOrElse(Nil)
+            var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+            // deterministic in-batch order: arrival time, then id
+            val admitted = it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+              .flatMap { d =>
+                lastMs = math.max(lastMs, d.ts.getTime)
+                if (sims.exists(s => java.lang.Long.bitCount(s ^ d.sim) <= maxDist)) None
+                else { sims ::= d.sim; Some(d) }
+              }
+            state.update(BucketSketches(sims, lastMs))
+            state.setTimeoutTimestamp(lastMs + ttlMs)
+            admitted.iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join: attribute each purchase to the clicks by
     * the same user in the `horizon` before it (inclusive). Both sides carry
     * watermarks, so Structured Streaming bounds the join buffers — each

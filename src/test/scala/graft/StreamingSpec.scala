@@ -211,6 +211,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(10L, 100L, 11L))
   }
 
+  test("nearDupGateStream admits firsts, drops near-dups across batches, evicts on TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.SketchedDoc]
+    def doc(id: Long, sim: Long, minute: Long) =
+      StreamingOps.SketchedDoc(id, sim, new java.sql.Timestamp(86400000L + minute * 60000L))
+    // same top-16-bit bucket, near (1 bit apart) vs far (8 bits apart)
+    val base = 0x1234500000000000L
+    val near = base ^ 1L
+    val far = base ^ 0xFFL
+    val otherBucket = 0x7777000000000000L
+
+    val q = StreamingOps.nearDupGateStream(
+      mem.toDS().withWatermark("ts", "10 minutes"),
+      prefixBits = 16, maxDist = 3, ttlMs = 30L * 60000L)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: first doc admitted; in-batch near-dup dropped; far admitted
+      mem.addData(doc(1, base, 0), doc(2, near, 1), doc(3, far, 2))
+      q.processAllAvailable()
+      assert(spark.table("gate_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+      // batch 2: near-dup ACROSS batches dropped; other bucket admitted
+      mem.addData(doc(4, near, 3), doc(5, otherBucket, 3))
+      q.processAllAvailable()
+      assert(spark.table("gate_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+      // advance the watermark far past ttl: bucket state evicts, so the
+      // same sketch is admitted again
+      mem.addData(doc(6, otherBucket ^ 0xFF00L, 120))
+      q.processAllAvailable()
+      mem.addData(doc(7, near, 119))
+      q.processAllAvailable()
+      assert(spark.table("gate_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L, 6L, 7L),
+        "post-TTL sketch must be re-admitted")
+    } finally q.stop()
+  }
+
   test("chunking runs unchanged as a stateless streaming stage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
