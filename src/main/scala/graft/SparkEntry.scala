@@ -1204,6 +1204,20 @@ object SparkEntry {
         .select(col("stratum").as("lang"), col("id").as("doc_id"), col("rnk"))
     }),
 
+    // Perceptual image hashing over REAL decoded pixels: the BMP quarter
+    // of the synthetic media corpus decodes its 24-bpp pixel array and
+    // produces an exact 8x8 average-hash (two 32-bit halves). The oracle
+    // replays the fixture's pixel formula and the integer cell/mean
+    // arithmetic in SQL — any codec offset/stride/bounds bug breaks the
+    // bit-for-bit match.
+    "q95_image_phash" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.averageHash(
+        Multimodal.syntheticMedia(
+          table(s, dir, "documents").filter(col("doc_id") % 4 === 1), "doc_id"))
+        .toDF()
+    }),
+
     // Dataset version diff: deterministic "next ingestion round" of the
     // orders table (every 11th key dropped, every 7th price-bumped, every
     // 13th re-keyed into a new id range) classified added / removed /
@@ -1757,6 +1771,35 @@ object SparkEntry {
         |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) ASC, doc_id ASC) AS rnk
         |  FROM clean)
         |SELECT lang, doc_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Pixel replay: lum = 3·((doc_id + r·w + c) mod 256) (equal RGB
+    // channels), cell k = (r·8/h)·8 + c·8/w, bit k iff
+    // cellSum·w·h > totalSum·cellCnt (exact integer compare — no FP),
+    // halves packed MSB-first per 32-cell block exactly as the engine.
+    "q95_image_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 317 AS BIGINT) AS w,
+        |         CAST(16 + (doc_id * 7) % 97 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, t1.r, t2.c,
+        |    3 * ((d.doc_id + t1.r * d.w + t2.c) % 256) AS lum
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, d.h)) AS r) t1,
+        |    LATERAL (SELECT unnest(range(0, d.w)) AS c) t2),
+        |cells AS (
+        |  SELECT doc_id, ((r * 8) // h) * 8 + (c * 8) // w AS k,
+        |    SUM(lum) AS cs, COUNT(*) AS cc
+        |  FROM px GROUP BY doc_id, k),
+        |tot AS (SELECT doc_id, SUM(lum) AS ts, COUNT(*) AS tc FROM px GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id, c.k,
+        |    CASE WHEN c.cs * t.tc > t.ts * c.cc THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id))
+        |SELECT doc_id AS media_id,
+        |  CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id""".stripMargin,
 
     // Only o_totalprice can differ for a matched key (the synthetic next
     // version only filters, bumps price, or re-keys), so the null-safe

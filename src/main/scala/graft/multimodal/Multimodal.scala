@@ -301,6 +301,82 @@ object Multimodal {
     media.mapPartitions(_.map(r => decodeMeta(r.media_id, r.payload)))
   }
 
+  /** 8×8 average-hash of an image payload, split into two non-negative
+    * 32-bit halves (`hi` = cells 0–31 = bit 31-k within the half, `lo` =
+    * cells 32–63) so neither engine in a cross-check touches the sign
+    * bit. `None` for non-decodable payloads.
+    */
+  final case class ImageHash(media_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** Perceptual (average) hash over REAL decoded pixels — the image
+    * near-dup primitive: resized re-encodes, recompressions and minor
+    * edits keep small Hamming distance while distinct images diverge.
+    * Decodes 24-bpp BI_RGB BMP pixel arrays (the uncompressed format the
+    * codec can read without an inflate stage); other formats return no
+    * row. Cell (i,j) of the 8×8 grid covers storage rows `floor(r·8/h)=i`
+    * / cols `floor(c·8/w)=j`; a cell's bit is set iff its mean luminance
+    * strictly exceeds the whole-image mean, compared EXACTLY via
+    * cross-multiplied integer sums (`cellSum·w·h > totalSum·cellCnt`) —
+    * no FP, so any engine replaying the pixel arithmetic reproduces the
+    * hash bit-for-bit. Luminance is the channel sum r+g+b (0..765);
+    * BMP's bottom-up row order is used as stored — a global flip permutes
+    * cells consistently, which near-dup Hamming distances don't care
+    * about.
+    *
+    * Never throws: bounds-checked like every other codec path, and
+    * payloads over 2²⁴ pixels are treated as non-decodable (a crafted
+    * header must not allocate/loop unboundedly).
+    */
+  def averageHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => ahashOf(r.media_id, r.payload)))
+  }
+
+  private[graft] def ahashOf(id: Long, b: Array[Byte]): Option[ImageHash] = {
+    // 24-bpp BI_RGB BITMAPINFOHEADER BMP only (uncompressed pixels)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M' || le32(b, 14) < 40) return None
+    if (le16(b, 28) != 24 || le32(b, 30) != 0) return None
+    val w = le32(b, 18)
+    val h = math.abs(le32(b, 22))
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    val pixOff = le32(b, 10)
+    if (pixOff < 54 || pixOff.toLong + stride.toLong * h > b.length) return None
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var totalSum = 0L
+    var r = 0
+    while (r < h) {
+      val ci = r * 8 / h
+      var c = 0
+      val rowOff = pixOff + r * stride
+      while (c < w) {
+        val off = rowOff + c * 3
+        val lum = (b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)
+        val cell = ci * 8 + c * 8 / w
+        cellSum(cell) += lum
+        cellCnt(cell) += 1
+        totalSum += lum
+        c += 1
+      }
+      r += 1
+    }
+    val total = w.toLong * h
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 64) {
+      // exact integer compare: cellMean > imageMean
+      val bit = cellSum(k) * total > totalSum * cellCnt(k)
+      if (bit) {
+        if (k < 32) hi |= 1L << (31 - k)
+        else lo |= 1L << (63 - k)
+      }
+      k += 1
+    }
+    Some(ImageHash(id, hi, lo))
+  }
+
   /** Frame-sampling stage: one row per sampled frame index, `stride`
     * apart — images contribute their single frame, audio contributes every
     * stride-th PCM frame. The row-explosion shape of real frame extraction.

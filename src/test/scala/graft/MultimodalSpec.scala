@@ -312,4 +312,49 @@ class MultimodalSpec extends SparkSpec {
       assert(m.n_bytes == b.length)
     }
   }
+
+  test("averageHash: bit-exact vs a pixel-formula reference; near-dup Hamming behavior") {
+    // plain-Scala reference straight from the fixture pixel formula
+    def refHash(id: Long): (Long, Long) = {
+      val w = Multimodal.fixtureWidth(id); val h = Multimodal.fixtureHeight(id)
+      val cs = new Array[Long](64); val cc = new Array[Long](64); var ts = 0L
+      for (r <- 0 until h; c <- 0 until w) {
+        val lum = 3L * ((id + r.toLong * w + c) % 256)
+        val k = (r * 8 / h) * 8 + c * 8 / w
+        cs(k) += lum; cc(k) += 1; ts += lum
+      }
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64)
+        if (cs(k) * w * h > ts * cc(k)) {
+          if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+        }
+      (hi, lo)
+    }
+    for (id <- Seq(1L, 5L, 77L, 333L)) {
+      val got = Multimodal.ahashOf(id, Multimodal.bmpBytes(id)).get
+      assert((got.ahash_hi, got.ahash_lo) == refHash(id), s"id=$id")
+    }
+    // a few flipped pixels move few bits; a different image moves many
+    def dist(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val base = Multimodal.bmpBytes(9L)
+    val tweaked = base.clone()
+    var i = 60
+    while (i < math.min(base.length, 90)) { tweaked(i) = (tweaked(i) ^ 0x7f).toByte; i += 3 }
+    val h0 = Multimodal.ahashOf(9L, base).get
+    val h1 = Multimodal.ahashOf(9L, tweaked).get
+    val h2 = Multimodal.ahashOf(13L, Multimodal.bmpBytes(13L)).get
+    assert(dist((h0.ahash_hi, h0.ahash_lo), (h1.ahash_hi, h1.ahash_lo)) <= 4,
+      "minor pixel edits must stay Hamming-close")
+    assert(dist((h0.ahash_hi, h0.ahash_lo), (h2.ahash_hi, h2.ahash_lo)) > 4,
+      "distinct images must diverge")
+    // halves never touch the sign bit
+    assert(h0.ahash_hi >= 0 && h0.ahash_lo >= 0)
+    // non-decodable payloads: wrong format, truncated pixels, absurd dims
+    assert(Multimodal.ahashOf(2L, Multimodal.wavBytes(2L)).isEmpty)
+    assert(Multimodal.ahashOf(9L, base.take(100)).isEmpty)
+    val huge = base.clone()
+    huge(18) = -1; huge(19) = -1; huge(20) = 0x7f // w = huge
+    assert(Multimodal.ahashOf(9L, huge).isEmpty)
+  }
 }
