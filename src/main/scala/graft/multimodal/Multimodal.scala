@@ -332,6 +332,22 @@ object Multimodal {
     media.mapPartitions(_.flatMap(r => ahashOf(r.media_id, r.payload)))
   }
 
+  /** Image near-duplicate pairs: [[averageHash]] sketches fed through the
+    * same pigeonhole-blocked Hamming join as text simhash
+    * ([[graft.operators.TextDedup.hammingPairs]]) — resized/recompressed/
+    * lightly-edited copies pair up; the corpus never self-joins.
+    * Returns `(id_a, id_b, hamming)`.
+    */
+  def imageNearDupPairs(
+      media: Dataset[MediaRow], maxHamming: Int = 3): org.apache.spark.sql.DataFrame =
+    graft.operators.TextDedup.hammingPairs(
+      averageHash(media).toDF()
+        .select(org.apache.spark.sql.functions.col("media_id").as("doc_id"),
+          (org.apache.spark.sql.functions.shiftleft(
+            org.apache.spark.sql.functions.col("ahash_hi"), 32)
+            .bitwiseOR(org.apache.spark.sql.functions.col("ahash_lo"))).as("sim")),
+      maxHamming)
+
   private[graft] def ahashOf(id: Long, b: Array[Byte]): Option[ImageHash] = {
     // 24-bpp BI_RGB BITMAPINFOHEADER BMP only (uncompressed pixels)
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M' || le32(b, 14) < 40) return None

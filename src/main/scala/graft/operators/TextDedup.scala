@@ -121,11 +121,19 @@ object TextDedup {
       df: DataFrame,
       idCol: Column,
       textCol: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(df.select(idCol.as("doc_id"), simhash(textCol).as("sim")),
+      maxHamming)
+
+  /** Pigeonhole-blocked Hamming pairs over ANY precomputed 64-bit sketch
+    * (`(doc_id, sim)` input) — the shared engine under text simhash and
+    * image perceptual-hash near-dup. Chunk-equality candidates are exact
+    * (no recall loss), verified by `bit_count(xor)`.
+    */
+  def hammingPairs(printed: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val bitsPer = 64 / nChunks
     val mask = (1L << bitsPer) - 1
-    val printed = df.select(idCol.as("doc_id"), simhash(textCol).as("sim"))
     val chunked = printed.select(
       col("doc_id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),

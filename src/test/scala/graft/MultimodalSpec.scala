@@ -357,4 +357,21 @@ class MultimodalSpec extends SparkSpec {
     huge(18) = -1; huge(19) = -1; huge(20) = 0x7f // w = huge
     assert(Multimodal.ahashOf(9L, huge).isEmpty)
   }
+
+  test("imageNearDupPairs: edited copies pair up through the Hamming block join") {
+    import spark.implicits._
+    val base = Multimodal.bmpBytes(9L)
+    val tweaked = base.clone()
+    var i = 60
+    while (i < math.min(base.length, 90)) { tweaked(i) = (tweaked(i) ^ 0x7f).toByte; i += 3 }
+    val media = Seq(
+      Multimodal.MediaRow(1L, base),
+      Multimodal.MediaRow(2L, tweaked),                  // near-dup of 1
+      Multimodal.MediaRow(3L, Multimodal.bmpBytes(13L)), // distinct image
+      Multimodal.MediaRow(4L, Multimodal.wavBytes(4L)))  // not an image
+      .toDS()
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }
