@@ -1211,10 +1211,13 @@ object SparkEntry {
     // arithmetic in SQL — any codec offset/stride/bounds bug breaks the
     // bit-for-bit match.
     "q95_image_phash" -> ((s, dir) => {
+      // %4==0 → PNG (real zlib inflate + unfilter), %4==1 → BMP pixel
+      // array; both fixture families share the pixel formula, and the
+      // hash is scale-invariant, so one oracle covers both decoders.
       import graft.multimodal.Multimodal
       Multimodal.averageHash(
         Multimodal.syntheticMedia(
-          table(s, dir, "documents").filter(col("doc_id") % 4 === 1), "doc_id"))
+          table(s, dir, "documents").filter(col("doc_id") % 4 <= 1), "doc_id"))
         .toDF()
     }),
 
@@ -1780,7 +1783,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, CAST(16 + doc_id % 317 AS BIGINT) AS w,
         |         CAST(16 + (doc_id * 7) % 97 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 4 = 1),
+        |  FROM documents WHERE doc_id % 4 <= 1),
         |px AS (
         |  SELECT d.doc_id, d.w, d.h, t1.r, t2.c,
         |    3 * ((d.doc_id + t1.r * d.w + t2.c) % 256) AS lum

@@ -311,9 +311,12 @@ object Multimodal {
   /** Perceptual (average) hash over REAL decoded pixels — the image
     * near-dup primitive: resized re-encodes, recompressions and minor
     * edits keep small Hamming distance while distinct images diverge.
-    * Decodes 24-bpp BI_RGB BMP pixel arrays (the uncompressed format the
-    * codec can read without an inflate stage); other formats return no
-    * row. Cell (i,j) of the 8×8 grid covers storage rows `floor(r·8/h)=i`
+    * Decodes 24-bpp BI_RGB BMP pixel arrays and 8-bit grayscale PNGs
+    * (full zlib inflate + all five filter types — see [[pngGray8]]);
+    * other formats return no row. Hash bits are scale-invariant, so the
+    * same image as gray PNG and as RGB BMP produces the SAME hash —
+    * cross-format re-encodes of one image pair up at Hamming 0.
+    * Cell (i,j) of the 8×8 grid covers storage rows `floor(r·8/h)=i`
     * / cols `floor(c·8/w)=j`; a cell's bit is set iff its mean luminance
     * strictly exceeds the whole-image mean, compared EXACTLY via
     * cross-multiplied integer sums (`cellSum·w·h > totalSum·cellCnt`) —
@@ -349,15 +352,18 @@ object Multimodal {
       maxHamming)
 
   private[graft] def ahashOf(id: Long, b: Array[Byte]): Option[ImageHash] = {
-    // 24-bpp BI_RGB BITMAPINFOHEADER BMP only (uncompressed pixels)
-    if (b.length < 54 || b(0) != 'B' || b(1) != 'M' || le32(b, 14) < 40) return None
-    if (le16(b, 28) != 24 || le32(b, 30) != 0) return None
-    val w = le32(b, 18)
-    val h = math.abs(le32(b, 22))
-    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
-    val stride = ((w * 3 + 3) / 4) * 4
-    val pixOff = le32(b, 10)
-    if (pixOff < 54 || pixOff.toLong + stride.toLong * h > b.length) return None
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') bmpHash(id, b)
+    else pngGray8(b).map { case (w, h, px) =>
+      hashGrid(id, w, h, (r, c) => px(r * w + c) & 0xff)
+    }
+  }
+
+  /** The 8×8 cell/mean bit grid shared by every pixel source. Bits are
+    * scale-invariant (the cross-multiplied compare cancels any positive
+    * luminance scaling), so a 3-channel sum and a single gray channel of
+    * the same image produce the same hash.
+    */
+  private def hashGrid(id: Long, w: Int, h: Int, lum: (Int, Int) => Int): ImageHash = {
     val cellSum = new Array[Long](64)
     val cellCnt = new Array[Long](64)
     var totalSum = 0L
@@ -365,14 +371,12 @@ object Multimodal {
     while (r < h) {
       val ci = r * 8 / h
       var c = 0
-      val rowOff = pixOff + r * stride
       while (c < w) {
-        val off = rowOff + c * 3
-        val lum = (b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)
+        val v = lum(r, c)
         val cell = ci * 8 + c * 8 / w
-        cellSum(cell) += lum
+        cellSum(cell) += v
         cellCnt(cell) += 1
-        totalSum += lum
+        totalSum += v
         c += 1
       }
       r += 1
@@ -390,7 +394,95 @@ object Multimodal {
       }
       k += 1
     }
-    Some(ImageHash(id, hi, lo))
+    ImageHash(id, hi, lo)
+  }
+
+  // 24-bpp BI_RGB BITMAPINFOHEADER BMP (uncompressed pixels)
+  private def bmpHash(id: Long, b: Array[Byte]): Option[ImageHash] = {
+    if (b.length < 54 || le32(b, 14) < 40) return None
+    if (le16(b, 28) != 24 || le32(b, 30) != 0) return None
+    val w = le32(b, 18)
+    val h = math.abs(le32(b, 22))
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    val pixOff = le32(b, 10)
+    if (pixOff < 54 || pixOff.toLong + stride.toLong * h > b.length) return None
+    Some(hashGrid(id, w, h, (r, c) => {
+      val off = pixOff + r * stride + c * 3
+      (b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)
+    }))
+  }
+
+  /** REAL PNG pixel decode for 8-bit non-interlaced grayscale: IDAT
+    * chunks concatenate into one zlib stream (`java.util.zip.Inflater`
+    * handles stored and deflated blocks alike), then per-row unfiltering
+    * applies all five PNG filter types (None/Sub/Up/Average/Paeth,
+    * bpp = 1). Cross-validated against the JDK's own ImageIO decoder in
+    * MultimodalSpec. Returns `(w, h, pixels)` row-major, or None for
+    * anything the decoder doesn't cover — same never-throw contract and
+    * 2²⁴-pixel bound as the rest of the codec.
+    */
+  private[graft] def pngGray8(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (!hasPrefix(b, PngSig) || b.length < 33 || !tagAt(b, 12, "IHDR")) return None
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    if ((b(24) & 0xff) != 8 || (b(25) & 0xff) != 0) return None // 8-bit gray
+    if ((b(28) & 0xff) != 0) return None // no interlace
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8
+    var sawEnd = false
+    while (!sawEnd && off + 12 <= b.length) {
+      val len = be32(b, off)
+      if (len < 0 || off + 12 + len.toLong > b.length) return None
+      if (tagAt(b, off + 4, "IDAT")) idat.write(b, off + 8, len)
+      if (tagAt(b, off + 4, "IEND")) sawEnd = true
+      off += 12 + len
+    }
+    val expected = h * (w + 1) // filter byte + w gray pixels per row
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(raw, got, expected - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += n
+      }
+      if (got < expected) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val px = new Array[Byte](w * h)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (w + 1)) & 0xff
+      var c = 0
+      while (c < w) {
+        val x = raw(r * (w + 1) + 1 + c) & 0xff
+        val a = if (c > 0) px(r * w + c - 1) & 0xff else 0
+        val up = if (r > 0) px((r - 1) * w + c) & 0xff else 0
+        val ul = if (r > 0 && c > 0) px((r - 1) * w + c - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + (a + up) / 2
+          case 4 =>
+            val p = a + up - ul
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        px(r * w + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    Some((w, h, px))
   }
 
   /** Frame-sampling stage: one row per sampled frame index, `stride`

@@ -358,6 +358,46 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ahashOf(9L, huge).isEmpty)
   }
 
+  test("pngGray8: real inflate + unfilter matches ImageIO on encoder-produced PNGs") {
+    // same image as gray PNG and RGB BMP hashes identically (scale-invariant bits)
+    for (id <- Seq(4L, 8L, 100L)) {
+      val p = Multimodal.ahashOf(id, Multimodal.pngBytes(id)).get
+      val b = Multimodal.ahashOf(id, Multimodal.bmpBytes(id)).get
+      assert((p.ahash_hi, p.ahash_lo) == ((b.ahash_hi, b.ahash_lo)), s"id=$id")
+    }
+    // ImageIO's PNG encoder uses real deflate + its own filter choices;
+    // our decoder must reproduce the exact pixels it encoded
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 5) {
+      val w = 17 + rnd.nextInt(90); val h = 9 + rnd.nextInt(60)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val expected = Array.tabulate(h, w) { (r, c) =>
+        val v = rnd.nextInt(256)
+        img.getRaster.setSample(c, r, 0, v)
+        v
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val got = Multimodal.pngGray8(bos.toByteArray)
+      assert(got.isDefined, s"trial $trial: ImageIO png must decode")
+      val (gw, gh, px) = got.get
+      assert(gw == w && gh == h)
+      for (r <- 0 until h; c <- 0 until w)
+        assert((px(r * w + c) & 0xff) == expected(r)(c),
+          s"trial $trial pixel ($r,$c)")
+    }
+    // truncated IDAT and wrong color type degrade to None, never throw
+    val png = Multimodal.pngBytes(4L)
+    assert(Multimodal.pngGray8(png.take(png.length - 20)).isEmpty)
+    val rgb = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(rgb, "png", bos2)
+    assert(Multimodal.pngGray8(bos2.toByteArray).isEmpty,
+      "color-type-2 PNG is outside the gray8 decoder's contract")
+  }
+
   test("imageNearDupPairs: edited copies pair up through the Hamming block join") {
     import spark.implicits._
     val base = Multimodal.bmpBytes(9L)
