@@ -1221,6 +1221,19 @@ object SparkEntry {
         .toDF()
     }),
 
+    // End-to-end image near-dup: decoded-pixel perceptual hashes through
+    // the pigeonhole-blocked Hamming join (exact candidates — no recall
+    // loss, so the blocked engine must equal the oracle's naive
+    // self-join).
+    "q96_image_neardup" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.imageNearDupPairs(
+        Multimodal.syntheticMedia(
+          table(s, dir, "documents").filter(col("doc_id") % 4 <= 1), "doc_id"),
+        maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+    }),
+
     // Dataset version diff: deterministic "next ingestion round" of the
     // orders table (every 11th key dropped, every 7th price-bumped, every
     // 13th re-keyed into a new id range) classified added / removed /
@@ -1803,6 +1816,38 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END) AS BIGINT) AS ahash_hi,
         |  CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // q95's phash CTE self-joined naively — the blocked engine join is a
+    // lossless candidate generator, so outputs must be identical.
+    "q96_image_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 317 AS BIGINT) AS w,
+        |         CAST(16 + (doc_id * 7) % 97 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 4 <= 1),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, t1.r, t2.c,
+        |    3 * ((d.doc_id + t1.r * d.w + t2.c) % 256) AS lum
+        |  FROM d,
+        |    LATERAL (SELECT unnest(range(0, d.h)) AS r) t1,
+        |    LATERAL (SELECT unnest(range(0, d.w)) AS c) t2),
+        |cells AS (
+        |  SELECT doc_id, ((r * 8) // h) * 8 + (c * 8) // w AS k,
+        |    SUM(lum) AS cs, COUNT(*) AS cc
+        |  FROM px GROUP BY doc_id, k),
+        |tot AS (SELECT doc_id, SUM(lum) AS ts, COUNT(*) AS tc FROM px GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id, c.k,
+        |    CASE WHEN c.cs * t.tc > t.ts * c.cc THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin,
 
     // Only o_totalprice can differ for a matched key (the synthetic next
     // version only filters, bumps price, or re-keys), so the null-safe
