@@ -168,7 +168,7 @@ object StreamingOps {
   }
 
   final case class SketchedDoc(doc_id: Long, sim: Long, ts: java.sql.Timestamp)
-  final case class BucketSketches(sims: List[Long], lastMs: Long)
+  final case class BucketSketches(sims: List[(Long, Long)], lastMs: Long)
 
   /** Streaming near-duplicate admission gate: a document is admitted iff
     * no already-admitted document in its simhash bucket is within
@@ -188,10 +188,13 @@ object StreamingOps {
     * residue). Precision is exact: admitted docs are genuinely ≥
     * `maxDist+1` bits from every admitted bucket-mate.
     *
-    * State per bucket is the admitted sketch list within the TTL, evicted
-    * by event-time timeout once the watermark passes `lastSeen + ttl` —
-    * bounded by ingest rate × ttl / 2^prefixBits per key, never O(stream).
-    * Input must carry a watermark (`withWatermark("ts", ...)`).
+    * State per bucket is the admitted (sketch, lastSeen) list within the
+    * TTL: entries older than `ttl` relative to the newest event are
+    * pruned on EVERY update (a hot bucket that never times out must not
+    * accumulate history), and idle buckets are dropped wholesale by
+    * event-time timeout — so state is bounded by ingest rate × ttl /
+    * 2^prefixBits per key, never O(stream). Input must carry a watermark
+    * (`withWatermark("ts", ...)`).
     */
   def nearDupGateStream(
       docs: Dataset[SketchedDoc],
@@ -215,10 +218,14 @@ object StreamingOps {
             val admitted = it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
               .flatMap { d =>
                 lastMs = math.max(lastMs, d.ts.getTime)
-                if (sims.exists(s => java.lang.Long.bitCount(s ^ d.sim) <= maxDist)) None
-                else { sims ::= d.sim; Some(d) }
+                if (sims.exists { case (s, _) =>
+                    java.lang.Long.bitCount(s ^ d.sim) <= maxDist }) None
+                else { sims ::= (d.sim, d.ts.getTime); Some(d) }
               }
-            state.update(BucketSketches(sims, lastMs))
+            // hot-bucket bound: drop sketches whose admission fell out of
+            // the TTL window even though the bucket itself stays live
+            val pruned = sims.filter { case (_, seenMs) => seenMs > lastMs - ttlMs }
+            state.update(BucketSketches(pruned, lastMs))
             state.setTimeoutTimestamp(lastMs + ttlMs)
             admitted.iterator
           }

@@ -248,6 +248,15 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("gate_out").select("doc_id")
         .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L, 6L, 7L),
         "post-TTL sketch must be re-admitted")
+      // HOT-bucket prune: doc 6 kept the otherBucket alive past doc 5's
+      // TTL, so doc 5's sketch must have been pruned on update (not by
+      // whole-bucket timeout) — its near-dup is admitted while doc 6's
+      // own sketch (9 bits away) doesn't block it
+      mem.addData(doc(8, otherBucket ^ 1L, 121))
+      q.processAllAvailable()
+      assert(spark.table("gate_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L, 6L, 7L, 8L),
+        "aged-out sketch in a live bucket must not block admission")
     } finally q.stop()
   }
 
