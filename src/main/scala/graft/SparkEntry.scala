@@ -1234,6 +1234,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
     }),
 
+    // Audio fingerprinting over REAL decoded PCM: the WAV quarter of the
+    // media corpus walks its RIFF chunks, reads 16-bit samples, and
+    // produces the 64-chunk energy-delta print. The oracle replays the
+    // fixture's sample formula and the exact integer energy compares in
+    // SQL — any RIFF-walk/sample-read bug breaks the bit match.
+    "q97_audio_print" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.audioFingerprint(
+        Multimodal.syntheticMedia(
+          table(s, dir, "documents").filter(col("doc_id") % 4 === 2), "doc_id"))
+        .toDF()
+    }),
+
     // Dataset version diff: deterministic "next ingestion round" of the
     // orders table (every 11th key dropped, every 7th price-bumped, every
     // 13th re-keyed into a new id range) classified added / removed /
@@ -1848,6 +1861,36 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3""".stripMargin,
+
+    // Sample replay: s = ((doc_id·31 + j·2654435761) mod 65536) − 32768,
+    // chunk k = j·64/n, bit k compares chunk-mean energies exactly via
+    // cross-multiplication (bit 0 vs the stream mean) — the engine reads
+    // these values from real RIFF bytes.
+    "q97_audio_print" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(64 + doc_id % 937 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |smp AS (
+        |  SELECT d.doc_id, d.n, t.j,
+        |    ((d.doc_id * 31 + t.j * 2654435761) % 65536) - 32768 AS s
+        |  FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS j) t),
+        |ch AS (
+        |  SELECT doc_id, (j * 64) // n AS k, SUM(s * s) AS e, COUNT(*) AS c
+        |  FROM smp GROUP BY doc_id, k),
+        |tot AS (SELECT doc_id, SUM(s * s) AS te, COUNT(*) AS tc FROM smp GROUP BY doc_id),
+        |bits AS (
+        |  SELECT c.doc_id, c.k,
+        |    CASE WHEN c.k = 0
+        |         THEN CASE WHEN c.e * t.tc > t.te * c.c THEN 1 ELSE 0 END
+        |         ELSE CASE WHEN c.e * p.c > p.e * c.c THEN 1 ELSE 0 END
+        |    END AS bit
+        |  FROM ch c
+        |  JOIN tot t ON t.doc_id = c.doc_id
+        |  LEFT JOIN ch p ON p.doc_id = c.doc_id AND p.k = c.k - 1)
+        |SELECT doc_id AS media_id,
+        |  CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END) AS BIGINT) AS aprint_hi,
+        |  CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END) AS BIGINT) AS aprint_lo
+        |FROM bits GROUP BY doc_id""".stripMargin,
 
     // Only o_totalprice can differ for a matched key (the synthetic next
     // version only filters, bumps price, or re-keys), so the null-safe

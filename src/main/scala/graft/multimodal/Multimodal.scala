@@ -413,6 +413,63 @@ object Multimodal {
     }))
   }
 
+  final case class AudioPrint(media_id: Long, aprint_hi: Long, aprint_lo: Long)
+
+  /** 64-bit audio fingerprint over REAL decoded PCM (Haitsma–Kalker
+    * family, simplified to one band): the sample stream splits into 64
+    * equal chunks (`floor(j·64/n)`), each chunk's ENERGY is the exact
+    * integer sum of squared 16-bit samples (first channel of each
+    * frame), and bit k is an exact cross-multiplied mean compare —
+    * chunk k's mean energy vs chunk k−1's (bit 0: vs the whole-stream
+    * mean). Gain changes scale all energies together, so re-leveled
+    * copies keep their print; the bit pattern is integer-exact and
+    * replayable by any engine from the same samples. Near-dup pairs go
+    * through the same pigeonhole Hamming join as text/image sketches.
+    * Never throws; non-PCM/8-bit payloads produce no row.
+    */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioPrint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => aprintOf(r.media_id, r.payload)))
+  }
+
+  private[graft] def aprintOf(id: Long, b: Array[Byte]): Option[AudioPrint] = {
+    val w = wavChunks(b)
+    if (w == null) return None
+    val Array(_, _, block, dataOff, dataLen) = w
+    // 2^16-frame cap (first ~4-8 s): keeps the cross-multiplied energy
+    // compares exact in a Long (n²·2³⁰/64 must not overflow), and a
+    // fingerprint of the opening seconds is the standard matching unit
+    val n = math.min(dataLen / block, 1 << 16)
+    if (block < 2 || n <= 0) return None
+    val eSum = new Array[Long](64)
+    val eCnt = new Array[Long](64)
+    var total = 0L
+    var j = 0
+    while (j < n) {
+      val off = dataOff + j * block
+      val s = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toLong
+      val k = ((j.toLong * 64) / n).toInt
+      eSum(k) += s * s
+      eCnt(k) += 1
+      total += s * s
+      j += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 64) {
+      val bit =
+        if (k == 0) eSum(0) * n > total * eCnt(0)
+        else eSum(k) * eCnt(k - 1) > eSum(k - 1) * eCnt(k)
+      if (bit) {
+        if (k < 32) hi |= 1L << (31 - k)
+        else lo |= 1L << (63 - k)
+      }
+      k += 1
+    }
+    Some(AudioPrint(id, hi, lo))
+  }
+
   /** REAL PNG pixel decode for 8-bit non-interlaced grayscale: IDAT
     * chunks concatenate into one zlib stream (`java.util.zip.Inflater`
     * handles stored and deflated blocks alike), then per-row unfiltering

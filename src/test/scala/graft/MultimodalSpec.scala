@@ -398,6 +398,48 @@ class MultimodalSpec extends SparkSpec {
       "color-type-2 PNG is outside the gray8 decoder's contract")
   }
 
+  test("audioFingerprint: bit-exact vs a sample-formula reference; gain-invariance; bounds") {
+    def refPrint(id: Long): (Long, Long) = {
+      val n = Multimodal.fixtureSamples(id)
+      val e = new Array[Long](64); val c = new Array[Long](64); var te = 0L
+      for (j <- 0 until n) {
+        val s = Multimodal.fixtureSample(id, j).toLong
+        val k = ((j.toLong * 64) / n).toInt
+        e(k) += s * s; c(k) += 1; te += s * s
+      }
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64) {
+        val bit = if (k == 0) e(0) * n > te * c(0)
+          else e(k) * c(k - 1) > e(k - 1) * c(k)
+        if (bit) { if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k) }
+      }
+      (hi, lo)
+    }
+    for (id <- Seq(2L, 6L, 102L)) {
+      val got = Multimodal.aprintOf(id, Multimodal.wavBytes(id)).get
+      assert((got.aprint_hi, got.aprint_lo) == refPrint(id), s"id=$id")
+    }
+    // halving every sample (gain change) keeps the print: energies scale
+    // by 1/4 uniformly and the mean compares are scale-invariant...
+    // NOT exactly with integer truncation, so allow tiny Hamming drift
+    val base = Multimodal.wavBytes(6L)
+    val soft = base.clone()
+    var off = 44
+    while (off + 1 < soft.length) {
+      val s = ((soft(off) & 0xff) | (soft(off + 1) << 8)).toShort / 2
+      soft(off) = (s & 0xff).toByte; soft(off + 1) = ((s >> 8) & 0xff).toByte
+      off += 2
+    }
+    val p0 = Multimodal.aprintOf(6L, base).get
+    val p1 = Multimodal.aprintOf(6L, soft).get
+    val dist = java.lang.Long.bitCount(p0.aprint_hi ^ p1.aprint_hi) +
+      java.lang.Long.bitCount(p0.aprint_lo ^ p1.aprint_lo)
+    assert(dist <= 2, s"re-leveled copy drifted $dist bits")
+    // non-audio and truncated payloads: no row, never a throw
+    assert(Multimodal.aprintOf(1L, Multimodal.bmpBytes(1L)).isEmpty)
+    assert(Multimodal.aprintOf(6L, base.take(50)).isEmpty)
+  }
+
   test("imageNearDupPairs: edited copies pair up through the Hamming block join") {
     import spark.implicits._
     val base = Multimodal.bmpBytes(9L)
