@@ -36,4 +36,70 @@ object Bucketing {
     */
   def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
+
+  /** Small-file compaction for a partitioned layout: incremental appends
+    * (streaming `foreachBatch`, [[graft.operators.IvfIndex]]/
+    * [[graft.operators.IvfPq]] `append`) accumulate one-or-more files
+    * per batch per partition, and at 100 TB the file COUNT — not the
+    * bytes — eventually dominates planning (listing, footer reads, task
+    * scheduling all scale with it). Rewrite the layout with
+    * `targetFileBytes`-sized output files per partition dir.
+    *
+    * Shape: ONE scan of the layout, repartitioned by the partition
+    * columns plus a within-partition slice index derived from the
+    * current file sizes (total partition bytes / target), then a
+    * partitioned overwrite into a fresh directory — never in place, so a
+    * failed compaction leaves the source untouched (swap directories on
+    * success; at scale, atomically via a metastore location update).
+    * Data is preserved byte-for-byte (spec-checked); only the file
+    * grouping changes.
+    */
+  def compactPartitioned(
+      spark: SparkSession,
+      dir: String,
+      outDir: String,
+      partitionCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(partitionCols.nonEmpty, "compactPartitioned needs partition columns")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(dir)
+    // Per-partition-DIR byte totals from the file system listing (driver
+    // metadata, no data scan): each dir gets its own slice count
+    // ceil(dirBytes / target), so a partition below the target collapses
+    // to ONE file while a hot partition fans out to just enough writers.
+    // A single global slice count would shatter small partitions into
+    // `slices` shards each — the very problem being fixed.
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(root, true)
+    val dirBytes = scala.collection.mutable.Map.empty[String, Long]
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val spec = f.getPath.getParent.toUri.getPath
+          .stripPrefix(rootUri).stripPrefix("/")
+        dirBytes(spec) = dirBytes.getOrElse(spec, 0L) + f.getLen
+      }
+    }
+    val sliceOf: Map[String, Long] = dirBytes.toMap.map { case (spec, b) =>
+      spec -> math.max(1L, (b + targetFileBytes - 1) / targetFileBytes)
+    }
+    // rebuild each row's partition spec string ("cell=3" / "a=1/b=2") to
+    // look up its dir's slice count from the tiny broadcast map
+    val specCol = concat_ws("/",
+      partitionCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*)
+    val sliceN = coalesce(
+      element_at(typedlit(sliceOf), specCol), lit(1L))
+    val sliced = df.withColumn("__slice",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), sliceN))
+    // (partitionCols, __slice) hash-routes each dir's rows to its
+    // sliceN writer groups; co-located groups of the same dir merge
+    // into one (larger) file — file sizes land in [target, ~2×target]
+    sliced
+      .repartition((partitionCols.map(col) :+ col("__slice")): _*)
+      .drop("__slice")
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+  }
 }

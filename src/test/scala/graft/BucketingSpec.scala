@@ -63,4 +63,36 @@ class BucketingSpec extends SparkSpec {
     // correctness: partitioned round trip preserves the rows
     assert(scan.count() == docs.filter(col("lang") === "en").count())
   }
+
+  test("compactPartitioned: appended small files collapse per dir-size; rows survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-in-").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out-").toString
+    // simulate streaming-append debris: 8 tiny appends, skewed keys
+    // (cell 0 gets 8x the rows of cell 1)
+    for (b <- 0 until 8) {
+      val rows = (0 until 80).map(i => (b * 1000L + i, s"payload_${b}_$i", if (i < 72) 0 else 1))
+      rows.toDF("id", "v", "cell")
+        .repartition(2) // two files per append per cell
+        .write.mode("append").partitionBy("cell").parquet(dir)
+    }
+    def fileCount(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before0 = fileCount(s"$dir/cell=0")
+    assert(before0 >= 8, s"debris expected, got $before0")
+
+    // target sized so cell=0 needs a few files and cell=1 exactly one
+    val cell0Bytes = new java.io.File(s"$dir/cell=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    Bucketing.compactPartitioned(spark, dir, out, Seq("cell"),
+      targetFileBytes = cell0Bytes / 3)
+    val after0 = fileCount(s"$out/cell=0")
+    val after1 = fileCount(s"$out/cell=1")
+    assert(after0 < before0 && after0 <= 4, s"cell=0: $before0 -> $after0")
+    assert(after1 == 1, s"small partition must collapse to one file, got $after1")
+    // byte-for-byte data equality
+    val a = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }
