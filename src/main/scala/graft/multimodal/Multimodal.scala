@@ -353,6 +353,10 @@ object Multimodal {
 
   private[graft] def ahashOf(id: Long, b: Array[Byte]): Option[ImageHash] = {
     if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') bmpHash(id, b)
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      gifGray(b).map { case (w, h, px) =>
+        hashGrid(id, w, h, (r, c) => px(r * w + c))
+      }
     else pngGray8(b).map { case (w, h, px) =>
       hashGrid(id, w, h, (r, c) => px(r * w + c) & 0xff)
     }
@@ -468,6 +472,164 @@ object Multimodal {
       k += 1
     }
     Some(AudioPrint(id, hi, lo))
+  }
+
+  /** REAL GIF pixel decode (87a/89a, first image frame): palette + LZW.
+    * Walks the screen descriptor, global color table, and extension
+    * blocks to the first image descriptor; inflates the LZW stream
+    * (variable code width 3–12 bits, LSB-first across sub-blocks, clear/
+    * EOI handling); maps each palette index to its r+g+b luminance sum —
+    * the same channel-sum scale as the BMP path, so cross-format hashes
+    * agree. Interlaced frames are supported (4-pass row remap — ImageIO's
+    * own encoder emits them); local color tables return None; same
+    * never-throw / 2²⁴-pixel contract.
+    * Cross-validated against ImageIO's own GIF encoder in MultimodalSpec.
+    */
+  private[graft] def gifGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 13 ||
+      !(hasPrefix(b, "GIF87a".getBytes) || hasPrefix(b, "GIF89a".getBytes))) return None
+    val flags = b(10) & 0xff
+    if ((flags & 0x80) == 0) return None // need a global color table
+    val gctSize = 2 << (flags & 7)
+    var off = 13
+    if (off + gctSize * 3 > b.length) return None
+    val lum = new Array[Int](gctSize)
+    var i = 0
+    while (i < gctSize) {
+      lum(i) = (b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)
+      off += 3
+      i += 1
+    }
+    // skip extension blocks to the first image descriptor
+    while (off < b.length && (b(off) & 0xff) == 0x21) {
+      off += 2 // introducer + label
+      var bs = if (off < b.length) b(off) & 0xff else -1
+      while (bs > 0) {
+        off += 1 + bs
+        bs = if (off < b.length) b(off) & 0xff else -1
+      }
+      if (bs < 0) return None
+      off += 1 // block terminator
+    }
+    if (off + 10 > b.length || (b(off) & 0xff) != 0x2c) return None
+    val w = le16(b, off + 5)
+    val h = le16(b, off + 7)
+    val iflags = b(off + 9) & 0xff
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+    val interlaced = (iflags & 0x40) != 0
+    if ((iflags & 0x80) != 0) return None // local color table: keep simple
+    off += 10
+    if (off >= b.length) return None
+    val minCode = b(off) & 0xff
+    off += 1
+    if (minCode < 1 || minCode > 11) return None
+    // concatenate LZW sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    var bs = if (off < b.length) b(off) & 0xff else -1
+    while (bs > 0) {
+      if (off + 1 + bs > b.length) return None
+      data.write(b, off + 1, bs)
+      off += 1 + bs
+      bs = if (off < b.length) b(off) & 0xff else -1
+    }
+    if (bs < 0) return None
+    val bytes = data.toByteArray
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val px = new Array[Int](w * h)
+    var nOut = 0
+    // LZW dictionary as (prefixCode, appendedIndex) pairs
+    val maxDict = 1 << 12
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Int](maxDict)
+    var dictSize = eoi + 1
+    var codeWidth = minCode + 1
+    var prev = -1
+    var acc = 0L
+    var accBits = 0
+    var pos = 0
+    val stack = new Array[Int](maxDict)
+    def emit(code: Int): Option[Int] = { // writes the code's string, returns its first index
+      var sp = 0
+      var c = code
+      while (c >= clear) { // walk the chain (codes < clear are literals)
+        if (sp >= maxDict || c >= dictSize) return None
+        stack(sp) = suffix(c)
+        sp += 1
+        c = prefix(c)
+      }
+      val first = c
+      if (nOut + sp + 1 > px.length) return None
+      px(nOut) = if (first < gctSize) lum(first) else 0
+      nOut += 1
+      while (sp > 0) {
+        sp -= 1
+        val idx = stack(sp)
+        px(nOut) = if (idx < gctSize) lum(idx) else 0
+        nOut += 1
+      }
+      Some(first)
+    }
+    var done = false
+    while (!done && nOut < px.length) {
+      while (accBits < codeWidth && pos < bytes.length) {
+        acc |= (bytes(pos) & 0xffL) << accBits
+        accBits += 8
+        pos += 1
+      }
+      if (accBits < codeWidth) return None // truncated stream
+      val code = (acc & ((1L << codeWidth) - 1)).toInt
+      acc >>>= codeWidth
+      accBits -= codeWidth
+      if (code == clear) {
+        dictSize = eoi + 1
+        codeWidth = minCode + 1
+        prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= dictSize || code >= clear) return None // must be a literal
+        if (emit(code).isEmpty) return None
+        prev = code
+      } else if (code < dictSize) {
+        // normal case: output code's string, add (prev, firstIndex(code))
+        emit(code) match {
+          case None => return None
+          case Some(f) =>
+            if (dictSize < maxDict) {
+              prefix(dictSize) = prev; suffix(dictSize) = f; dictSize += 1
+            }
+        }
+        if (dictSize >= (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        prev = code
+      } else if (code == dictSize && dictSize < maxDict) {
+        // KwKwK: the new entry is (prev, firstIndex(prev)); add it FIRST,
+        // then the just-read code is exactly that entry
+        var c = prev
+        while (c >= clear) c = prefix(c)
+        prefix(dictSize) = prev; suffix(dictSize) = c; dictSize += 1
+        if (emit(code).isEmpty) return None
+        if (dictSize >= (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        prev = code
+      } else return None
+    }
+    if (nOut != px.length) return None
+    if (!interlaced) Some((w, h, px))
+    else {
+      // GIF interlace: rows arrive in four passes (0,8,16…; 4,12…;
+      // 2,6,10…; 1,3,5…) — remap delivery order to display order
+      val out = new Array[Int](w * h)
+      var d = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+        var r = start
+        while (r < h) {
+          System.arraycopy(px, d * w, out, r * w, w)
+          d += 1
+          r += step
+        }
+      }
+      Some((w, h, out))
+    }
   }
 
   /** REAL PNG pixel decode for 8-bit non-interlaced grayscale: IDAT

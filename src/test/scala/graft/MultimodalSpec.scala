@@ -398,6 +398,43 @@ class MultimodalSpec extends SparkSpec {
       "color-type-2 PNG is outside the gray8 decoder's contract")
   }
 
+  test("gifGray: LZW decode matches ImageIO's own GIF encoder pixel-for-pixel") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 5) {
+      val w = 13 + rnd.nextInt(80); val h = 11 + rnd.nextInt(50)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val expected = Array.tabulate(h, w) { (r, c) =>
+        // long runs + noise exercise dictionary growth and KwKwK
+        val v = if (c % 7 < 4) 200 else rnd.nextInt(256)
+        img.getRaster.setSample(c, r, 0, v)
+        v
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "gif", bos))
+      val got = Multimodal.gifGray(bos.toByteArray)
+      assert(got.isDefined, s"trial $trial: ImageIO gif must decode")
+      val (gw, gh, px) = got.get
+      assert(gw == w && gh == h)
+      // palette luminance is the channel sum: gray v maps to 3·v
+      for (r <- 0 until h; c <- 0 until w)
+        assert(px(r * w + c) == 3 * expected(r)(c), s"trial $trial ($r,$c)")
+    }
+    // truncated stream and fuzz degrade to None, never a throw
+    val img = new java.awt.image.BufferedImage(
+      30, 20, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val full = bos.toByteArray
+    assert(Multimodal.gifGray(full.take(full.length - 10)).isEmpty)
+    val fz = new scala.util.Random(5)
+    (0 until 100).foreach { _ =>
+      val junk = full.clone()
+      junk(13 + fz.nextInt(junk.length - 13)) = fz.nextInt(256).toByte
+      Multimodal.gifGray(junk) // any result is fine; throwing is not
+    }
+  }
+
   test("audioFingerprint: bit-exact vs a sample-formula reference; gain-invariance; bounds") {
     def refPrint(id: Long): (Long, Long) = {
       val n = Multimodal.fixtureSamples(id)
