@@ -1247,6 +1247,20 @@ object SparkEntry {
         .toDF()
     }),
 
+    // HTML → text extraction: wrap each doc in deterministic markup
+    // (heading, paragraph, script/style noise, entities), then strip —
+    // the crawl pipeline's first stage as one codegen regexp chain. The
+    // oracle replays the same RE2-subset patterns.
+    "q98_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1>"),
+        col("lang"), lit("</h1><p id=\"main\">"), col("text"),
+        lit(" &amp; more&nbsp;here</p><script>var x = 1 < 2;</script></body></html>"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.stripHtml(html).as("text_clean"))
+    }),
+
     // Dataset version diff: deterministic "next ingestion round" of the
     // orders table (every 11th key dropped, every 7th price-bumped, every
     // 13th re-keyed into a new id range) classified added / removed /
@@ -1891,6 +1905,25 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END) AS BIGINT) AS aprint_hi,
         |  CAST(SUM(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END) AS BIGINT) AS aprint_lo
         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // Same RE2-subset regexps, same entity table, same collapse — the
+    // engine's codegen chain replayed in DuckDB.
+    "q98_html_strip" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          '<html><head><style>p{color:red}</style></head><body><h1>' || lang ||
+        |          '</h1><p id="main">' || text ||
+        |          ' &amp; more&nbsp;here</p><script>var x = 1 < 2;</script></body></html>',
+        |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+        |    '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |  '\s+', ' ', 'g')) AS text_clean
+        |FROM documents""".stripMargin,
 
     // Only o_totalprice can differ for a matched key (the synthetic next
     // version only filters, bumps price, or re-keys), so the null-safe

@@ -244,6 +244,28 @@ object TextAnalysis {
     *
     * Returns `(doc_id, n_<class>..., text_clean)`.
     */
+  /** HTML → text extraction (the first stage of every crawl pipeline):
+    * drop script/style blocks wholesale, strip remaining tags, decode
+    * the common entities, collapse whitespace. One codegen
+    * regexp/replace chain — zero shuffles, and every pattern stays in
+    * the RE2-compatible subset (non-greedy `.*?` + `(?s)`, no
+    * backreferences/lookaround) so an independent engine replays the
+    * exact output. Not a parser: pathological markup (nested CDATA,
+    * unclosed script tags) degrades gracefully to over-stripping, the
+    * right failure mode for corpus extraction.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def scrubPii(
       df: DataFrame,
       idCol: Column,

@@ -318,6 +318,28 @@ class PipelineOpsSpec extends SparkSpec {
 
   // --------------------------------------------------------------- pii
 
+  test("stripHtml: blocks drop whole, tags strip, entities decode, whitespace collapses") {
+    import spark.implicits._
+    val html = Seq(
+      (1L, "<html><body><h1>Title</h1><p>Hello <b>bold</b> world</p>" +
+        "<script>if (1 < 2) alert('x');</script>tail</body></html>"),
+      (2L, "<style>a{x:1}</style>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      (3L, "plain   text\n\nwith   gaps"),
+      (4L, "")).toDF("id", "h")
+    val got = html.select(col("id"),
+        graft.operators.TextAnalysis.stripHtml(col("h")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Title Hello bold world tail",
+      s"got '${got(1L)}'") // script body (with its stray <) gone wholesale
+    assert(got(2L) == "A & B <tag> \"q\" 's' end", s"got '${got(2L)}'")
+    assert(got(3L) == "plain text with gaps")
+    assert(got(4L) == "")
+    // zero shuffles: one codegen projection
+    val plan = html.select(graft.operators.TextAnalysis.stripHtml(col("h")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stripHtml must not shuffle:\n$plan")
+  }
+
   test("scrubPii: detects and redacts each class, ip wins over phone on dotted quads") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@sub.example.org or admin@example.com thanks"),
