@@ -313,6 +313,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("every pixel/PCM decoder honors never-throw on fuzzed and bit-flipped payloads") {
+    val rnd = new scala.util.Random(77)
+    def allDecoders(b: Array[Byte]): Unit = {
+      Multimodal.ahashOf(1L, b)
+      Multimodal.aprintOf(1L, b)
+      Multimodal.pngGray8(b)
+      Multimodal.gifGray(b)
+    }
+    // pure noise at assorted sizes
+    (0 until 300).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      allDecoders(b)
+    }
+    // valid payloads with random single-byte corruption — the hard case:
+    // headers parse, inner structures lie
+    val seeds = Seq(
+      Multimodal.pngBytes(4L), Multimodal.bmpBytes(5L),
+      Multimodal.wavBytes(6L), Multimodal.mp4Bytes(7L))
+    (0 until 400).foreach { _ =>
+      val src = seeds(rnd.nextInt(seeds.length))
+      val b = src.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      allDecoders(b)
+      Multimodal.decodeMeta(1L, b)
+    }
+    // truncations of every valid payload at every tenth
+    seeds.foreach { src =>
+      (0 until 10).foreach { t => allDecoders(src.take(src.length * t / 10)) }
+    }
+  }
+
   test("averageHash: bit-exact vs a pixel-formula reference; near-dup Hamming behavior") {
     // plain-Scala reference straight from the fixture pixel formula
     def refHash(id: Long): (Long, Long) = {
