@@ -1920,8 +1920,8 @@ object SparkEntry {
         |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
         |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
         |      '<[^>]*>', ' ', 'g'),
-        |    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-        |    '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |  '\s+', ' ', 'g')) AS text_clean
         |FROM documents""".stripMargin,
 

@@ -321,10 +321,11 @@ object Multimodal {
     * strictly exceeds the whole-image mean, compared EXACTLY via
     * cross-multiplied integer sums (`cellSum·w·h > totalSum·cellCnt`) —
     * no FP, so any engine replaying the pixel arithmetic reproduces the
-    * hash bit-for-bit. Luminance is the channel sum r+g+b (0..765);
-    * BMP's bottom-up row order is used as stored — a global flip permutes
-    * cells consistently, which near-dup Hamming distances don't care
-    * about.
+    * hash bit-for-bit. Luminance is the channel sum r+g+b (0..765).
+    * All formats are read in LOGICAL (top-down) row order — BMPs with
+    * positive biHeight are stored bottom-up and are un-flipped during the
+    * read — so the cell grid is anchored to the image, not the container,
+    * and the cross-format Hamming-0 guarantee holds.
     *
     * Never throws: bounds-checked like every other codec path, and
     * payloads over 2²⁴ pixels are treated as non-decodable (a crafted
@@ -401,18 +402,26 @@ object Multimodal {
     ImageHash(id, hi, lo)
   }
 
-  // 24-bpp BI_RGB BITMAPINFOHEADER BMP (uncompressed pixels)
+  // 24-bpp BI_RGB BITMAPINFOHEADER BMP (uncompressed pixels). Positive
+  // biHeight means rows are stored BOTTOM-UP per the BMP spec, so logical
+  // row r lives at storage row h-1-r; a negative biHeight flags the rare
+  // top-down layout where storage order IS logical order. Reading in
+  // logical order is what makes the hash agree bit-for-bit with the PNG
+  // decode of the same image (PNG scanlines are always top-down).
   private def bmpHash(id: Long, b: Array[Byte]): Option[ImageHash] = {
     if (b.length < 54 || le32(b, 14) < 40) return None
     if (le16(b, 28) != 24 || le32(b, 30) != 0) return None
     val w = le32(b, 18)
-    val h = math.abs(le32(b, 22))
+    val rawH = le32(b, 22)
+    val h = math.abs(rawH)
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
     val stride = ((w * 3 + 3) / 4) * 4
     val pixOff = le32(b, 10)
     if (pixOff < 54 || pixOff.toLong + stride.toLong * h > b.length) return None
+    val topDown = rawH < 0
     Some(hashGrid(id, w, h, (r, c) => {
-      val off = pixOff + r * stride + c * 3
+      val sr = if (topDown) r else h - 1 - r
+      val off = pixOff + sr * stride + c * 3
       (b(off) & 0xff) + (b(off + 1) & 0xff) + (b(off + 2) & 0xff)
     }))
   }
@@ -885,7 +894,8 @@ object Multimodal {
       var c = 0
       while (c < w) {
         val v = ((id + r * w + c) % 256).toByte
-        val off = 54 + r * stride + c * 3
+        // positive biHeight ⇒ bottom-up storage: logical row r at h-1-r
+        val off = 54 + (h - 1 - r) * stride + c * 3
         b(off) = v; b(off + 1) = v; b(off + 2) = v
         c += 1
       }

@@ -63,6 +63,19 @@ object Bucketing {
     require(partitionCols.nonEmpty, "compactPartitioned needs partition columns")
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     import org.apache.spark.sql.functions._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Never in place — ENFORCED, not just documented. mode("overwrite")
+    // deletes outDir first, so outDir==dir would destroy the layout the
+    // lazy scan is still reading, and either path nested in the other is
+    // the same accident one level down.
+    val qIn = fs.makeQualified(root).toUri.getPath.stripSuffix("/") + "/"
+    val outRoot = new org.apache.hadoop.fs.Path(outDir)
+    val qOut = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(outRoot).toUri.getPath.stripSuffix("/") + "/"
+    require(!qIn.startsWith(qOut) && !qOut.startsWith(qIn),
+      s"compactPartitioned must write to a fresh directory, never in place " +
+        s"(in=$qIn out=$qOut)")
     val df = spark.read.parquet(dir)
     // Per-partition-DIR byte totals from the file system listing (driver
     // metadata, no data scan): each dir gets its own slice count
@@ -70,28 +83,28 @@ object Bucketing {
     // to ONE file while a hot partition fans out to just enough writers.
     // A single global slice count would shatter small partitions into
     // `slices` shards each — the very problem being fixed.
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val rootUri = root.toUri.getPath.stripSuffix("/")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listFiles(root, true)
     val dirBytes = scala.collection.mutable.Map.empty[String, Long]
     while (files.hasNext) {
       val f = files.next()
       if (f.getPath.getName.endsWith(".parquet")) {
-        val spec = f.getPath.getParent.toUri.getPath
-          .stripPrefix(rootUri).stripPrefix("/")
-        dirBytes(spec) = dirBytes.getOrElse(spec, 0L) + f.getLen
+        val d = f.getPath.getParent.toUri.getPath
+        dirBytes(d) = dirBytes.getOrElse(d, 0L) + f.getLen
       }
     }
-    val sliceOf: Map[String, Long] = dirBytes.toMap.map { case (spec, b) =>
-      spec -> math.max(1L, (b + targetFileBytes - 1) / targetFileBytes)
+    val sliceOf: Map[String, Long] = dirBytes.toMap.map { case (d, b) =>
+      d -> math.max(1L, (b + targetFileBytes - 1) / targetFileBytes)
     }
-    // rebuild each row's partition spec string ("cell=3" / "a=1/b=2") to
-    // look up its dir's slice count from the tiny broadcast map
-    val specCol = concat_ws("/",
-      partitionCols.map(c => concat(lit(s"$c="), col(c).cast("string"))): _*)
-    val sliceN = coalesce(
-      element_at(typedlit(sliceOf), specCol), lit(1L))
+    // Each row's source DIRECTORY via the _metadata.file_path column —
+    // the same string family the listing produced, so hive-escaped
+    // values, __HIVE_DEFAULT_PARTITION__ nulls, and partition-type
+    // inference ("01" read back as 1) all match byte-for-byte, where a
+    // key rebuilt from col(c).cast("string") would not. Both sides are
+    // normalized to the scheme-less URI path.
+    val dirCol = regexp_replace(
+      regexp_replace(col("_metadata.file_path"), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"),
+      "/[^/]*$", "")
+    val sliceN = coalesce(element_at(typedlit(sliceOf), dirCol), lit(1L))
     val sliced = df.withColumn("__slice",
       pmod(xxhash64(struct(df.columns.map(col): _*)), sliceN))
     // (partitionCols, __slice) hash-routes each dir's rows to its

@@ -259,9 +259,12 @@ object TextAnalysis {
       regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
       "(?s)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // &amp; decodes LAST (standard extractor order): decoding it first
+    // would turn a double-escaped "&amp;lt;" into a literal "<" — wrong
+    // output, and a re-strippable fake tag on any second pass.
     val decoded = Seq(
-      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
-      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }

@@ -276,7 +276,11 @@ object TextDedup {
     * first-class operator), so the exact confirm join only ever sees the
     * ~FPR-sized survivor stream. Results are EXACT: the Bloom filter only
     * prefilters; an equi-join confirms every hit, so false
-    * positives cost a lookup, never a wrong count.
+    * positives cost a lookup, never a wrong count. Sizing is clamped to
+    * the session's `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/
+    * `maxNumBits` (defaults 4M/64M) — a 10M-shingle benchmark at default
+    * confs gets a denser-than-1%-FPR filter rather than an analysis
+    * failure; raise the confs to keep the target FPR at that scale.
     *
     * Trade-off vs [[flagContaminated]]: zero-overlap documents are
     * re-attached with a second corpus-side pass over the id column
@@ -309,9 +313,22 @@ object TextDedup {
     // is mergeable: per-partition filters OR together). Sizing needs the
     // distinct count; benchmarks are the small side, so a count() scan is
     // cheap — and the result is a driver artifact like a codebook.
-    val nItems = math.max(benchShingles.count(), 1L)
-    val numBits = math.max(64L,
-      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate validates its args against the session's
+    // runtime-bloom-filter conf maxima (defaults: 4M items / 64M bits) and
+    // FAILS ANALYSIS above them, so clamp to whatever this session allows —
+    // a clamped filter is the same filter with a higher effective FPR, and
+    // the confirm join downstream stays exact either way.
+    val conf = train.sparkSession.conf
+    val maxItems = conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").map(_.toLong)
+      .getOrElse(4000000L)
+    val maxBits = conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").map(_.toLong)
+      .getOrElse(67108864L)
+    val nItems = math.min(math.max(benchShingles.count(), 1L), maxItems)
+    val numBits = math.min(math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong),
+      maxBits)
     val bloomBytes = benchShingles.agg(GraftSqlBridge.column(
         new BloomFilterAggregate(
           GraftSqlBridge.expression(col("g")),

@@ -95,4 +95,44 @@ class BucketingSpec extends SparkSpec {
     val b = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("compactPartitioned: refuses in-place or nested output directories") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-guard-").toString
+    Seq((1L, "x", 0)).toDF("id", "v", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    for (bad <- Seq(dir, s"$dir/", s"$dir/nested", s"file:$dir")) {
+      intercept[IllegalArgumentException] {
+        Bucketing.compactPartitioned(spark, dir, bad, Seq("cell"))
+      }
+    }
+    // and a dir nested the other way round (overwrite would delete the source)
+    intercept[IllegalArgumentException] {
+      Bucketing.compactPartitioned(
+        spark, s"$dir/nested", dir, Seq("cell"))
+    }
+  }
+
+  test("compactPartitioned: hive-escaped and null partition values still compact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-esc-in-").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-esc-out-").toString
+    // "a/b" escapes to a%2Fb in the dir name; null becomes
+    // __HIVE_DEFAULT_PARTITION__; "01" is type-inferred back as 1 —
+    // all three used to miss the slice-map key and fall back to 1 slice
+    // silently; now the _metadata.file_path key matches the listing.
+    for (_ <- 0 until 4) {
+      Seq((1L, "p", "a/b"), (2L, "q", null: String), (3L, "r", "01"))
+        .toDF("id", "v", "lang")
+        .coalesce(1).write.mode("append").partitionBy("lang").parquet(dir)
+    }
+    Bucketing.compactPartitioned(spark, dir, out, Seq("lang"))
+    def fileCount(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    for (sub <- Seq("lang=a%2Fb", "lang=__HIVE_DEFAULT_PARTITION__"))
+      assert(fileCount(s"$out/$sub") == 1, s"$sub did not collapse to one file")
+    val a = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }

@@ -390,6 +390,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ahashOf(9L, huge).isEmpty)
   }
 
+  test("bmpHash: row order matches ImageIO (bottom-up storage un-flipped); top-down BMPs too") {
+    // ImageIO honors the BMP spec's bottom-up row order, so hashing ITS
+    // pixels in logical (y,x) order must reproduce the engine's hash —
+    // this is the independent check that the un-flip is on the right axis.
+    def hashOfImage(img: java.awt.image.BufferedImage): (Long, Long) = {
+      val w = img.getWidth; val h = img.getHeight
+      val cs = new Array[Long](64); val cc = new Array[Long](64); var ts = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val k = (y * 8 / h) * 8 + x * 8 / w
+        cs(k) += lum; cc(k) += 1; ts += lum
+      }
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64)
+        if (cs(k) * w * h > ts * cc(k)) {
+          if (k < 32) hi |= 1L << (31 - k) else lo |= 1L << (63 - k)
+        }
+      (hi, lo)
+    }
+    for (id <- Seq(1L, 5L, 77L)) {
+      val bytes = Multimodal.bmpBytes(id)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      val got = Multimodal.ahashOf(id, bytes).get
+      assert((got.ahash_hi, got.ahash_lo) == hashOfImage(img), s"id=$id")
+    }
+    // negative biHeight = top-down storage: same logical image, same hash
+    val up = Multimodal.bmpBytes(21L)
+    val w = Multimodal.fixtureWidth(21L); val h = Multimodal.fixtureHeight(21L)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val down = up.clone()
+    val negH = -h
+    down(22) = negH.toByte; down(23) = (negH >> 8).toByte
+    down(24) = (negH >> 16).toByte; down(25) = (negH >> 24).toByte
+    for (r <- 0 until h)
+      System.arraycopy(up, 54 + (h - 1 - r) * stride, down, 54 + r * stride, stride)
+    val a = Multimodal.ahashOf(21L, up).get
+    val b = Multimodal.ahashOf(21L, down).get
+    assert((a.ahash_hi, a.ahash_lo) == ((b.ahash_hi, b.ahash_lo)),
+      "top-down re-encode of the same image must hash identically")
+  }
+
   test("pngGray8: real inflate + unfilter matches ImageIO on encoder-produced PNGs") {
     // same image as gray PNG and RGB BMP hashes identically (scale-invariant bits)
     for (id <- Seq(4L, 8L, 100L)) {

@@ -325,7 +325,10 @@ class PipelineOpsSpec extends SparkSpec {
         "<script>if (1 < 2) alert('x');</script>tail</body></html>"),
       (2L, "<style>a{x:1}</style>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
       (3L, "plain   text\n\nwith   gaps"),
-      (4L, "")).toDF("id", "h")
+      (4L, ""),
+      // double-escaped entities: &amp; decodes LAST, so &amp;lt; yields
+      // the literal text "&lt;" — never a "<" that reads as markup
+      (5L, "code: &amp;lt;div&amp;gt; and &amp;amp; stay escaped")).toDF("id", "h")
     val got = html.select(col("id"),
         graft.operators.TextAnalysis.stripHtml(col("h")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -334,6 +337,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L) == "A & B <tag> \"q\" 's' end", s"got '${got(2L)}'")
     assert(got(3L) == "plain text with gaps")
     assert(got(4L) == "")
+    assert(got(5L) == "code: &lt;div&gt; and &amp; stay escaped", s"got '${got(5L)}'")
     // zero shuffles: one codegen projection
     val plan = html.select(graft.operators.TextAnalysis.stripHtml(col("h")))
       .queryExecution.executedPlan.toString

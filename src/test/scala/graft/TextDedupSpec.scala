@@ -307,5 +307,20 @@ class TextDedupSpec extends SparkSpec {
     val plan = bloomed.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       s"bloom prefilter must appear in the plan:\n$plan")
+
+    // sizing clamps to the session's bloom conf maxima instead of
+    // failing analysis (a tiny cap forces a dense filter; the confirm
+    // join keeps results exact regardless)
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "256")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "16")
+    try {
+      val clamped = TextDedup.flagContaminatedBloom(train, bench, col("doc_id"), col("text"),
+          shingleSize = 2, minOverlap = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(clamped == gotE, s"clamped bloom $clamped vs exact $gotE")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+    }
   }
 }
