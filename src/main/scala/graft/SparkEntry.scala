@@ -1276,6 +1276,18 @@ object SparkEntry {
           .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
       graft.operators.Merge.snapshotDiff(orders, next, "o_orderkey")
         .groupBy("change").agg(count(lit(1)).as("n"))
+    }),
+
+    // Group-first near-dup: (id, component, is_canonical) directly —
+    // exact-set collapse to min-id reps, LSH+verify over distinct sets
+    // only, CC over paired reps only. Same output as q61 (the oracle IS
+    // q61's recursive CTE), but output and intermediate volume stay
+    // linear in duplicate multiplicity where the q22/q61 pair stream is
+    // quadratic — the contract that held ≤3x at sf1 where pairs went 25x.
+    "q99_neardup_groups" -> ((s, dir) => {
+      graft.operators.TextDedup.minhashNearDupGroups(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        threshold = 0.5, reliable = ensureCheckpointDir(s))
     })
   )
 
@@ -1290,6 +1302,42 @@ object SparkEntry {
     ("q64_pq_adc" -> q64OracleSql) +
     ("q47_ivfpq_adc" -> q47OracleSql) +
     ("q83_ivfpq_refine" -> q83OracleSql)
+
+  /** Shared by q61 (pair path + CC) and q99 (group-first path): the
+    * transitive closure of the verified near-dup graph, replayed with
+    * exhaustive candidates and a recursive CTE.
+    */
+  private val clusterClosureSql: String =
+    """-- Edge-set caveat: the engine generates candidate pairs via MinHash
+      |-- LSH (21 bands x 3 rows), the oracle via exhaustive shingle-share.
+      |-- At this corpus's planted duplicates (all true pairs have J >= 0.9)
+      |-- the LSH miss probability is ~1e-12 per pair, so the edge sets are
+      |-- identical; a corpus with pairs near the 0.5 threshold would need
+      |-- the band/row parameters raised for this compare to stay exact.
+      |WITH RECURSIVE big AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+      |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
+      |  FROM documents),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM (SELECT doc_id, unnest(bg) AS g FROM big) a
+      |  JOIN (SELECT doc_id, unnest(bg) AS g FROM big) b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      CAST(len(list_intersect(x.bg, y.bg)) AS DOUBLE) / len(list_distinct(list_concat(x.bg, y.bg))) AS jac
+      |    FROM cand JOIN big x ON x.doc_id = id_a JOIN big y ON y.doc_id = id_b)
+      |  WHERE jac >= 0.5),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+      |SELECT d.doc_id AS id,
+      |  LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS component,
+      |  LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) = d.doc_id AS is_canonical
+      |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      |GROUP BY d.doc_id""".stripMargin
 
   private def centroidValues(cb: Array[Array[Double]]): String =
     cb.zipWithIndex
@@ -2272,37 +2320,11 @@ object SparkEntry {
         |      FROM s)
         |SELECT "group", id, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
 
-    "q61_dedup_clusters" ->
-      """-- Edge-set caveat: the engine generates candidate pairs via MinHash
-        |-- LSH (21 bands x 3 rows), the oracle via exhaustive shingle-share.
-        |-- At this corpus's planted duplicates (all true pairs have J >= 0.9)
-        |-- the LSH miss probability is ~1e-12 per pair, so the edge sets are
-        |-- identical; a corpus with pairs near the 0.5 threshold would need
-        |-- the band/row parameters raised for this compare to stay exact.
-        |WITH RECURSIVE big AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
-        |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
-        |  FROM documents),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM (SELECT doc_id, unnest(bg) AS g FROM big) a
-        |  JOIN (SELECT doc_id, unnest(bg) AS g FROM big) b ON a.g = b.g AND a.doc_id < b.doc_id),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b,
-        |      CAST(len(list_intersect(x.bg, y.bg)) AS DOUBLE) / len(list_distinct(list_concat(x.bg, y.bg))) AS jac
-        |    FROM cand JOIN big x ON x.doc_id = id_a JOIN big y ON y.doc_id = id_b)
-        |  WHERE jac >= 0.5),
-        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-        |reach(u, v) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
-        |SELECT d.doc_id AS id,
-        |  LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS component,
-        |  LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) = d.doc_id AS is_canonical
-        |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-        |GROUP BY d.doc_id""".stripMargin,
+    "q61_dedup_clusters" -> clusterClosureSql,
+
+    // Same closure, group-first engine path: must agree row-for-row with
+    // the pair-based q61 — the scale contract differs, the answer doesn't.
+    "q99_neardup_groups" -> clusterClosureSql,
 
     "q62_chunk_chars" ->
       """WITH d AS (

@@ -70,15 +70,31 @@ object TextDedup {
       numHashes: Int = 63,
       bands: Int = 21,
       seed: Long = 42L): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
     // Single-pass native shingle hashing (see WordNgramHashes): the doc body
     // never becomes a shingle-string array, and Jaccard runs on long sets.
-    val shingled = df
-      .select(idCol.as("doc_id"),
-        SketchFunctions.wordNgramHashes(lower(textCol), shingleSize, distinct = true).as("sh"))
-      .withColumn("sig",
-        SketchFunctions.minhashSignature(col("sh"), numHashes, seed))
+    val shingled = df.select(idCol.as("doc_id"),
+      SketchFunctions.wordNgramHashes(lower(textCol), shingleSize, distinct = true).as("sh"))
+    lshVerifiedPairs(shingled, threshold, numHashes, bands, seed)
+  }
+
+  /** The LSH band/bucket/verify core over a pre-shingled `(doc_id, sh)`
+    * frame — shared by the pair and group operators.
+    */
+  private[graft] def lshVerifiedPairs(
+      shingled0: DataFrame,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      seed: Long): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    // Shingle-less docs can never pair (the oracle's candidates require a
+    // shared shingle; Jaccard over two empty sets is 0/0) — and all of
+    // them share the one empty-set signature, so without this filter they
+    // form the corpus's worst stop-bucket AND trip ANSI divide-by-zero in
+    // the verify.
+    val shingled = shingled0.filter(size(col("sh")) > 0).withColumn("sig",
+      SketchFunctions.minhashSignature(col("sh"), numHashes, seed))
 
     val banded = shingled.select(
       col("doc_id"),
@@ -102,6 +118,90 @@ object TextDedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Group-first near-duplicate clustering: every document straight to its
+    * `(id, component, is_canonical)` cluster assignment WITHOUT ever
+    * materializing the duplicate-pair explosion. Semantically identical to
+    * `ConnectedComponents.clusterPairs(minhashNearDupPairs(...))` — same
+    * components, same canonical (minimum) ids — but where the pair path
+    * emits k·(k−1)/2 rows for a cluster of k verbatim copies, this one's
+    * output and intermediate volume stay LINEAR in k. On a crawl corpus
+    * (duplicate multiplicity in the thousands for viral pages) that is the
+    * difference between a dedup pass and a blow-up; it is the contract an
+    * index-ingest pipeline (reference: `dataset.py:197-236` iterates docs
+    * into an index upsert, presuming deduped input) actually consumes.
+    *
+    * How the explosion is avoided (three linear stages):
+    *   1. EXACT-SET COLLAPSE — documents with identical shingle sets are
+    *      near-dups at Jaccard 1.0 by definition, so each distinct set
+    *      elects the minimum doc id as representative in one
+    *      partial-aggregated `groupBy(xxhash64(sh))` (a verbatim-duplicate
+    *      class collapses map-side; the star doc→rep edges are implicit in
+    *      the rep mapping, never materialized as pairs). The 2⁻⁶⁴ set-hash
+    *      collision odds are the same accepted-risk class as the LSH miss
+    *      probability documented on the pair oracle.
+    *   2. LSH + EXACT-JACCARD VERIFY OVER REPRESENTATIVES ONLY — the
+    *      banded bucket join ([[lshVerifiedPairs]], bucket-size guard
+    *      included) runs on one row per DISTINCT shingle set, so bucket
+    *      pair counts are quadratic only in distinct near-dup variants,
+    *      not duplicate multiplicity. Jaccard depends only on the sets,
+    *      so a rep-level edge stands for every member-level edge exactly.
+    *   3. CC OVER PAIRED REPS ONLY — min-label propagation
+    *      ([[graft.operators.ConnectedComponents]]) runs on the pair
+    *      endpoint set (not the corpus): singleton reps and their exact-dup
+    *      members re-attach with one left join + coalesce at the end.
+    *
+    * Docs with NO shingles (shorter than one n-gram window) are singletons
+    * by definition (two empty sets have undefined Jaccard — the pair path
+    * drops them the same way), so they bypass all three stages.
+    *
+    * Returns one row per input document: `(id, component, is_canonical)`
+    * with `component` the minimum doc id of the near-dup group.
+    */
+  def minhashNearDupGroups(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      threshold: Double = 0.5,
+      shingleSize: Int = 2,
+      numHashes: Int = 63,
+      bands: Int = 21,
+      seed: Long = 42L,
+      pointerHalving: Boolean = false,
+      reliable: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0,1] so exact duplicates (J=1) always group, got $threshold")
+    val shingled = df.select(idCol.as("doc_id"),
+        SketchFunctions.wordNgramHashes(lower(textCol), shingleSize, distinct = true).as("sh"))
+      .withColumn("k", xxhash64(col("sh")))
+    // 1. exact-set collapse: min doc id per distinct non-empty shingle set.
+    //    groupBy partial-aggregates, so a million-copy class shrinks
+    //    map-side; the join-back rides AQE's skew split for hot keys.
+    val reps = shingled.filter(size(col("sh")) > 0)
+      .groupBy("k").agg(min(col("doc_id")).as("rep"))
+    val docRep = shingled.join(reps, Seq("k"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep"), col("doc_id")).as("rep"), col("sh"))
+    // 2. LSH + verify over one row per distinct set
+    val repRows = docRep
+      .filter(col("doc_id") === col("rep") && size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    val pairs = lshVerifiedPairs(repRows, threshold, numHashes, bands, seed)
+    // 3. propagate min labels over the paired reps only
+    val pairIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val repComp = ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      pairIds, pointerHalving = pointerHalving, reliable = reliable)
+    // attach: doc → rep → component; unpaired reps keep themselves (the
+    // rep IS the exact-dup class minimum, so coalesce(component, rep) is
+    // the group minimum in every case)
+    docRep.select(col("doc_id"), col("rep"))
+      .join(repComp, col("rep") === col("id"), "left")
+      .select(col("doc_id").as("id"),
+        coalesce(col("component"), col("rep")).as("component"))
+      .withColumn("is_canonical", col("id") === col("component"))
   }
 
   /** SimHash of the token stream of a text column (multiset weighting). */

@@ -323,4 +323,49 @@ class TextDedupSpec extends SparkSpec {
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
     }
   }
+
+  test("minhashNearDupGroups: identical components to the pair+CC path, linear output") {
+    import spark.implicits._
+    // exact-dup class of 20 verbatim copies (the sf1 blow-up shape), a
+    // non-exact near-dup pair, a transitive chain, singletons, and
+    // shingle-less one-word docs that must NOT merge with each other
+    val copies = (100L until 120L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val rows = copies ++ Seq(
+      (10L, "spark query engines love columnar parquet scans with pushdown filters"),
+      (11L, "spark query engines love columnar parquet scans with pushdown predicates"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (22L, "alpha beta gamma delta epsilon zeta eta theta iota kappa pi rho"),
+      (30L, "a lone unrelated document about bucketed joins and shuffle exchanges"),
+      (40L, "solo"),
+      (41L, "solo"),
+      (42L, ""))
+    val df = rows.toDF("doc_id", "text")
+
+    val viaGroups = TextDedup.minhashNearDupGroups(
+        df, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val viaPairs = graft.operators.ConnectedComponents.clusterPairs(
+        TextDedup.minhashNearDupPairs(df, col("doc_id"), col("text"), threshold = 0.5),
+        df, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(viaGroups == viaPairs,
+      s"group-first diverged from pair+CC:\n$viaGroups\nvs\n$viaPairs")
+
+    // one row per doc; the 20-copy class maps to min id 100
+    assert(viaGroups.size == rows.size)
+    (100L until 120L).foreach(i => assert(viaGroups(i)._1 == 100L))
+    assert(viaGroups(100L)._2 && !viaGroups(101L)._2)
+    // shingle-less docs stay singletons even with identical text
+    assert(viaGroups(40L) == ((40L, true)) && viaGroups(41L) == ((41L, true)))
+    assert(viaGroups(42L) == ((42L, true)))
+
+    // and the pair path's output for the copy class alone is quadratic
+    // (190 rows) where the group output is 20 — the scale contract
+    val pairRows = TextDedup.minhashNearDupPairs(
+        copies.toDF("doc_id", "text"), col("doc_id"), col("text"), threshold = 0.5)
+      .count()
+    assert(pairRows == 190L, s"expected 190 pair rows, got $pairRows")
+  }
 }
