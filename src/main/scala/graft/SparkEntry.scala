@@ -47,6 +47,7 @@ object SparkEntry {
   @volatile private[graft] var q53Centroids: Option[Array[Array[Double]]] = None
   @volatile private[graft] var q75Centroids: Option[Array[Array[Double]]] = None
   @volatile private[graft] var q81Centroids: Option[Array[Array[Double]]] = None
+  @volatile private[graft] var q100Centroids: Option[Array[Array[Double]]] = None
 
   /** Centroids trained by the last q60 run (same capture pattern). */
   @volatile private[graft] var q60Centroids: Option[Array[Array[Double]]] = None
@@ -1288,6 +1289,33 @@ object SparkEntry {
       graft.operators.TextDedup.minhashNearDupGroups(
         table(s, dir, "documents"), col("doc_id"), col("text"),
         threshold = 0.5, reliable = ensureCheckpointDir(s))
+    }),
+
+    // Filter-aware IVF — the reference's filter+top_k serving semantic
+    // (cfg.py:33-34, consumed together by index.search, dataset.py:136-140)
+    // run INSIDE the index path: probed cells arrive as PartitionFilters,
+    // each query's JSON filter is interpreted in-scan by JsonFilterMatch
+    // before the cosine kernel, selection is the per-row-top_k heap.
+    // Composes q53's trained-centroid capture with q49's filter replay.
+    "q100_filtered_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val cands = emb.filter(col("vec_id") >= 10)
+        .join(table(s, dir, "documents"), col("doc_id") === col("vec_id"))
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+          to_json(struct(col("lang"), col("n_chars"))).as("metadata"))
+      val idx = graft.operators.IvfIndex.buildTrained(cands, nlist = 8, iters = 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q100-ivf-").toString
+      val disk = idx.save(s, tmp)
+      idx.unpersist()
+      q100Centroids = Some(disk.centroids)
+      val qs = emb.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .withColumn("filter",
+          when(col("qid") % 3 === 0, lit("""{"lang": {"$eq": "en"}}"""))
+            .when(col("qid") % 3 === 1, lit("""{"lang": {"$in": ["de", "fr"]}}"""))
+            .otherwise(lit("""{"n_chars": {"$gt": 300}}""")))
+        .withColumn("top_k", (col("qid") % 3 + 3).cast("int"))
+      disk.searchFiltered(qs, nprobe = 3)
     })
   )
 
@@ -1296,6 +1324,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = staticOracleSql +
     ("q23_simhash_hamming" -> q23OracleSql) +
     ("q53_ivf_trained" -> q53OracleSql) +
+    ("q100_filtered_ivf" -> q100OracleSql) +
     ("q75_disk_ivf" -> q75OracleSql) +
     ("q81_semdedup" -> q81OracleSql) +
     ("q60_neardup_auto" -> q60OracleSql) +
@@ -1378,6 +1407,44 @@ object SparkEntry {
     * CentroidOps.nearest), nprobe=3 probing, cosine scoring and top-10
     * selection independently.
     */
+  /** q100's oracle: q53's centroid-literal assignment/probing composed with
+    * q49's per-query filter replay and per-row top_k trim.
+    */
+  private def q100OracleSql: String = {
+    q100Centroids match {
+      case None => unavailableOracle
+      case Some(cb) =>
+        s"""WITH cent(cell, cvec) AS (VALUES ${centroidValues(cb)}),
+           |c AS (SELECT e.vec_id AS nid, e.embedding::DOUBLE[] AS v, doc.lang, doc.n_chars
+           |      FROM embeddings e JOIN documents doc ON doc.doc_id = e.vec_id
+           |      WHERE e.vec_id >= 10),
+           |assigned AS (
+           |  SELECT nid, v, lang, n_chars,
+           |    (SELECT cell FROM cent
+           |     ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
+           |       cell ASC LIMIT 1) AS cell
+           |  FROM c),
+           |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id < 6),
+           |probed AS (
+           |  SELECT qid, qv, cell FROM (
+           |    SELECT qid, qv, cell, ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
+           |        cell ASC) AS pr
+           |    FROM q CROSS JOIN cent) WHERE pr <= 3),
+           |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score
+           |      FROM probed JOIN assigned USING (cell)
+           |      WHERE CASE qid % 3 WHEN 0 THEN lang = 'en'
+           |                         WHEN 1 THEN lang IN ('de', 'fr')
+           |                         ELSE n_chars > 300 END),
+           |r AS (SELECT qid, nid, score,
+           |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+           |      FROM s)
+           |SELECT qid, nid, ROUND(score, 4) AS score, rnk
+           |FROM r WHERE rnk <= qid % 3 + 3""".stripMargin
+    }
+  }
+
   private def q53OracleSql: String = {
     // Captured-run centroids ONLY — no retrain fallback: k-means centroid
     // sums are FP-order (partition-order) dependent, so a retrain is not

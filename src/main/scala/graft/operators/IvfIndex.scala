@@ -64,11 +64,18 @@ object IvfIndex {
     * [[build]]. Quality difference: trained cells follow the data's
     * density, so a given recall needs fewer probes than hash binning.
     */
+  /** Columns the candidate frame may carry beyond (nid, nvec); kept in the
+    * layout when present so filter-aware searches can read them in-scan.
+    */
+  private[operators] def carried(candidates: DataFrame): Seq[org.apache.spark.sql.Column] =
+    if (candidates.columns.contains("metadata")) Seq(col("metadata")) else Nil
+
   def buildTrained(
       candidates: DataFrame,
       nlist: Int = 16,
       iters: Int = 5): TrainedIvfIndex = {
-    val base = candidates.select(col("nid"), col("nvec").cast("array<double>").as("v"))
+    val base = candidates.select(
+      col("nid") +: col("nvec").cast("array<double>").as("v") +: carried(candidates): _*)
     val centroids = KMeans.train(base, col("v"), nlist, iters)
     val cells = base
       .withColumn("cell", KMeans.assignCell(col("v"), centroids))
@@ -162,9 +169,50 @@ final class DiskIvfIndex(
     */
   def append(newCandidates: DataFrame): Unit =
     newCandidates
-      .select(col("nid"), col("nvec").cast("array<double>").as("v"))
+      .select(col("nid") +: col("nvec").cast("array<double>").as("v") +:
+        IvfIndex.carried(newCandidates): _*)
       .withColumn("cell", KMeans.assignCell(col("v"), centroids))
       .write.mode("append").partitionBy("cell").parquet(dir)
+
+  /** Filter-aware probed search — the reference's serving semantic at
+    * scale: `filter` and `top_k` are consumed TOGETHER by a search
+    * (reference `dataset.py:136-140`, `cfg.py:33-34`), so the filter must
+    * run inside the index path, not as a brute-force pre-pass. Expects
+    * `queries(qid, qvec, filter, top_k)` (filter: JSON string or null =
+    * match-all) over a layout built from candidates carrying a `metadata`
+    * JSON column.
+    *
+    * Plan shape, in order: (1) the probed cells arrive as planning-time
+    * `PartitionFilters` — non-probed `cell=` dirs are never opened;
+    * (2) [[graft.functions.JsonFilterMatch]] interprets each query's
+    * filter against the scanned rows' metadata INSIDE the probed scan —
+    * before the cosine kernel, so filtered-out candidates are never
+    * scored; (3) selection is the bounded per-row-`top_k` heap. At 100 TB
+    * this is partition pruning × predicate filtering × k-bounded shuffle —
+    * no stage sees more than the probed cells' surviving rows.
+    */
+  def searchFiltered(queries: DataFrame, nprobe: Int = 2): DataFrame = {
+    val maxK = Similarity.maxTopK(queries)
+    // collect the probed batch once (queries × nprobe rows; driver-safe),
+    // reused as both partition filter and broadcast side — same rationale
+    // as `search`
+    val probedPlan = queries
+      .select(col("qid"), col("qvec").cast("array<double>").as("qv"),
+        col("filter"), col("top_k").cast("int").as("top_k"))
+      .select(col("qid"), col("qv"), col("filter"), col("top_k"),
+        explode(KMeans.probeCells(col("qv"), centroids, nprobe)).as("cell"))
+    val probedRows = probedPlan.collect()
+    val probeSet = probedRows.map(_.getAs[Int]("cell")).distinct
+    val probed = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
+    val cells = spark.read.parquet(dir)
+      .filter(col("cell").isin(probeSet.map(Integer.valueOf): _*))
+    val scored = cells.join(broadcast(probed), "cell")
+      .filter(GraftFunctions.jsonFilterMatch(col("filter"), col("metadata")))
+      .select(col("qid"), col("top_k"), col("nid"),
+        GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
+    Similarity.heapSelectPerQuery(scored, maxK)
+  }
 }
 
 object DiskIvfIndex {

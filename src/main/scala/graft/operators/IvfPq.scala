@@ -69,7 +69,9 @@ object IvfPq {
       m: Int = 4,
       k: Int = 16,
       iters: Int = 3): DiskIvfPqIndex = {
-    val base = candidates.select(col("nid"), col("nvec").cast("array<double>").as("v"))
+    val base = candidates.select(
+      col("nid") +: col("nvec").cast("array<double>").as("v") +:
+        IvfIndex.carried(candidates): _*)
     val centroids = KMeans.train(base, col("v"), nlist, iters)
     val centLit = typedlit(centroids.map(_.toSeq).toSeq)
     val assigned = base
@@ -79,8 +81,10 @@ object IvfPq {
       .persist()
     try {
       val pq = ProductQuantization.train(assigned, col("resid"), dim, m, k, iters)
-      val encoded = assigned.select(col("nid"), col("v"),
-        ProductQuantization.encode(col("resid"), pq).as("codes"), col("cell"))
+      val encoded = assigned.select(
+        col("nid") +: col("v") +:
+          ProductQuantization.encode(col("resid"), pq).as("codes") +:
+          IvfIndex.carried(assigned) :+ col("cell"): _*)
       Bucketing.writePartitioned(encoded, dir, Seq("cell"))
       DiskIvfPqIndex.writeCodebooks(spark, dir, Codebooks(centroids, pq))
       new DiskIvfPqIndex(spark, dir, Codebooks(centroids, pq))
@@ -171,14 +175,50 @@ final class DiskIvfPqIndex(
     */
   def append(newCandidates: DataFrame): Unit = {
     val centLit = typedlit(codebooks.centroids.map(_.toSeq).toSeq)
-    newCandidates
-      .select(col("nid"), col("nvec").cast("array<double>").as("v"))
+    val base = newCandidates.select(
+      col("nid") +: col("nvec").cast("array<double>").as("v") +:
+        IvfIndex.carried(newCandidates): _*)
+    base
       .withColumn("cell", KMeans.assignCell(col("v"), codebooks.centroids))
       .withColumn("resid",
         zip_with(col("v"), element_at(centLit, col("cell") + 1), (a, b) => a - b))
-      .select(col("nid"), col("v"),
-        ProductQuantization.encode(col("resid"), codebooks.pq).as("codes"), col("cell"))
+      .select(col("nid") +: col("v") +:
+        ProductQuantization.encode(col("resid"), codebooks.pq).as("codes") +:
+        IvfIndex.carried(base) :+ col("cell"): _*)
       .write.mode("append").partitionBy("cell").parquet(dir)
+  }
+
+  /** Filter-aware ADC search ([[DiskIvfIndex.searchFiltered]]'s contract
+    * over the PQ layout): partition pruning on probed cells, then each
+    * query's JSON filter interpreted against the rows' `metadata` inside
+    * the probed scan, then ADC scoring of the SURVIVORS only — the scan
+    * still projects `(nid, codes, metadata, cell)`, so the raw-vector
+    * column stays out of the ReadSchema exactly as in [[search]].
+    * Expects `queries(qid, qvec, filter, top_k)` over a layout built from
+    * candidates carrying a `metadata` JSON column.
+    */
+  def searchFiltered(queries: DataFrame, nprobe: Int = 2): DataFrame = {
+    val maxK = Similarity.maxTopK(queries)
+    val probedPlan = queries
+      .select(col("qid"), col("qvec").cast("array<double>").as("qv"),
+        col("filter"), col("top_k").cast("int").as("top_k"))
+      .select(col("qid"), col("qv"), col("filter"), col("top_k"),
+        explode(KMeans.probeCells(col("qv"), codebooks.centroids, nprobe)).as("cell"))
+    val probedRows = probedPlan.collect()
+    val probeSet = probedRows.map(_.getAs[Int]("cell")).distinct
+    val probed = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
+    val centLit = typedlit(codebooks.centroids.map(_.toSeq).toSeq)
+    val cells = spark.read.parquet(dir)
+      .filter(col("cell").isin(probeSet.map(Integer.valueOf): _*))
+      .select(col("nid"), col("codes"), col("metadata"), col("cell"))
+    val scored = cells.join(broadcast(probed), "cell")
+      .filter(GraftFunctions.jsonFilterMatch(col("filter"), col("metadata")))
+      .select(col("qid"), col("top_k"), col("nid"),
+        (GraftFunctions.vecDot(col("qv"), element_at(centLit, col("cell") + 1)) +
+          GraftFunctions.vecDot(col("qv"),
+            ProductQuantization.decode(col("codes"), codebooks.pq))).as("score_raw"))
+    Similarity.heapSelectPerQuery(scored, maxK)
   }
 }
 

@@ -59,7 +59,7 @@ object Similarity {
     * query side, fetched on the driver to size the heap. Query batches are
     * driver-broadcast-sized by construction, so this job is trivial.
     */
-  private def maxTopK(queries: DataFrame): Int = {
+  private[operators] def maxTopK(queries: DataFrame): Int = {
     val k = queries.agg(max(col("top_k"))).head().getAs[Number](0)
     require(k != null && k.intValue() > 0, "top_k must be a positive integer")
     k.intValue()

@@ -165,4 +165,42 @@ class IvfPqSpec extends SparkSpec {
     val rs = "ReadSchema: struct<[^>]*>".r.findFirstIn(adcPlan)
     assert(rs.isDefined && !rs.get.contains("v:"), s"$rs")
   }
+
+  test("ivf-pq filtered: JSON filter in-scan before ADC scoring, raw vectors still unread") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-filt").toString
+    val meta = cands.withColumn("metadata",
+      to_json(struct((col("nid") % 3).cast("int").as("grp"))))
+    val idx = IvfPq.buildTrained(spark, meta, tmp, dim = 64,
+      nlist = 8, m = 4, k = 16, iters = 2)
+    val qs = queries
+      .withColumn("filter", lit("""{"grp": {"$in": [0, 2]}}"""))
+      .withColumn("top_k", lit(4))
+    val df = idx.searchFiltered(qs, nprobe = 8) // full probe: exact over survivors
+
+    // value check: full-probe filtered ADC = scalar replay restricted to
+    // the filter's surviving candidates (grp != 1)
+    val cRows = cands.select(col("nid"), col("nvec").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .filter { case (nid, _) => nid % 3 != 1 }
+    val qRows = queries.select(col("qid"), col("qvec").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val expected = scalarReplay(idx.codebooks, cRows, qRows, nprobe = 8, k = 4)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expected)
+    assert(got.forall { case (_, nid, _, _) => nid % 3 != 1 },
+      "a filtered-out candidate leaked into the results")
+
+    // plan: filter interpreted in-scan, partitions pruned, raw vectors
+    // STILL excluded from the ReadSchema (metadata rides instead)
+    val narrowed = idx.searchFiltered(qs, nprobe = 3)
+    val plan = narrowed.queryExecution.executedPlan.toString
+    assert(plan.contains("json_filter_match"), s"filter not in-scan:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan)
+    // whole line (the struct<...> shorthand truncates at array<int>'s '>')
+    val rsF = "ReadSchema: [^\n]*".r.findFirstIn(plan)
+    assert(rsF.isDefined && !rsF.get.contains("v:"),
+      s"filtered ADC search must not read raw vectors: $rsF")
+    assert(rsF.get.contains("metadata"), s"metadata must be scanned: $rsF")
+  }
 }

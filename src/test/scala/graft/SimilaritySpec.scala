@@ -81,4 +81,44 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq)
     }
   }
+
+  test("disk IVF filtered search: filter runs in-scan between prune and scoring; full-probe equals brute force") {
+    val meta = cands.withColumn("metadata",
+      to_json(struct((col("nid") % 3).cast("int").as("grp"), (col("nid") * 7).as("sz"))))
+    val idx = graft.operators.IvfIndex.buildTrained(meta, nlist = 4, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fivf").toString
+    val disk = idx.save(spark, tmp)
+    idx.unpersist()
+    val qs = queries
+      .withColumn("filter",
+        when(col("qid") % 2 === 0, lit("""{"grp": {"$eq": 1}}"""))
+          .otherwise(lit("""{"sz": {"$gt": 100}}""")))
+      .withColumn("top_k", (col("qid") % 2 + 3).cast("int"))
+
+    // full probe (nprobe = nlist) = exact filtered search: must equal the
+    // brute-force filtered operator row for row
+    val full = disk.searchFiltered(qs, nprobe = 4)
+    val brute = Similarity.filteredTopKPerQuery(qs, meta)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(full) == rows(brute), "full-probe filtered IVF must equal brute force")
+
+    // plan: probed cells as PartitionFilters, the JSON filter interpreted
+    // in-scan BEFORE the cosine kernel (json_filter_match in a Filter node,
+    // no Window anywhere)
+    val narrowed = disk.searchFiltered(qs, nprobe = 2)
+    val plan = narrowed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"probed cells did not reach the scan as PartitionFilters:\n$plan")
+    assert(plan.contains("json_filter_match"),
+      s"per-query filter must be interpreted in the scan stage:\n$plan")
+    assert(!plan.contains("Window"), s"Window survives in plan:\n$plan")
+
+    // narrowed probes: every hit is a real (filter-surviving) pair
+    val sub = rows(narrowed).map(t => (t._1, t._2)).toSet
+    assert(sub.nonEmpty)
+    val bruteAll = rows(Similarity.filteredTopKPerQuery(
+      qs.withColumn("top_k", lit(1000)), meta)).map(t => (t._1, t._2))
+    assert(sub.subsetOf(bruteAll), "narrowed probe returned a filtered-out candidate")
+  }
 }
