@@ -1213,12 +1213,16 @@ object SparkEntry {
     // bit-for-bit match.
     "q95_image_phash" -> ((s, dir) => {
       // %4==0 → PNG (real zlib inflate + unfilter), %4==1 → BMP pixel
-      // array; both fixture families share the pixel formula, and the
-      // hash is scale-invariant, so one oracle covers both decoders.
+      // array, %4==3 → baseline JPEG (real huffman entropy decode + IDCT;
+      // constant 8×8 blocks make the lossy format's decode exact and
+      // SQL-replayable). The hash is scale-invariant, so one oracle
+      // covers all three decoders.
       import graft.multimodal.Multimodal
+      val docs = table(s, dir, "documents")
       Multimodal.averageHash(
-        Multimodal.syntheticMedia(
-          table(s, dir, "documents").filter(col("doc_id") % 4 <= 1), "doc_id"))
+        Multimodal.syntheticMedia(docs.filter(col("doc_id") % 4 <= 1), "doc_id")
+          .union(Multimodal.syntheticJpegMedia(
+            docs.filter(col("doc_id") % 4 === 3), "doc_id")))
         .toDF()
     }),
 
@@ -1228,9 +1232,11 @@ object SparkEntry {
     // self-join).
     "q96_image_neardup" -> ((s, dir) => {
       import graft.multimodal.Multimodal
+      val docs = table(s, dir, "documents")
       Multimodal.imageNearDupPairs(
-        Multimodal.syntheticMedia(
-          table(s, dir, "documents").filter(col("doc_id") % 4 <= 1), "doc_id"),
+        Multimodal.syntheticMedia(docs.filter(col("doc_id") % 4 <= 1), "doc_id")
+          .union(Multimodal.syntheticJpegMedia(
+            docs.filter(col("doc_id") % 4 === 3), "doc_id")),
         maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
     }),
@@ -1930,18 +1936,24 @@ object SparkEntry {
         |  FROM clean)
         |SELECT lang, doc_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
 
-    // Pixel replay: lum = 3·((doc_id + r·w + c) mod 256) (equal RGB
-    // channels), cell k = (r·8/h)·8 + c·8/w, bit k iff
-    // cellSum·w·h > totalSum·cellCnt (exact integer compare — no FP),
-    // halves packed MSB-first per 32-cell block exactly as the engine.
+    // Pixel replay: PNG/BMP rows carry lum = 3·((doc_id + r·w + c) mod
+    // 256) (equal RGB channels); JPEG rows (doc_id%4=3) carry the
+    // constant-block formula lum = (doc_id + (r÷8)·ceil(w/8) + c÷8) mod
+    // 256 (single gray channel — the hash's cross-multiplied compare is
+    // scale-invariant, so 1× vs 3× luminance is immaterial). Cell
+    // k = (r·8/h)·8 + c·8/w, bit k iff cellSum·w·h > totalSum·cellCnt
+    // (exact integer compare — no FP), halves packed MSB-first per
+    // 32-cell block exactly as the engine.
     "q95_image_phash" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(16 + doc_id % 317 AS BIGINT) AS w,
         |         CAST(16 + (doc_id * 7) % 97 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 4 <= 1),
+        |  FROM documents WHERE doc_id % 4 <= 1 OR doc_id % 4 = 3),
         |px AS (
         |  SELECT d.doc_id, d.w, d.h, t1.r, t2.c,
-        |    3 * ((d.doc_id + t1.r * d.w + t2.c) % 256) AS lum
+        |    CASE WHEN d.doc_id % 4 = 3
+        |         THEN (d.doc_id + (t1.r // 8) * ((d.w + 7) // 8) + (t2.c // 8)) % 256
+        |         ELSE 3 * ((d.doc_id + t1.r * d.w + t2.c) % 256) END AS lum
         |  FROM d,
         |    LATERAL (SELECT unnest(range(0, d.h)) AS r) t1,
         |    LATERAL (SELECT unnest(range(0, d.w)) AS c) t2),
@@ -1965,10 +1977,12 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, CAST(16 + doc_id % 317 AS BIGINT) AS w,
         |         CAST(16 + (doc_id * 7) % 97 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 4 <= 1),
+        |  FROM documents WHERE doc_id % 4 <= 1 OR doc_id % 4 = 3),
         |px AS (
         |  SELECT d.doc_id, d.w, d.h, t1.r, t2.c,
-        |    3 * ((d.doc_id + t1.r * d.w + t2.c) % 256) AS lum
+        |    CASE WHEN d.doc_id % 4 = 3
+        |         THEN (d.doc_id + (t1.r // 8) * ((d.w + 7) // 8) + (t2.c // 8)) % 256
+        |         ELSE 3 * ((d.doc_id + t1.r * d.w + t2.c) % 256) END AS lum
         |  FROM d,
         |    LATERAL (SELECT unnest(range(0, d.h)) AS r) t1,
         |    LATERAL (SELECT unnest(range(0, d.w)) AS c) t2),

@@ -358,6 +358,10 @@ object Multimodal {
       gifGray(b).map { case (w, h, px) =>
         hashGrid(id, w, h, (r, c) => px(r * w + c))
       }
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      jpegGray(b).map { case (w, h, px) =>
+        hashGrid(id, w, h, (r, c) => px(r * w + c))
+      }
     else pngGray8(b).map { case (w, h, px) =>
       hashGrid(id, w, h, (r, c) => px(r * w + c) & 0xff)
     }
@@ -713,6 +717,321 @@ object Multimodal {
     Some((w, h, px))
   }
 
+  // ------------------------------------------------------------- JPEG
+  // Baseline sequential DCT decoder (ITU-T T.81): marker walk → DQT/DHT/
+  // SOF0/DRI/SOS → huffman entropy decode → dequant → float IDCT → luma
+  // plane. General: reads whatever quant/huffman tables the file carries
+  // (no baked-in spec tables), interleaved multi-component scans with
+  // sampling factors, 0xFF00 byte stuffing, restart markers. Chroma
+  // blocks are entropy-decoded (the bitstream position demands it) but
+  // never IDCT'd — only the luma plane feeds the perceptual hash.
+  // Progressive (SOF2) and non-8-bit frames return None; so does any
+  // malformed stream (never throws).
+
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cos((2x+1)·u·π/16) and the 1/√2 DC factors, shared by every block.
+  // For a DC-only block the IDCT reduces to DC/8 + 128 EXACTLY (cos(0)=1,
+  // the /8 is a power of two), which is what makes the constant-block
+  // fixture SQL-replayable bit-for-bit.
+  private lazy val JpegCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private lazy val JpegC: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Decode a baseline JPEG to its luma plane at full resolution:
+    * `(width, height, pixels)`, row-major, values 0..255. `None` for
+    * progressive/12-bit/malformed streams — never throws.
+    */
+  private[graft] def jpegGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    try jpegGrayParse(b)
+    catch { case _: Exception => None } // malformed entropy data / truncation
+  }
+
+  private final class JpegHuff(bits: Array[Int], val vals: Array[Int]) {
+    // canonical-code decode tables (T.81 F.2.2.3): min/max code per length
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  private def jpegGrayParse(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val quant = Array.ofDim[Int](4, 64)
+    val huffs = Array.ofDim[JpegHuff](2, 4)
+    var w = 0; var h = 0; var nComp = 0
+    val compId = new Array[Int](4); val compH = new Array[Int](4)
+    val compV = new Array[Int](4); val compQ = new Array[Int](4)
+    var restartInterval = 0
+    var off = 2
+
+    // ---- marker walk up to (and including) the SOS header
+    var scanComps: Array[(Int, Int, Int)] = null // (sofIdx, dcTable, acTable)
+    while (scanComps == null) {
+      if (off + 4 > b.length) return None
+      if ((b(off) & 0xff) != 0xff) return None
+      while (off + 4 <= b.length && (b(off + 1) & 0xff) == 0xff) off += 1 // fill bytes
+      val marker = b(off + 1) & 0xff
+      off += 2
+      if (marker == 0xd9) return None // EOI before SOS
+      else if (marker >= 0xd0 && marker <= 0xd7) () // stray RST: no payload
+      else {
+        if (off + 2 > b.length) return None
+        val len = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+        if (len < 2 || off + len > b.length) return None
+        val end = off + len
+        var p = off + 2
+        marker match {
+          case 0xdb => // DQT: one or more tables
+            while (p < end) {
+              val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
+              if (tq > 3) return None
+              p += 1
+              var i = 0
+              while (i < 64) {
+                val v =
+                  if (pq == 0) { val x = b(p) & 0xff; p += 1; x }
+                  else { val x = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff); p += 2; x }
+                quant(tq)(JpegZigzag(i)) = v
+                i += 1
+              }
+            }
+          case 0xc4 => // DHT: one or more tables
+            while (p < end) {
+              val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              p += 1
+              val bits = new Array[Int](16)
+              var total = 0
+              var i = 0
+              while (i < 16) { bits(i) = b(p + i) & 0xff; total += bits(i); i += 1 }
+              p += 16
+              if (total > 256 || p + total > end) return None
+              val vals = new Array[Int](total)
+              i = 0
+              while (i < total) { vals(i) = b(p + i) & 0xff; i += 1 }
+              p += total
+              huffs(tc)(th) = new JpegHuff(bits, vals)
+            }
+          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+            if ((b(p) & 0xff) != 8) return None // 8-bit only
+            h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+            w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
+            nComp = b(p + 5) & 0xff
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+            if (nComp < 1 || nComp > 4) return None
+            p += 6
+            var c = 0
+            while (c < nComp) {
+              compId(c) = b(p) & 0xff
+              compH(c) = (b(p + 1) & 0xff) >> 4; compV(c) = b(p + 1) & 0x0f
+              compQ(c) = b(p + 2) & 0xff
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4 ||
+                compQ(c) > 3) return None
+              p += 3
+              c += 1
+            }
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // progressive/lossless/arithmetic frames
+          case 0xdd => // DRI
+            restartInterval = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+          case 0xda => // SOS
+            if (nComp == 0) return None
+            val ns = b(p) & 0xff
+            p += 1
+            if (ns < 1 || ns > 4) return None
+            val sc = new Array[(Int, Int, Int)](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = b(p) & 0xff
+              val idx = (0 until nComp).find(compId(_) == cid).getOrElse(return None)
+              sc(i) = (idx, (b(p + 1) & 0xff) >> 4, b(p + 1) & 0x0f)
+              p += 2
+              i += 1
+            }
+            scanComps = sc
+          case _ => () // APPn / COM / DNL / unknown: skip by length
+        }
+        if (scanComps == null) off = end
+        else off = off + len // entropy data starts here
+      }
+    }
+
+    // ---- entropy-coded data
+    val hmax = (0 until nComp).map(compH).max
+    val vmax = (0 until nComp).map(compV).max
+    // the hash wants the luma plane at image resolution: the first SOF
+    // component must be the max-sampled one (true for every real encoder)
+    if (compH(0) != hmax || compV(0) != vmax) return None
+
+    var pos = off
+    var bitBuf = 0; var bitCnt = 0
+    def readBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= b.length) throw new IllegalStateException("jpeg: eof in scan")
+        var by = b(pos) & 0xff; pos += 1
+        if (by == 0xff) {
+          val nb = if (pos < b.length) b(pos) & 0xff else -1
+          if (nb == 0x00) pos += 1
+          else throw new IllegalStateException("jpeg: marker in scan")
+        }
+        bitBuf = by; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeHuff(t: JpegHuff): Int = {
+      if (t == null) throw new IllegalStateException("jpeg: missing huff table")
+      var code = readBit(); var l = 1
+      while (code > t.maxCode(l)) {
+        code = (code << 1) | readBit(); l += 1
+        if (l > 16) throw new IllegalStateException("jpeg: bad huff code")
+      }
+      t.vals(t.valPtr(l) + code - t.minCode(l))
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    val px = new Array[Int](w * h)
+    val coef = new Array[Int](64)
+    val dcPred = new Array[Int](4)
+
+    def decodeBlock(ci: Int, dcT: Int, acT: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val qt = quant(compQ(ci))
+      val s = decodeHuff(huffs(0)(dcT))
+      if (s > 15) throw new IllegalStateException("jpeg: bad DC category")
+      dcPred(ci) += extend(receive(s), s)
+      coef(0) = dcPred(ci) * qt(0)
+      var k = 1
+      while (k < 64) {
+        val rs = decodeHuff(huffs(1)(acT))
+        val run = rs >> 4; val sz = rs & 15
+        if (sz == 0) {
+          if (run == 15) k += 16 else k = 64 // ZRL / EOB
+        } else {
+          k += run
+          if (k > 63) throw new IllegalStateException("jpeg: AC index overflow")
+          coef(JpegZigzag(k)) = extend(receive(sz), sz) * qt(JpegZigzag(k))
+          k += 1
+        }
+      }
+    }
+    // place an IDCT'd luma block whose top-left pixel is (py, px0)
+    def idctInto(py: Int, px0: Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        val ry = py + y
+        if (ry < h) {
+          var x = 0
+          while (x < 8) {
+            val rx = px0 + x
+            if (rx < w) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val f = coef(v * 8 + u)
+                  if (f != 0)
+                    sum += JpegC(u) * JpegC(v) * f * JpegCos(x)(u) * JpegCos(y)(v)
+                  u += 1
+                }
+                v += 1
+              }
+              val p = math.round(sum / 4.0).toInt + 128
+              px(ry * w + rx) = if (p < 0) 0 else if (p > 255) 255 else p
+            }
+            x += 1
+          }
+        }
+        y += 1
+      }
+    }
+    def restartAt(mcu: Int): Unit =
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bitCnt = 0 // byte-align
+        if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff ||
+          (b(pos + 1) & 0xff) < 0xd0 || (b(pos + 1) & 0xff) > 0xd7)
+          throw new IllegalStateException("jpeg: expected restart marker")
+        pos += 2
+        java.util.Arrays.fill(dcPred, 0)
+      }
+
+    if (scanComps.length > 1) {
+      // interleaved scan: MCU = one v×h block grid per component
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      var mcu = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          restartAt(mcu)
+          var i = 0
+          while (i < scanComps.length) {
+            val (ci, dcT, acT) = scanComps(i)
+            var bv = 0
+            while (bv < compV(ci)) {
+              var bh = 0
+              while (bh < compH(ci)) {
+                decodeBlock(ci, dcT, acT)
+                if (ci == 0)
+                  idctInto((my * vmax + bv) * 8, (mx * hmax + bh) * 8)
+                bh += 1
+              }
+              bv += 1
+            }
+            i += 1
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved scan: data units walk the component's own grid
+      val (ci, dcT, acT) = scanComps(0)
+      val cw = (w * compH(ci) + hmax - 1) / hmax
+      val ch = (h * compV(ci) + vmax - 1) / vmax
+      val bx = (cw + 7) / 8; val by = (ch + 7) / 8
+      var mcu = 0
+      var yB = 0
+      while (yB < by) {
+        var xB = 0
+        while (xB < bx) {
+          restartAt(mcu)
+          decodeBlock(ci, dcT, acT)
+          if (ci == 0) idctInto(yB * 8, xB * 8)
+          mcu += 1
+          xB += 1
+        }
+        yB += 1
+      }
+    }
+    Some((w, h, px))
+  }
+
   /** Frame-sampling stage: one row per sampled frame index, `stride`
     * apart — images contribute their single frame, audio contributes every
     * stride-th PCM frame. The row-explosion shape of real frame extraction.
@@ -985,6 +1304,79 @@ object Multimodal {
     b
   }
 
+  /** A valid baseline-sequential grayscale JPEG whose every 8×8 block is a
+    * CONSTANT: block (br,bc) holds `(id + br·wb + bc) mod 256` where
+    * `wb = ceil(w/8)`. A constant block's DCT has exactly one nonzero
+    * coefficient (DC = 8·(v−128)), and with an all-ones quant table the
+    * decode round-trips EXACTLY (IDCT of a DC-only block is DC/8 + 128 —
+    * a power-of-two division, float-exact), so the decoded pixels are a
+    * pure formula a SQL oracle can replay bit-for-bit while the engine
+    * runs its full general decoder (real huffman tables in DHT, real
+    * entropy coding with 0xFF00 stuffing) over real bytes. Custom minimal
+    * huffman tables (12 DC categories at 4/5 bits; a 1-bit AC EOB) keep
+    * the encoder small; any spec-conformant decoder — ImageIO included —
+    * reads them from the DHT segment like any other tables.
+    */
+  def jpegBytes(id: Long): Array[Byte] = {
+    val w = fixtureWidth(id); val h = fixtureHeight(id)
+    val wb = (w + 7) / 8; val hb = (h + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(67); u8(0x00) // DQT table 0, 8-bit, all ones
+    (0 until 64).foreach(_ => u8(1))
+    marker(0xc0); u16(11) // SOF0: 8-bit, h, w, 1 component, 1x1, quant 0
+    u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+    marker(0xc4); u16(2 + 1 + 16 + 12); u8(0x00) // DHT DC 0
+    val dcBits = Array(0, 0, 0, 11, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(u8); (0 to 11).foreach(u8)
+    marker(0xc4); u16(2 + 1 + 16 + 1); u8(0x10) // DHT AC 0: one 1-bit EOB
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(u8); u8(0x00)
+    marker(0xda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0) // SOS
+    var bitBuf = 0; var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = ((bitBuf << 1) | ((v >> i) & 1)) & 0xff; nBits += 1
+        if (nBits == 8) {
+          u8(bitBuf)
+          if (bitBuf == 0xff) u8(0x00) // byte stuffing
+          bitBuf = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def category(v: Int): Int = {
+      var a = math.abs(v); var s = 0
+      while (a != 0) { a >>= 1; s += 1 }
+      s
+    }
+    var pred = 0
+    var br = 0
+    while (br < hb) {
+      var bc = 0
+      while (bc < wb) {
+        val v = ((id + br.toLong * wb + bc) % 256).toInt
+        val dc = (v - 128) * 8
+        val diff = dc - pred; pred = dc
+        val s = category(diff)
+        // canonical DC codes: cats 0-10 = their own value at 4 bits,
+        // cat 11 = 10110 at 5 bits
+        if (s <= 10) putBits(s, 4) else putBits(0x16, 5)
+        if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        putBits(0, 1) // AC: EOB
+        bc += 1
+      }
+      br += 1
+    }
+    if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits) // pad with 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Container for media `id`: ids cycle png / bmp / wav / mp4 by `id % 4`. */
   def fixturePayload(id: Long): Array[Byte] = (id % 4) match {
     case 0 => pngBytes(id)
@@ -1001,5 +1393,14 @@ object Multimodal {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, fixturePayload(id))))
+  }
+
+  /** Same distributed fixture source, but every id gets a [[jpegBytes]]
+    * payload — the JPEG arm of the image-hash queries (q95/q96).
+    */
+  def syntheticJpegMedia(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, jpegBytes(id))))
   }
 }

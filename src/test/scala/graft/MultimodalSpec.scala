@@ -390,6 +390,99 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.ahashOf(9L, huge).isEmpty)
   }
 
+  test("jpegGray: fixture round-trips bit-exactly; ImageIO agrees both directions") {
+    // 1. our encoder → our decoder: constant 8×8 blocks decode EXACTLY to
+    // the formula (DC-only blocks round-trip with all-ones quant)
+    for (id <- Seq(3L, 7L, 111L, 499L)) {
+      val w = Multimodal.fixtureWidth(id); val h = Multimodal.fixtureHeight(id)
+      val wb = (w + 7) / 8
+      val got = Multimodal.jpegGray(Multimodal.jpegBytes(id))
+      assert(got.isDefined, s"id=$id failed to decode")
+      val (gw, gh, px) = got.get
+      assert(gw == w && gh == h)
+      for (r <- 0 until h; c <- 0 until w) {
+        val want = ((id + (r / 8).toLong * wb + (c / 8)) % 256).toInt
+        assert(px(r * w + c) == want, s"id=$id pixel ($r,$c): ${px(r * w + c)} != $want")
+      }
+    }
+    // 2. our encoder → ImageIO: the fixture is a real JPEG any decoder
+    // reads; DC-only blocks are exact there too
+    for (id <- Seq(3L, 111L)) {
+      val img = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(Multimodal.jpegBytes(id)))
+      assert(img != null, s"ImageIO rejected generated JPEG id=$id")
+      val w = Multimodal.fixtureWidth(id); val h = Multimodal.fixtureHeight(id)
+      assert(img.getWidth == w && img.getHeight == h)
+      val wb = (w + 7) / 8
+      // raster samples, NOT getRGB: getRGB on a gray image applies the
+      // linear-gray → sRGB color transform and distorts the values
+      for (r <- 0 until h by 3; c <- 0 until w by 3) {
+        val want = ((id + (r / 8).toLong * wb + (c / 8)) % 256).toInt
+        val gotPx = img.getRaster.getSample(c, r, 0)
+        assert(gotPx == want, s"id=$id ImageIO pixel ($r,$c): $gotPx != $want")
+      }
+    }
+    // 3. ImageIO encoder → our decoder: general-path check on REAL lossy
+    // grayscale JPEGs (standard tables, real quant, full AC runs). Pixel
+    // agreement within ±1 (IDCT precision differs between libjpeg-style
+    // integer IDCT and the float reference IDCT).
+    val rnd = new scala.util.Random(19)
+    for (_ <- 0 until 4) {
+      val w = 17 + rnd.nextInt(80); val h = 9 + rnd.nextInt(50)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      val bytes = bos.toByteArray
+      val dec = Multimodal.jpegGray(bytes)
+      assert(dec.isDefined, "failed to decode an ImageIO-encoded JPEG")
+      val (gw, gh, px) = dec.get
+      assert(gw == w && gh == h)
+      val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxDiff = math.max(maxDiff,
+          math.abs(px(y * w + x) - ref.getRaster.getSample(x, y, 0)))
+      assert(maxDiff <= 1, s"decoder diverges from ImageIO by $maxDiff")
+    }
+    // 4. color (3-component YCbCr, possibly subsampled): luma plane decodes
+    // at full resolution; with R=G=B input, Y ≈ the gray value (±2 from
+    // the color-convert rounding on top of IDCT precision)
+    val wC = 41; val hC = 23
+    val cImg = new java.awt.image.BufferedImage(
+      wC, hC, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until hC; x <- 0 until wC) {
+      val v = (x * 5 + y * 11) % 256
+      cImg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val cBos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(cImg, "jpg", cBos))
+    val cDec = Multimodal.jpegGray(cBos.toByteArray)
+    assert(cDec.isDefined, "failed to decode a color JPEG's luma plane")
+    val (cw, ch, cPx) = cDec.get
+    assert(cw == wC && ch == hC)
+    val cRef = javax.imageio.ImageIO.read(new ByteArrayInputStream(cBos.toByteArray))
+    var cMax = 0
+    for (y <- 0 until hC; x <- 0 until wC)
+      cMax = math.max(cMax, math.abs(cPx(y * wC + x) - (cRef.getRGB(x, y) & 0xff)))
+    assert(cMax <= 2, s"luma plane diverges from ImageIO's gray by $cMax")
+
+    // 5. ahashOf routes JPEG payloads through the decoder
+    val hash = Multimodal.ahashOf(3L, Multimodal.jpegBytes(3L))
+    assert(hash.isDefined && hash.get.ahash_hi >= 0 && hash.get.ahash_lo >= 0)
+    // truncations / corruption never throw
+    val seed = Multimodal.jpegBytes(7L)
+    (0 until 10).foreach(t => Multimodal.jpegGray(seed.take(seed.length * t / 10)))
+    (0 until 200).foreach { _ =>
+      val m = seed.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Multimodal.jpegGray(m)
+      Multimodal.ahashOf(7L, m)
+    }
+  }
+
   test("bmpHash: row order matches ImageIO (bottom-up storage un-flipped); top-down BMPs too") {
     // ImageIO honors the BMP spec's bottom-up row order, so hashing ITS
     // pixels in logical (y,x) order must reproduce the engine's hash —
