@@ -769,15 +769,17 @@ object SparkEntry {
         .toDF()
     }),
 
-    // Frame-sampling stage: decode → one row per sampled frame (stride 25)
-    // — images contribute frame 0, WAVs every 25th real PCM frame. The
-    // row-explosion shape of real frame extraction.
+    // Frame-sampling stage with REAL sample-table coordinates: one row per
+    // sampled frame (stride 25); MP4 frame times walk the fixture's
+    // TWO-run stts (delta 1 then delta 2 — index·delta arithmetic gets
+    // every second-half timestamp wrong) and sizes read per-sample stsz
+    // entries; WAVs tick the PCM clock; images contribute frame 0.
     "q58_media_frames" -> ((s, dir) => {
       import graft.multimodal.Multimodal
-      Multimodal.sampleFrames(
-        Multimodal.decode(
-          Multimodal.syntheticMedia(table(s, dir, "documents"), "doc_id")),
+      Multimodal.sampleFramesWithTables(
+        Multimodal.syntheticMedia(table(s, dir, "documents"), "doc_id"),
         stride = 25)
+        .toDF()
     }),
 
     // Audio feature extraction over REAL bytes: walk to the WAV data
@@ -2847,7 +2849,7 @@ object SparkEntry {
         |       WHEN 0 THEN 68 + h * (w + 1)
         |       WHEN 1 THEN 54 + ((w * 3 + 3) // 4) * 4 * h
         |       WHEN 2 THEN 44 + 2 * ns
-        |       ELSE 324 END AS BIGINT) AS n_bytes,
+        |       ELSE 352 + 4 * ns END AS BIGINT) AS n_bytes,
         |  CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE w END AS INT) AS width,
         |  CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE h END AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 4 IN (2, 3) THEN ns ELSE 1 END AS INT) AS n_frames,
@@ -2855,16 +2857,28 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS INT) AS channels
         |FROM d""".stripMargin,
 
+    // MP4 frame_time replays the two-run stts (r1 = ceil(ns/2) samples at
+    // delta 1, the rest delta 2) and frame_bytes the per-sample stsz
+    // formula 100 + i mod 7 — the engine reads both from real table bytes.
     "q58_media_frames" ->
       """WITH d AS (
         |  SELECT doc_id AS media_id,
         |    CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 16 + doc_id % 317 END AS INT) AS width,
         |    CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 16 + (doc_id * 7) % 97 END AS INT) AS height,
-        |    CASE WHEN doc_id % 4 IN (2, 3) THEN 64 + doc_id % 937 ELSE 1 END AS n_frames
-        |  FROM documents)
-        |SELECT media_id, CAST(unnest(range(0, n_frames, 25)) AS INT) AS frame_idx,
-        |  width, height
-        |FROM d""".stripMargin,
+        |    CASE WHEN doc_id % 4 IN (2, 3) THEN 64 + doc_id % 937 ELSE 1 END AS n_frames,
+        |    (64 + doc_id % 937 + 1) // 2 AS r1
+        |  FROM documents),
+        |f AS (SELECT media_id, CAST(unnest(range(0, n_frames, 25)) AS INT) AS frame_idx,
+        |        width, height, r1, media_id % 4 AS fam
+        |      FROM d)
+        |SELECT media_id, frame_idx, width, height,
+        |  CAST(CASE WHEN fam = 3 THEN
+        |         CASE WHEN frame_idx < r1 THEN frame_idx
+        |              ELSE r1 + (frame_idx - r1) * 2 END
+        |       WHEN fam = 2 THEN frame_idx ELSE 0 END AS BIGINT) AS frame_time,
+        |  CAST(CASE WHEN fam = 3 THEN 100 + frame_idx % 7
+        |       WHEN fam = 2 THEN 2 ELSE 0 END AS BIGINT) AS frame_bytes
+        |FROM f""".stripMargin,
 
     // q59 decodes the actual PCM bytes; the oracle regenerates the
     // deterministic samples (s_j = (id*31 + j*2654435761) mod 2^16 - 2^15)

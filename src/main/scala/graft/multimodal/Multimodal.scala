@@ -1043,6 +1043,131 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "width", "height")
   }
 
+  /** One sampled frame with its REAL timing/size coordinates. `frame_time`
+    * is in the track's native clock (mdhd timescale ticks for MP4, the
+    * sample index for PCM, 0 for stills); `frame_bytes` is the stored
+    * sample size (stsz for MP4, block align for PCM, 0 for stills).
+    */
+  final case class FrameRow(
+      media_id: Long, frame_idx: Int, width: Int, height: Int,
+      frame_time: Long, frame_bytes: Long)
+
+  /** [[sampleFrames]] upgraded to read the REAL sample tables: MP4 frame
+    * times come from walking the `stts` duration runs (variable per-frame
+    * durations — cumulative delta sum up to each sampled index) and frame
+    * sizes from `stsz` (per-sample or constant form), not from header
+    * arithmetic. This is the lookup a video pipeline does before issuing
+    * byte-range reads for the sampled frames (`stsz`/`stco` offsets), so
+    * the positions must come from the tables the reads would use. WAV
+    * frames tick the PCM sample clock with block-align bytes; stills are
+    * one frame at time 0. Runs partition-wise over the payload bytes —
+    * no shuffle, no driver collection; malformed tables degrade to
+    * time/bytes 0 for the header-derived frame count, never a throw.
+    */
+  def sampleFramesWithTables(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    require(stride > 0, "stride must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val m = decodeMeta(r.media_id, r.payload)
+      m.format match {
+        case "mp4" =>
+          mp4FrameSamples(r.payload, stride) match {
+            case Some(rows) =>
+              rows.map { case (i, t, sz) => FrameRow(m.media_id, i, m.width, m.height, t, sz) }
+            case None => // header-count fallback for broken sample tables
+              (0 until m.n_frames by stride)
+                .map(f => FrameRow(m.media_id, f, m.width, m.height, 0L, 0L))
+          }
+        case "wav" =>
+          val blockAlign = 2L * math.max(m.channels, 1)
+          (0 until m.n_frames by stride)
+            .map(f => FrameRow(m.media_id, f, m.width, m.height, f.toLong, blockAlign))
+        case _ =>
+          (0 until m.n_frames by stride)
+            .map(f => FrameRow(m.media_id, f, m.width, m.height, 0L, 0L))
+      }
+    })
+  }
+
+  /** Walk the first trak-with-stbl's `stts`/`stsz` and return the sampled
+    * `(frame_idx, cumulative_time_ticks, sample_bytes)` triples at
+    * `stride`. Both stts forms of truth are honored: multiple runs with
+    * different deltas accumulate run by run (never `idx · delta`);
+    * `stsz.sample_size != 0` is the constant-size form, else the
+    * per-sample table is read at its exact offset. Declared counts are
+    * clamped to the box's actual bytes (crafted headers must not read
+    * past a box). `None` if there is no usable stts.
+    */
+  private[graft] def mp4FrameSamples(
+      b: Array[Byte], stride: Int): Option[IndexedSeq[(Int, Long, Long)]] = {
+    val n = b.length.toLong
+    if (!(b.length >= 12 && tagAt(b, 4, "ftyp"))) return None
+    val moov = findBox(b, 0L, n, "moov")
+    if (moov == null) return None
+    var trakFrom = moov(0)
+    var stbl: Array[Long] = null
+    while (stbl == null) {
+      val trak = findBox(b, trakFrom, moov(1), "trak")
+      if (trak == null) return None
+      val mdia = findBox(b, trak(0), trak(1), "mdia")
+      val minf = if (mdia == null) null else findBox(b, mdia(0), mdia(1), "minf")
+      stbl = if (minf == null) null else findBox(b, minf(0), minf(1), "stbl")
+      trakFrom = trak(1)
+    }
+    val stts = findBox(b, stbl(0), stbl(1), "stts")
+    if (stts == null || stts(1) - stts(0) < 8) return None
+    val sttsP = stts(0)
+    val declared = be32(b, (sttsP + 4).toInt).toLong & 0xffffffffL
+    val entries = math.min(declared, (stts(1) - sttsP - 8) / 8).toInt
+    if (entries <= 0) return None
+    val runCount = new Array[Long](entries)
+    val runDelta = new Array[Long](entries)
+    var total = 0L
+    var e = 0
+    while (e < entries) {
+      runCount(e) = be32(b, (sttsP + 8 + e * 8L).toInt).toLong & 0xffffffffL
+      runDelta(e) = be32(b, (sttsP + 12 + e * 8L).toInt).toLong & 0xffffffffL
+      total += runCount(e)
+      e += 1
+    }
+    val nFrames = math.min(total, (1L << 24)).toInt // bound crafted counts
+    // stsz: constant-size form or per-sample table (sizes clamp to 0 when
+    // the box lies about its count)
+    val stsz = findBox(b, stbl(0), stbl(1), "stsz")
+    val (constSize, szP, szEnd) =
+      if (stsz == null || stsz(1) - stsz(0) < 12) (0L, -1L, -1L)
+      else {
+        val p = stsz(0)
+        val cs = be32(b, (p + 4).toInt).toLong & 0xffffffffL
+        (cs, p + 12, stsz(1))
+      }
+    def sizeOf(i: Int): Long =
+      if (szP < 0) 0L
+      else if (constSize != 0) constSize
+      else {
+        val off = szP + i * 4L
+        if (off + 4 <= szEnd) be32(b, off.toInt).toLong & 0xffffffffL else 0L
+      }
+    // sampled indices ascend, so one forward walk through the runs gives
+    // every cumulative time in O(entries + samples)
+    val out = IndexedSeq.newBuilder[(Int, Long, Long)]
+    var run = 0
+    var runStartIdx = 0L // first sample index of the current run
+    var runStartTime = 0L // cumulative ticks at the start of the current run
+    var i = 0
+    while (i < nFrames) {
+      while (run < entries - 1 && i >= runStartIdx + runCount(run)) {
+        runStartTime += runCount(run) * runDelta(run)
+        runStartIdx += runCount(run)
+        run += 1
+      }
+      val t = runStartTime + (i - runStartIdx) * runDelta(run)
+      out += ((i, t, sizeOf(i)))
+      i += stride
+    }
+    Some(out.result())
+  }
+
   /** Resize stage: fit image dims into a `maxW`×`maxH` box preserving
     * aspect ratio; audio/unknown rows (zero dims) pass through untouched.
     * Metadata-only here, but the dataflow shape (typed in, typed out, no
@@ -1254,18 +1379,36 @@ object Multimodal {
     b
   }
 
+  /** First-run length of the fixture's two-run stts: the first
+    * `ceil(nf/2)` samples tick delta 1, the rest delta 2 — VARIABLE frame
+    * durations, so a reader that multiplies `index · delta` instead of
+    * walking the runs gets every second-half timestamp wrong.
+    */
+  def fixtureSttsRun1(id: Long): Int = (fixtureSamples(id) + 1) / 2
+
+  /** Stored size of fixture sample `i`: `100 + (i mod 7)` — per-sample
+    * stsz entries (sample_size = 0 form), formula-replayable.
+    */
+  def fixtureSampleBytes(i: Int): Int = 100 + (i % 7)
+
   /** A valid minimal MP4: ftyp + moov(mvhd + trak(tkhd + mdia(mdhd +
-    * minf(stbl(stts))))) + empty mdat — every box v0 with fixed sizes, so
-    * the byte count is the constant 324. Dims reuse the PNG arithmetic
-    * (fixtureWidth/Height), the frame count reuses fixtureSamples, and the
-    * mdhd timescale reuses fixtureSampleRate with stts delta = 1 — so
-    * `n_frames / sample_rate` is the duration in seconds, the same
-    * convention as the WAV rows, and the oracle replays one formula set.
+    * minf(stbl(stts + stsz))))) + empty mdat — every box v0, byte count
+    * closed-form: 352 + 4·nf (the stsz per-sample table). Dims reuse the
+    * PNG arithmetic (fixtureWidth/Height), the frame count reuses
+    * fixtureSamples, the mdhd timescale reuses fixtureSampleRate. The
+    * sample tables are REAL: stts carries TWO runs (delta 1 then delta 2
+    * — see [[fixtureSttsRun1]]) and stsz per-sample sizes
+    * ([[fixtureSampleBytes]]), so frame timestamps/sizes must come from
+    * walking the tables, not from header arithmetic.
     */
   def mp4Bytes(id: Long): Array[Byte] = {
     val w = fixtureWidth(id); val h = fixtureHeight(id)
     val nf = fixtureSamples(id); val ts = fixtureSampleRate(id)
-    val b = new Array[Byte](324)
+    val r1 = fixtureSttsRun1(id); val r2 = nf - r1
+    val dur = r1 + 2 * r2 // true tick duration of the two runs
+    val stszLen = 20 + 4 * nf
+    val total = 352 + 4 * nf
+    val b = new Array[Byte](total)
     var p = 0
     def be32(v: Int): Unit = {
       b(p) = (v >>> 24).toByte; b(p + 1) = (v >>> 16).toByte
@@ -1275,32 +1418,37 @@ object Multimodal {
     def skip(nBytes: Int): Unit = p += nBytes // already zeroed
     // ftyp: major 'isom', minor 0, one compatible brand
     be32(20); tag("ftyp"); tag("isom"); be32(0); tag("isom")
-    be32(296); tag("moov")
+    be32(324 + 4 * nf); tag("moov")
     //   mvhd v0: ver/flags, 2 times, timescale, duration, rate 1.0,
     //   volume 1.0, 10 reserved, unity matrix, 24 predefined, next track
-    be32(108); tag("mvhd"); be32(0); skip(8); be32(ts); be32(nf)
+    be32(108); tag("mvhd"); be32(0); skip(8); be32(ts); be32(dur)
     be32(0x00010000); b(p) = 0x01; skip(12) // rate 1.0, volume 1.0, 10 reserved
     be32(0x00010000); skip(12); be32(0x00010000); skip(12); be32(0x40000000)
     skip(24); be32(2)
     //   trak
-    be32(180); tag("trak")
+    be32(208 + 4 * nf); tag("trak")
     //     tkhd v0: ver/flags(enabled), 2 times, track id, reserved,
     //     duration, 8 reserved, layer/alt/volume/reserved, matrix, w, h
-    be32(92); tag("tkhd"); be32(7); skip(8); be32(1); skip(4); be32(nf)
+    be32(92); tag("tkhd"); be32(7); skip(8); be32(1); skip(4); be32(dur)
     skip(8 + 8) // reserved + layer/alternate/volume/reserved
     be32(0x00010000); skip(12); be32(0x00010000); skip(12); be32(0x40000000)
     be32(w << 16); be32(h << 16) // 16.16 fixed
     //     mdia
-    be32(80); tag("mdia")
+    be32(108 + 4 * nf); tag("mdia")
     //       mdhd v0: ver/flags, 2 times, timescale, duration, lang, pre
-    be32(32); tag("mdhd"); be32(0); skip(8); be32(ts); be32(nf); skip(4)
-    //       minf/stbl/stts: one run of nf samples, delta 1
-    be32(40); tag("minf")
-    be32(32); tag("stbl")
-    be32(24); tag("stts"); be32(0); be32(1); be32(nf); be32(1)
+    be32(32); tag("mdhd"); be32(0); skip(8); be32(ts); be32(dur); skip(4)
+    //       minf/stbl: real sample tables
+    be32(68 + 4 * nf); tag("minf")
+    be32(60 + 4 * nf); tag("stbl")
+    //         stts: two runs — (r1 × delta 1), (r2 × delta 2)
+    be32(32); tag("stts"); be32(0); be32(2); be32(r1); be32(1); be32(r2); be32(2)
+    //         stsz: per-sample sizes (sample_size = 0 form)
+    be32(stszLen); tag("stsz"); be32(0); be32(0); be32(nf)
+    var i = 0
+    while (i < nf) { be32(fixtureSampleBytes(i)); i += 1 }
     // empty mdat
     be32(8); tag("mdat")
-    require(p == 324, s"mp4 fixture layout drifted: wrote $p of 324")
+    require(p == total, s"mp4 fixture layout drifted: wrote $p of $total")
     b
   }
 

@@ -157,8 +157,11 @@ class MultimodalSpec extends SparkSpec {
   test("decodeMeta: MP4 box walk — v0/v1 headers, largesize, truncation, crafted sizes") {
     val id = 3L
     val b = Multimodal.mp4Bytes(id)
+    val nf = Multimodal.fixtureSamples(id)
+    val moovSz = 324 + 4 * nf
+    val trakSz = 208 + 4 * nf
     val m = Multimodal.decodeMeta(id, b)
-    assert(m.format == "mp4" && m.n_bytes == 324)
+    assert(m.format == "mp4" && m.n_bytes == 352 + 4 * nf)
     assert(m.width == Multimodal.fixtureWidth(id) && m.height == Multimodal.fixtureHeight(id))
     assert(m.n_frames == Multimodal.fixtureSamples(id))
     assert(m.sample_rate == Multimodal.fixtureSampleRate(id) && m.channels == 0)
@@ -185,15 +188,15 @@ class MultimodalSpec extends SparkSpec {
     System.arraycopy(b, 0, big, 0, 20) // ftyp
     big(20) = 0; big(21) = 0; big(22) = 0; big(23) = 1 // size = 1
     System.arraycopy(b, 24, big, 24, 4) // 'moov'
-    val large = 296L + 8L
+    val large = moovSz.toLong + 8L
     (0 until 8).foreach(i => big(28 + i) = (large >>> (56 - 8 * i)).toByte)
     System.arraycopy(b, 28, big, 36, b.length - 28) // moov payload + mdat
-    val lm = Multimodal.decodeMeta(id, big.take(36 + 296 - 8))
+    val lm = Multimodal.decodeMeta(id, big.take(36 + moovSz - 8))
     assert(lm.format == "mp4" && lm.width == Multimodal.fixtureWidth(id),
       s"largesize moov did not parse: $lm")
     val evil64 = big.clone()
     evil64(28) = 0x7f.toByte // largesize ≈ 2^63: off + size would wrap
-    assert(Multimodal.decodeMeta(id, evil64.take(36 + 296 - 8)).format == "unknown")
+    assert(Multimodal.decodeMeta(id, evil64.take(36 + moovSz - 8)).format == "unknown")
 
     // v1 tkhd (64-bit times): dims move from payload+76 to +88
     val v1 = Multimodal.mp4Bytes(id)
@@ -211,12 +214,52 @@ class MultimodalSpec extends SparkSpec {
     // times 8+8, track id 4, reserved 4, duration 8 = 32 bytes (zeros ok)
     System.arraycopy(v1, 156 + 20, v1b, 156 + 32, 92 - 8 - 4 - 20) // rest of payload
     // fix enclosing sizes: moov, trak grew by 12
-    putBe32(v1b, 20, 296 + 12)
-    putBe32(v1b, 136, 180 + 12)
+    putBe32(v1b, 20, moovSz + 12)
+    putBe32(v1b, 136, trakSz + 12)
     System.arraycopy(v1, 144 + 92, v1b, 144 + 92 + 12, v1.length - 144 - 92)
     val vm = Multimodal.decodeMeta(id, v1b)
     assert(vm.format == "mp4" && vm.width == Multimodal.fixtureWidth(id) &&
       vm.height == Multimodal.fixtureHeight(id), s"v1 tkhd did not parse: $vm")
+  }
+
+  test("mp4FrameSamples: stts runs accumulate, stsz per-sample and constant forms read") {
+    val id = 7L
+    val nf = Multimodal.fixtureSamples(id)
+    val r1 = Multimodal.fixtureSttsRun1(id)
+    val got = Multimodal.mp4FrameSamples(Multimodal.mp4Bytes(id), stride = 5).get
+    assert(got.map(_._1) == (0 until nf by 5))
+    got.foreach { case (i, t, sz) =>
+      val want = if (i < r1) i.toLong else r1 + (i - r1).toLong * 2
+      assert(t == want, s"frame $i time $t != $want (r1=$r1)")
+      assert(sz == Multimodal.fixtureSampleBytes(i), s"frame $i size $sz")
+    }
+    // constant-size stsz form: patch sample_size to 777 — every frame
+    // reports it regardless of the (now ignored) per-sample entries
+    val b = Multimodal.mp4Bytes(id)
+    // stsz starts after ftyp(20) + moov hdr(8) + mvhd(108) + trak hdr(8) +
+    // tkhd(92) + mdia hdr(8) + mdhd(32) + minf hdr(8) + stbl hdr(8) +
+    // stts(32); sample_size field is at payload +4 (after ver/flags)
+    val stszOff = 20 + 8 + 108 + 8 + 92 + 8 + 32 + 8 + 8 + 32
+    assert(new String(b, stszOff + 4, 4, "US-ASCII") == "stsz")
+    val cb = b.clone()
+    cb(stszOff + 12) = 0; cb(stszOff + 13) = 0; cb(stszOff + 14) = 3; cb(stszOff + 15) = 9
+    val cGot = Multimodal.mp4FrameSamples(cb, stride = 25).get
+    assert(cGot.forall(_._3 == 777L), s"constant-size form not honored: ${cGot.take(3)}")
+    // stsz declared count lying past the box: sizes clamp to 0, no throw
+    val lie = b.clone()
+    val cntOff = stszOff + 16
+    lie(cntOff) = 0x7f.toByte
+    val lGot = Multimodal.mp4FrameSamples(lie, stride = 25).get
+    assert(lGot.map(_._1) == (0 until nf by 25))
+    // truncations never throw
+    (0 until b.length by 13).foreach(cut => Multimodal.mp4FrameSamples(b.take(cut), 25))
+    // sampleFramesWithTables end-to-end over the mixed media corpus
+    val rows = Multimodal.sampleFramesWithTables(media, stride = 25).collect()
+    val byId = rows.groupBy(_.media_id)
+    assert(byId(3L).forall(f => f.frame_bytes == 100 + f.frame_idx % 7))
+    assert(byId(2L).forall(f => f.frame_time == f.frame_idx && f.frame_bytes == 2))
+    assert(byId(0L).toSeq == Seq(
+      Multimodal.FrameRow(0L, 0, Multimodal.fixtureWidth(0L), Multimodal.fixtureHeight(0L), 0L, 0L)))
   }
 
   test("decode: distributed parse matches fixture arithmetic for every row") {
@@ -232,7 +275,8 @@ class MultimodalSpec extends SparkSpec {
           assert(m.channels == 1)
           assert(m.n_bytes == 44 + 2L * Multimodal.fixtureSamples(id))
         case 3 =>
-          assert(m.format == "mp4" && m.n_bytes == 324)
+          assert(m.format == "mp4" &&
+            m.n_bytes == 352 + 4L * Multimodal.fixtureSamples(id))
           assert(m.width == Multimodal.fixtureWidth(id))
           assert(m.height == Multimodal.fixtureHeight(id))
           assert(m.n_frames == Multimodal.fixtureSamples(id))
