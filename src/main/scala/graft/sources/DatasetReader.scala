@@ -34,9 +34,18 @@ object DatasetReader extends Logging {
   def readQueries(spark: SparkSession, datasetPath: String): DataFrame =
     readTable(spark, s"${stripSlash(datasetPath)}/queries", PineconeSchema.queriesColumns)
 
-  /** Driver-side read of `metadata.json` (S4). Tiny file — no cluster job. */
+  /** Driver-side read of `metadata.json` (S4). Tiny file — no cluster job.
+    * Cloud paths route through the [[DatasetCache]] when caching is on
+    * (reference gates identically: `is_cloud_path` + `use_cache`,
+    * `dataset_fsreader.py:83-107`) — local paths never cache.
+    */
   def readMetadata(spark: SparkSession, datasetPath: String): DatasetMetadata = {
-    val p = new Path(s"${stripSlash(datasetPath)}/metadata.json")
+    val url = s"${stripSlash(datasetPath)}/metadata.json"
+    val p =
+      if (CloudFs.isCloudPath(url) && DatasetCache.useCache)
+        new Path(DatasetCache.cacheManager().getCachedPath(
+          url, spark.sparkContext.hadoopConfiguration))
+      else new Path(url)
     val fs = fileSystem(spark, p)
     val in = fs.open(p)
     try {
