@@ -16,11 +16,17 @@ object Verify {
     // Dev knob (same contract as Bench): SPARK_GRAFT_ONLY=q90 dumps a
     // comma-separated subset. The driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val signatures = scala.collection.mutable.TreeMap.empty[String, String]
     val failed = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .flatMap { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        // pre-execution physical plan: stable across runs at one SF, and
+        // the thing a plan regression changes first
+        signatures(name) =
+          graft.tools.PlanAudit.signature(df.queryExecution.executedPlan.toString)
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         None
       } catch { case e: Throwable =>
@@ -60,6 +66,57 @@ object Verify {
     val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // ---- plan-snapshot diff: every recorded query's plan signature is
+    // compared against the committed PLAN_SNAPSHOT.json (same SF only —
+    // planning-time broadcast decisions depend on file sizes). A changed
+    // signature prints a loud [plan-audit] CHANGED line: plan regressions
+    // surface HERE, at the commit that caused them, not rounds later as
+    // an ambiguous bench delta. Refresh intentionally with
+    // PLAN_SNAPSHOT_UPDATE=1 after reviewing the diff.
+    val sigJson = signatures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{\n", ",\n", "}\n")
+    Files.writeString(Paths.get(s"$outDir/plan_signatures.json"), sigJson)
+    val snapPath = Paths.get("PLAN_SNAPSHOT.json")
+    val update = sys.env.get("PLAN_SNAPSHOT_UPDATE").contains("1")
+    if (update) {
+      Files.writeString(snapPath,
+        s"""{"sf_dir": ${q(sfDir)}, "signatures": $sigJson}""")
+      println(s"[plan-audit] snapshot refreshed for $sfDir (${signatures.size} queries)")
+    } else if (Files.exists(snapPath)) {
+      import org.json4s.{JObject, JString}
+      org.json4s.jackson.JsonMethods.parse(Files.readString(snapPath)) match {
+        case JObject(fields) =>
+          val fm = fields.toMap
+          val snapSf = fm.get("sf_dir").collect { case JString(s) => s }
+          if (!snapSf.contains(sfDir)) {
+            println(s"[plan-audit] snapshot is for ${snapSf.getOrElse("?")}, " +
+              s"this run is $sfDir — compare skipped")
+          } else {
+            val snap = fm.get("signatures").collect {
+              case JObject(sigs) => sigs.collect { case (k, JString(v)) => k -> v }.toMap
+            }.getOrElse(Map.empty)
+            var changed = 0
+            signatures.foreach { case (name, sig) =>
+              snap.get(name) match {
+                case Some(old) if old != sig =>
+                  changed += 1
+                  System.err.println(s"[plan-audit] CHANGED $name\n" +
+                    s"[plan-audit]   was: $old\n[plan-audit]   now: $sig")
+                case None =>
+                  println(s"[plan-audit] NEW $name (not in snapshot)")
+                case _ => ()
+              }
+            }
+            if (changed > 0)
+              System.err.println(s"[plan-audit] $changed plan signature(s) changed — " +
+                "review, then PLAN_SNAPSHOT_UPDATE=1 to accept")
+            else println(s"[plan-audit] ${signatures.size} signatures match the snapshot")
+          }
+        case _ => println("[plan-audit] snapshot unreadable — skipping compare")
+      }
+    }
     spark.stop()
   }
 }

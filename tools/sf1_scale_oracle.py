@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Scale-oracle for the text-dedup family at sf1 (10x replicated corpus).
+
+The sf1 corpus is ScaleUp's EXACT x10 replication of sf0.1: replica r
+copies every document verbatim under doc_id + r*10^8. For text-dedup
+operators that replication has closed-form consequences, so the expected
+sf1 results are derivable from the (feasible) sf0.1 DuckDB oracle results
+plus the sf0.1 documents table — an INDEPENDENT oracle at a scale where
+the exhaustive O(n^2) replay is intractable (the direct DuckDB compare at
+sf1 ran >40 minutes and died):
+
+  q22  jac(X_r, Y_s) = jac(X, Y) (Jaccard depends only on the shingle
+       sets) and identical copies have jac 1.0 — expected pairs = every
+       (r, s) combination of each sf0.1 pair, plus all C(10,2) self-copy
+       pairs of every doc with >= 1 shingle (>= 2 space-split tokens).
+  q23  simhash prints are text-deterministic: same cross structure, self
+       pairs at hamming 0, over ALL docs (prints exist for every text).
+  q61/q99  component(X_r) = sf0.1 component(X) (copy 0 keeps the minimum
+       id); zero-shingle docs never pair, so each copy stays a singleton.
+  q82  every w-token window now occurs >= 10 times corpus-wide, so every
+       doc with >= w tokens collapses to ONE maximal span covering the
+       whole document (start 0, length n_tokens, text = tokens re-joined).
+
+This is exactly the regime the bucket caps (maxBucketSize) were built
+for: LSH/chunk buckets are 10x hotter, and any silent cap-fire or
+blocked-join recall loss diverges from the algebra and FAILS here.
+
+Usage:
+  python3 tools/sf1_scale_oracle.py <sf01Dir> <sf01VerifyOut> <sf1VerifyOut> [out.json]
+where <sf01VerifyOut> is a Verify dump at sf0.1 containing oracle_sql.json
+(for the base q22/q23/q61 SQL) and <sf1VerifyOut> contains the engine's
+sf1 parquet dumps to be judged.
+"""
+import json
+import sys
+
+import duckdb
+
+sys.path.insert(0, "tools")
+from compare_oracle import table_rows  # noqa: E402
+
+SHIFT = 100000000
+FACTOR = 10
+
+
+def main():
+    sf01_dir, sf01_out, sf1_out = sys.argv[1], sys.argv[2], sys.argv[3]
+    report_path = sys.argv[4] if len(sys.argv) > 4 else "CORRECTNESS_sf1.json"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf01_dir}/documents.parquet')")
+    oracle = json.load(open(f"{sf01_out}/oracle_sql.json"))
+
+    # ---- base sf0.1 oracle results (exhaustive replay IS feasible here)
+    for q in ("q22_minhash_neardup", "q23_simhash_hamming", "q61_dedup_clusters"):
+        con.sql(f"CREATE TABLE base_{q.split('_')[0]} AS {oracle[q]}")
+
+    con.sql(f"CREATE TABLE reps AS SELECT unnest(range({FACTOR})) AS r")
+
+    expected = {}
+    expected["q22_minhash_neardup"] = f"""
+      WITH cross_pairs AS (
+        SELECT b.id_a + r.r * {SHIFT} AS ia, b.id_b + s.r * {SHIFT} AS ib, b.jac
+        FROM base_q22 b, reps r, reps s),
+      self_pairs AS (
+        SELECT d.doc_id + r.r * {SHIFT} AS ia, d.doc_id + s.r * {SHIFT} AS ib, 1.0 AS jac
+        FROM documents d, reps r, reps s
+        WHERE r.r < s.r AND len(string_split(d.text, ' ')) >= 2)
+      SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b, jac FROM cross_pairs
+      UNION ALL SELECT ia, ib, jac FROM self_pairs"""
+
+    expected["q23_simhash_hamming"] = f"""
+      WITH cross_pairs AS (
+        SELECT b.id_a + r.r * {SHIFT} AS ia, b.id_b + s.r * {SHIFT} AS ib, b.hamming
+        FROM base_q23 b, reps r, reps s),
+      self_pairs AS (
+        SELECT d.doc_id + r.r * {SHIFT} AS ia, d.doc_id + s.r * {SHIFT} AS ib,
+          CAST(0 AS INT) AS hamming
+        FROM documents d, reps r, reps s WHERE r.r < s.r)
+      SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b, CAST(hamming AS INT) AS hamming
+      FROM cross_pairs
+      UNION ALL SELECT ia, ib, hamming FROM self_pairs"""
+
+    cluster_sql = f"""
+      SELECT b.id + r.r * {SHIFT} AS id,
+        CASE WHEN len(string_split(d.text, ' ')) >= 2 THEN b.component
+             ELSE b.id + r.r * {SHIFT} END AS component,
+        CASE WHEN len(string_split(d.text, ' ')) >= 2
+             THEN b.component = b.id + r.r * {SHIFT}
+             ELSE TRUE END AS is_canonical
+      FROM base_q61 b JOIN documents d ON d.doc_id = b.id, reps r"""
+    expected["q61_dedup_clusters"] = cluster_sql
+    expected["q99_neardup_groups"] = cluster_sql
+
+    expected["q82_maximal_spans"] = f"""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ts
+        FROM documents)
+      SELECT t.doc_id + r.r * {SHIFT} AS doc_id,
+        CAST(0 AS INT) AS span_start,
+        CAST(len(ts) AS INT) AS span_tokens,
+        array_to_string(ts, ' ') AS span_text
+      FROM toks t, reps r WHERE len(ts) >= 8"""
+
+    report = {}
+    n_pass = n_fail = 0
+    for name, sql in expected.items():
+        entry = {"rows_match": False, "schema_match": False, "hash_match": False,
+                 "spark_rows": None, "oracle_rows": None, "err": None,
+                 "oracle": "sf1-replication-algebra-from-sf0.1"}
+        try:
+            scols, srows = table_rows(
+                con.sql(f"SELECT * FROM read_parquet('{sf1_out}/{name}/*.parquet')"))
+            ocols, orows = table_rows(con.sql(sql))
+            entry["spark_rows"], entry["oracle_rows"] = len(srows), len(orows)
+            entry["schema_match"] = scols == ocols
+            entry["rows_match"] = len(srows) == len(orows)
+            entry["hash_match"] = srows == orows
+            if not entry["schema_match"]:
+                entry["err"] = f"columns spark={scols} expected={ocols}"
+            elif not entry["hash_match"] and entry["rows_match"]:
+                diff = next(i for i, (a, b) in enumerate(zip(srows, orows)) if a != b)
+                entry["err"] = f"first mismatch row {diff}: spark={srows[diff]} expected={orows[diff]}"
+        except Exception as e:
+            entry["err"] = str(e)
+        ok = entry["rows_match"] and entry["schema_match"] and entry["hash_match"]
+        n_pass += ok
+        n_fail += not ok
+        print(("PASS" if ok else "FAIL") +
+              f" {name} (spark={entry['spark_rows']} expected={entry['oracle_rows']})" +
+              ("" if ok else f": {entry['err']}"))
+        report[name] = entry
+
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"== {n_pass} pass, {n_fail} fail -> {report_path}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
