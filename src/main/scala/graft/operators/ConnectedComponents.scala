@@ -171,6 +171,14 @@ object ConnectedComponents {
   /** Convenience: cluster a near-dup pair list `(id_a, id_b, ...)` over the
     * full corpus id set, returning every corpus id with its cluster and
     * whether it is the cluster's canonical representative (the minimum id).
+    *
+    * The propagation loop runs over the PAIR ENDPOINTS only — a vertex
+    * with no edge can never change its label, so feeding the whole corpus
+    * through every round's union+agg+join just multiplies each round by
+    * |corpus| / |paired docs| (a big factor: duplicates are the minority
+    * of a deduped-enough corpus). Singletons re-attach AFTER convergence
+    * with one left join + coalesce-to-self, which AQE broadcasts when the
+    * converged label set is small.
     */
   def clusterPairs(
       pairs: DataFrame,
@@ -179,8 +187,12 @@ object ConnectedComponents {
       pointerHalving: Boolean = false,
       reliable: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val vertices = allIds.select(idCol.as("id"))
-    run(edges, vertices, pointerHalving = pointerHalving, reliable = reliable)
+    val pairIds = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val comp = run(edges, pairIds, pointerHalving = pointerHalving, reliable = reliable)
+    allIds.select(idCol.as("id"))
+      .join(comp.withColumnRenamed("component", "c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("component"))
       .withColumn("is_canonical", col("id") === col("component"))
   }
 }
