@@ -79,7 +79,29 @@ object ConnectedComponents {
       vertices: DataFrame,
       maxIters: Int = 25,
       pointerHalving: Boolean = false,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false): DataFrame =
+    runImpl(edges, Some(vertices), maxIters, pointerHalving, reliable)
+
+  /** [[run]] with the vertex set derived FROM the edge list (every edge
+    * endpoint, exactly once). This is the right entry point when the
+    * caller's vertex set IS the endpoints: deriving it from the caller's
+    * un-materialized edge plan would re-execute the (typically expensive)
+    * pair pipeline a second time, while here it is one distinct over the
+    * already-checkpointed symmetrized snapshot.
+    */
+  def runEdgeVertices(
+      edges: DataFrame,
+      maxIters: Int = 25,
+      pointerHalving: Boolean = false,
+      reliable: Boolean = false): DataFrame =
+    runImpl(edges, None, maxIters, pointerHalving, reliable)
+
+  private def runImpl(
+      edges: DataFrame,
+      verticesOpt: Option[DataFrame],
+      maxIters: Int,
+      pointerHalving: Boolean,
+      reliable: Boolean): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     require(!reliable || sc.getCheckpointDir.isDefined,
       "reliable checkpointing needs SparkContext.setCheckpointDir to point " +
@@ -100,6 +122,9 @@ object ConnectedComponents {
       .select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v"))),
       eager = true)
+    // derived vertices read the flat symmetrized SNAPSHOT (one distinct),
+    // never the caller's live edge plan — see runEdgeVertices
+    val vertices = verticesOpt.getOrElse(sym.select(col("u").as("id")).distinct())
     // eager checkpoint: round 1 reads a flat snapshot, not a plan
     var labels = snap(vertices.select(col("id"), col("id").as("component")),
       eager = true)
@@ -187,9 +212,8 @@ object ConnectedComponents {
       pointerHalving: Boolean = false,
       reliable: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val pairIds = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
-    val comp = run(edges, pairIds, pointerHalving = pointerHalving, reliable = reliable)
+    val comp = runEdgeVertices(edges,
+      pointerHalving = pointerHalving, reliable = reliable)
     allIds.select(idCol.as("id"))
       .join(comp.withColumnRenamed("component", "c"), Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("component"))

@@ -188,12 +188,12 @@ object TextDedup {
       .filter(col("doc_id") === col("rep") && size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
     val pairs = lshVerifiedPairs(repRows, threshold, numHashes, bands, seed)
-    // 3. propagate min labels over the paired reps only
-    val pairIds = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    val repComp = ConnectedComponents.run(
+    // 3. propagate min labels over the paired reps only (vertices derive
+    // from the loop's own checkpointed edge snapshot — deriving them from
+    // the live pair plan would run the LSH pipeline twice)
+    val repComp = ConnectedComponents.runEdgeVertices(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
-      pairIds, pointerHalving = pointerHalving, reliable = reliable)
+      pointerHalving = pointerHalving, reliable = reliable)
     // attach: doc → rep → component; unpaired reps keep themselves (the
     // rep IS the exact-dup class minimum, so coalesce(component, rep) is
     // the group minimum in every case)

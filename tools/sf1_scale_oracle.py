@@ -32,6 +32,7 @@ where <sf01VerifyOut> is a Verify dump at sf0.1 containing oracle_sql.json
 sf1 parquet dumps to be judged.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -50,9 +51,19 @@ def main():
     con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf01_dir}/documents.parquet')")
     oracle = json.load(open(f"{sf01_out}/oracle_sql.json"))
 
-    # ---- base sf0.1 oracle results (exhaustive replay IS feasible here)
+    # ---- base results: the DuckDB oracle replay by default (fully
+    # independent), or — with BASE_FROM_ENGINE=1 — the base dir's engine
+    # parquet dumps (a SELF-consistency check: the engine's small-SF
+    # results are oracle-verified every round, and the replication algebra
+    # then tests whether the big-SF run's guards silently diverged).
+    base_from_engine = os.environ.get("BASE_FROM_ENGINE") == "1"
     for q in ("q22_minhash_neardup", "q23_simhash_hamming", "q61_dedup_clusters"):
-        con.sql(f"CREATE TABLE base_{q.split('_')[0]} AS {oracle[q]}")
+        short = q.split("_")[0]
+        if base_from_engine:
+            con.sql(f"CREATE TABLE base_{short} AS "
+                    f"SELECT * FROM read_parquet('{sf01_out}/{q}/*.parquet')")
+        else:
+            con.sql(f"CREATE TABLE base_{short} AS {oracle[q]}")
 
     con.sql(f"CREATE TABLE reps AS SELECT unnest(range({FACTOR})) AS r")
 
