@@ -1324,6 +1324,25 @@ object SparkEntry {
             .otherwise(lit("""{"n_chars": {"$gt": 300}}""")))
         .withColumn("top_k", (col("qid") % 3 + 3).cast("int"))
       disk.searchFiltered(qs, nprobe = 3)
+    }),
+
+    // End-to-end curation on the GROUP-FIRST dedup path: near-dup groups
+    // (q99's linear contract), keep only canonical representatives, then
+    // the q36 lang/quality gates. Semantically distinct from q36's
+    // drop-any-id_b rule (a V-shaped pair graph keeps one doc here, two
+    // there) and the scale-correct composition: no pair stream ever
+    // materializes, so the 10x-duplicated corpus costs ~1x, not 25x.
+    "q101_curation_groups" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val canon = graft.operators.TextDedup.minhashNearDupGroups(
+          docs, col("doc_id"), col("text"), threshold = 0.5,
+          reliable = ensureCheckpointDir(s))
+        .filter(col("is_canonical")).select(col("id").as("doc_id"))
+      docs
+        .filter(FilterCompiler.compile("""{"lang": {"$in": ["en", "de", "es"]}}"""))
+        .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.99)
+        .join(canon, Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "n_chars")
     })
   )
 
@@ -2408,6 +2427,46 @@ object SparkEntry {
     // Same closure, group-first engine path: must agree row-for-row with
     // the pair-based q61 — the scale contract differs, the answer doesn't.
     "q99_neardup_groups" -> clusterClosureSql,
+
+    // The closure's canonical set (component minimum per doc) composed
+    // with q36's lang/quality gates — q101's group-first curation.
+    "q101_curation_groups" ->
+      """WITH RECURSIVE big AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
+        |  FROM documents),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM (SELECT doc_id, unnest(bg) AS g FROM big) a
+        |  JOIN (SELECT doc_id, unnest(bg) AS g FROM big) b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      CAST(len(list_intersect(x.bg, y.bg)) AS DOUBLE) / len(list_distinct(list_concat(x.bg, y.bg))) AS jac
+        |    FROM cand JOIN big x ON x.doc_id = id_a JOIN big y ON y.doc_id = id_b)
+        |  WHERE jac >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |canon AS (
+        |  SELECT d.doc_id FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        |  GROUP BY d.doc_id
+        |  HAVING LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) = d.doc_id),
+        |q AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROUND(
+        |      (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END) * 0.4
+        |      + (CASE WHEN CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |                / greatest(len(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END) * 0.3
+        |      + (CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+        |            w -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'], w))) AS DOUBLE)
+        |                / greatest(len(string_split(lower(text), ' ')), 1) > 0.01 THEN 1.0 ELSE 0.6 END) * 0.3,
+        |    4) AS quality
+        |  FROM documents)
+        |SELECT q.doc_id, q.lang, q.n_chars FROM q JOIN canon ON canon.doc_id = q.doc_id
+        |WHERE q.lang IN ('en', 'de', 'es') AND q.quality >= 0.99""".stripMargin,
 
     "q62_chunk_chars" ->
       """WITH d AS (
