@@ -1343,6 +1343,57 @@ object SparkEntry {
         .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.99)
         .join(canon, Seq("doc_id"), "left_semi")
         .select("doc_id", "lang", "n_chars")
+    }),
+
+    // Group-first SimHash clustering — the SimHash twin of q99, closing
+    // the other superlinear pair family (q23 went 6.2x at sf1 on pair
+    // output volume). Collapse key is the 64-bit print itself (identical
+    // prints ARE Hamming-0 near-dups, no collision caveat), pigeonhole
+    // Hamming join over distinct prints only, CC over pair endpoints.
+    "q102_simhash_groups" -> ((s, dir) => {
+      graft.operators.TextDedup.simhashNearDupGroups(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        maxHamming = 2, reliable = ensureCheckpointDir(s))
+    }),
+
+    // CCNet-style exact quantile partitioning WITHOUT the single-task
+    // Window: global row number = range shuffle + per-partition-id
+    // parallel window + ≤numPartitions prefix offsets broadcast back, so
+    // nothing corpus-sized is ever sorted in one task; head/middle/tail
+    // thresholds are exact rank cuts (ceil(frac·n)), not approximations.
+    "q103_quantile_buckets" -> ((s, dir) => {
+      graft.operators.Ranking.quantileBuckets(
+        table(s, dir, "documents").select("doc_id", "n_chars"),
+        Seq(col("n_chars").desc, col("doc_id")),
+        Seq(("head", 0.1), ("middle", 0.4), ("tail", 0.5)))
+    }),
+
+    // Incremental ingest dedup: the odd-id half of the corpus arrives as
+    // a new crawl batch and is admitted/rejected against the even-id half
+    // already ingested — cross-corpus LSH (both sides meet in ONE band
+    // bucket aggregate, never an incoming x existing join), exact-Jaccard
+    // verify, min existing match id per incoming doc.
+    "q104_incremental_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.TextDedup.crossCorpusNearDup(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), threshold = 0.5)
+    }),
+
+    // q104's admission decision served from a PERSISTED index: the even
+    // half's shingle sets and band hashes are built, written, reopened
+    // and the odd half admitted against the stored tables — the full
+    // build->save->open->admit lifecycle (q75's disk-IVF shape for
+    // dedup). Must agree row-for-row with q104's in-flight twin.
+    "q105_disk_dedup_index" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q105-dedup-").toString
+      graft.operators.DedupIndex.save(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+        tmp, threshold = 0.5)
+      graft.operators.DedupIndex.open(s, tmp)
+        .admit(docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
     })
   )
 
@@ -1350,6 +1401,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = staticOracleSql +
     ("q23_simhash_hamming" -> q23OracleSql) +
+    ("q102_simhash_groups" -> q102OracleSql) +
     ("q53_ivf_trained" -> q53OracleSql) +
     ("q100_filtered_ivf" -> q100OracleSql) +
     ("q75_disk_ivf" -> q75OracleSql) +
@@ -1395,6 +1447,32 @@ object SparkEntry {
       |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
       |GROUP BY d.doc_id""".stripMargin
 
+  /** Shared by q104 (in-flight cross-corpus near-dup) and q105 (the
+    * persisted dedup index serving the same admission): odd-half batch
+    * admitted against the even-half corpus, exhaustive shingle-share
+    * candidates, exact-Jaccard threshold, min matched id.
+    */
+  private val crossAdmitOracleSql: String =
+    """WITH big AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+      |    i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS bg
+      |  FROM documents),
+      |inc AS (SELECT * FROM big WHERE doc_id % 2 = 1),
+      |ex  AS (SELECT * FROM big WHERE doc_id % 2 = 0),
+      |cand AS (
+      |  SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+      |  FROM (SELECT doc_id, unnest(bg) AS g FROM inc) i
+      |  JOIN (SELECT doc_id, unnest(bg) AS g FROM ex) e ON i.g = e.g),
+      |m AS (
+      |  SELECT in_id, MIN(ex_id) AS matched_id FROM (
+      |    SELECT in_id, ex_id,
+      |      CAST(len(list_intersect(x.bg, y.bg)) AS DOUBLE) / len(list_distinct(list_concat(x.bg, y.bg))) AS jac
+      |    FROM cand JOIN inc x ON x.doc_id = in_id JOIN ex y ON y.doc_id = ex_id)
+      |  WHERE jac >= 0.5 GROUP BY in_id)
+      |SELECT d.doc_id AS id, m.matched_id, m.matched_id IS NULL AS is_new
+      |FROM documents d LEFT JOIN m ON m.in_id = d.doc_id
+      |WHERE d.doc_id % 2 = 1""".stripMargin
+
   private def centroidValues(cb: Array[Array[Double]]): String =
     cb.zipWithIndex
       .map { case (v, i) => s"($i, [${v.mkString(", ")}]::DOUBLE[])" }
@@ -1426,6 +1504,38 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 2""".stripMargin
+    case None => unavailableOracle
+  }
+
+  /** q102's oracle: the same print literals as q23's, but DuckDB then
+    * computes the TRANSITIVE CLOSURE of the brute-forced Hamming graph
+    * with a recursive CTE and emits per-document cluster assignments —
+    * an independent replay of the whole group-first path (exact-print
+    * collapse + blocked pair join + min-label propagation collapse into
+    * one closure over the brute-force edge set).
+    */
+  private def q102OracleSql: String = lastRunCtx match {
+    case Some((s, dir)) =>
+      val sims = table(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.TextDedup.simhash(col("text")).as("sim"))
+        .collect()
+        .map(r => s"(${r.getLong(0)}, CAST(${r.getLong(1)} AS BIGINT))")
+      s"""WITH RECURSIVE sims(doc_id, sim) AS (VALUES ${sims.mkString(", ")}),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sim, b.sim)) <= 2),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT s.doc_id AS id,
+         |  LEAST(s.doc_id, COALESCE(MIN(r.v), s.doc_id)) AS component,
+         |  LEAST(s.doc_id, COALESCE(MIN(r.v), s.doc_id)) = s.doc_id AS is_canonical
+         |FROM sims s LEFT JOIN reach r ON r.u = s.doc_id
+         |GROUP BY s.doc_id""".stripMargin
     case None => unavailableOracle
   }
 
@@ -2427,6 +2537,28 @@ object SparkEntry {
     // Same closure, group-first engine path: must agree row-for-row with
     // the pair-based q61 — the scale contract differs, the answer doesn't.
     "q99_neardup_groups" -> clusterClosureSql,
+
+    // Cross-corpus admission: exhaustive shingle-share candidates between
+    // the halves (same edge-set caveat as the closure oracles: planted
+    // duplicates sit at J >= 0.9, where the 21x3 LSH miss odds are ~1e-12).
+    "q104_incremental_dedup" -> crossAdmitOracleSql,
+
+    // The persisted-index path must serve the exact same admission
+    // decision as the in-flight q104 — one oracle, two engine paths.
+    "q105_disk_dedup_index" -> crossAdmitOracleSql,
+
+    // Exact-rank quantile slices: the oracle uses the single-partition
+    // window form the engine deliberately avoids — same answer, the
+    // engine's plan just never funnels the corpus through one task.
+    "q103_quantile_buckets" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk,
+        |  CASE WHEN row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |            <= CEIL(0.1 * COUNT(*) OVER ()) THEN 'head'
+        |       WHEN row_number() OVER (ORDER BY n_chars DESC, doc_id)
+        |            <= CEIL(0.5 * COUNT(*) OVER ()) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM documents""".stripMargin,
 
     // The closure's canonical set (component minimum per doc) composed
     // with q36's lang/quality gates — q101's group-first curation.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopKByScore, TopKRowsByScore}
@@ -81,5 +82,88 @@ object Ranking {
     val fused = contribs.groupBy("qid", "nid")
       .agg(sum("contrib").as("score_raw"))
     Similarity.heapSelect(fused, k)
+  }
+
+  /** Global dense row numbering WITHOUT the single-partition Window — the
+    * scale-safe form of `row_number() OVER (ORDER BY ...)`, which Spark
+    * executes by moving the ENTIRE dataset into one task (the classic
+    * 100 TB killer: an unpartitioned Window is a 1-executor sort).
+    *
+    * Shape (the TeraSort decomposition):
+    *   1. `repartitionByRange(sort)` — Spark's own distributed range
+    *      split (one shuffle, sampled boundaries);
+    *   2. local row numbers via a Window partitioned by
+    *      `spark_partition_id()` — every partition sorts and ranks
+    *      itself in parallel (the only sorts in the plan are
+    *      partition-local);
+    *   3. per-partition counts (≤ numPartitions rows) prefix-summed into
+    *      offsets on the tiny side and broadcast back: global row number
+    *      = offset + local.
+    * Both consumers of the range shuffle dedupe to one ReusedExchange —
+    * the corpus is shuffled once, and nothing corpus-sized ever ends up
+    * in a single task.
+    *
+    * `sort` must be a TOTAL order (include a unique tiebreak column) for
+    * the numbering to be deterministic. Emits the input columns plus
+    * `rankName`.
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      sort: Seq[Column],
+      rankName: String = "rnk",
+      numPartitions: Int = 0): DataFrame = {
+    require(sort.nonEmpty, "globalRowNumber needs at least one sort column")
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // no explicit sortWithinPartitions: the rank Window's own local sort
+    // on (_pid, sort) orders each partition exactly once
+    val ranged = df.repartitionByRange(n, sort: _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = ranged.withColumn("_local_rn",
+      row_number().over(Window.partitionBy(col("_pid")).orderBy(sort: _*)))
+    // ≤ n rows: the unpartitioned window over partition COUNTS is fine
+    val offsets = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(
+        sum(col("_cnt")).over(
+          Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rankName, col("_offset") + col("_local_rn"))
+      .drop("_pid", "_local_rn", "_offset")
+  }
+
+  /** CCNet-style quantile partitioning: bucket every row by its global
+    * rank fraction under `sort` (e.g. perplexity or quality order) into
+    * named slices — `("head", 0.1), ("middle", 0.4), ("tail", 0.5)` puts
+    * the best 10% in `head`, the next 40% in `middle`, the rest in
+    * `tail`. Thresholds are EXACT (rank-based, `ceil(cumFrac · total)`),
+    * not approximate-percentile estimates, yet nothing corpus-sized is
+    * ever sorted in one task: this is [[globalRowNumber]] plus a scalar
+    * total broadcast-joined in (the total rides the same ≤ numPartitions
+    * count aggregate — no extra corpus pass).
+    *
+    * Emits the input columns plus `rnk` and `bucket`.
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      sort: Seq[Column],
+      buckets: Seq[(String, Double)],
+      numPartitions: Int = 0): DataFrame = {
+    require(buckets.nonEmpty && math.abs(buckets.map(_._2).sum - 1.0) < 1e-9,
+      s"bucket fractions must sum to 1, got $buckets")
+    val ranked = globalRowNumber(df, sort, "rnk", numPartitions)
+    // total from the un-ranked source: one cheap count scan instead of
+    // re-evaluating the ranked plan's shuffle a second time
+    val total = df.agg(count(lit(1)).as("_total"))
+    val cum = buckets.scanLeft(0.0)(_ + _._2).tail
+    val bucketExpr = buckets.init.zip(cum.init).foldRight(
+        lit(buckets.last._1)) { case (((name, _), cumFrac), elseExpr) =>
+      when(col("rnk") <= ceil(lit(cumFrac) * col("_total")), lit(name))
+        .otherwise(elseExpr)
+    }
+    ranked.join(broadcast(total))
+      .withColumn("bucket", bucketExpr)
+      .drop("_total")
   }
 }

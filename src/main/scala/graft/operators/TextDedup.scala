@@ -204,6 +204,131 @@ object TextDedup {
       .withColumn("is_canonical", col("id") === col("component"))
   }
 
+  /** Cross-corpus incremental near-dup: flag each INCOMING document that
+    * is a near-duplicate (word-shingle Jaccard ≥ `threshold`) of ANY
+    * document in an EXISTING corpus — the admission decision an
+    * incremental ingest pipeline makes per crawl batch (dedup the new
+    * slice against everything already ingested WITHOUT re-clustering the
+    * whole corpus). Distinct from decontamination ([[flagContaminated]]):
+    * that measures raw shingle-overlap counts against a small benchmark
+    * set; this is threshold-Jaccard near-dup against a corpus-sized
+    * reference.
+    *
+    * Returns one row per incoming document:
+    * `(id, matched_id, is_new)` with `matched_id` the MINIMUM existing
+    * doc id among matches (deterministic), null when nothing matched.
+    *
+    * Scale shape: both sides reduce to minhash band hashes at scan time
+    * and meet in ONE bucket aggregate on `(band_idx, band_hash)` — never
+    * an incoming×existing join. Buckets emit only CROSS pairs (incoming ×
+    * existing; same-side pairs are not this operator's job), capped and
+    * observe-metered like [[bucketPairs]]. Exact-Jaccard verify touches
+    * only candidates; the per-incoming-id `min(ex_id)` partial-aggregates
+    * map-side, so a viral page matching thousands of existing docs
+    * shrinks before the shuffle.
+    */
+  def crossCorpusNearDup(
+      incoming: DataFrame,
+      existing: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      threshold: Double = 0.5,
+      shingleSize: Int = 2,
+      numHashes: Int = 63,
+      bands: Int = 21,
+      seed: Long = 42L): DataFrame = {
+    val in = shingleSets(incoming, idCol, textCol, shingleSize)
+    val ex = shingleSets(existing, idCol, textCol, shingleSize)
+    crossAdmitCore(incoming.select(idCol.as("id")),
+      in, bandHashes(in, numHashes, bands, seed),
+      bandHashes(ex, numHashes, bands, seed), ex, threshold)
+  }
+
+  /** Non-empty word-shingle hash sets: `(doc_id, sh)`. Shared by the
+    * in-memory cross-corpus operator and the persisted [[DedupIndex]]
+    * (whose on-disk `sets/` table is exactly this frame).
+    */
+  private[graft] def shingleSets(
+      df: DataFrame, idCol: Column, textCol: Column, shingleSize: Int): DataFrame =
+    df.select(idCol.as("doc_id"),
+        SketchFunctions.wordNgramHashes(lower(textCol), shingleSize, distinct = true).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** LSH band hashes of a pre-shingled `(doc_id, sh)` frame:
+    * `(doc_id, band_idx, band_hash)` — the [[DedupIndex]] `bands/` table.
+    */
+  private[graft] def bandHashes(
+      shingled: DataFrame, numHashes: Int, bands: Int, seed: Long): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    shingled
+      .withColumn("sig", SketchFunctions.minhashSignature(col("sh"), numHashes, seed))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => xxhash64(slice(col("sig"), j * r + 1, lit(r))))))
+      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+  }
+
+  /** The cross-corpus admission core over pre-shingled/banded sides —
+    * shared by [[crossCorpusNearDup]] (both sides computed in-flight) and
+    * [[DiskDedupIndex.admit]] (existing side read back precomputed).
+    */
+  private[graft] def crossAdmitCore(
+      incomingIds: DataFrame,
+      inSets: DataFrame,
+      inBands: DataFrame,
+      exBands: DataFrame,
+      exSets: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = bucketCrossPairs(
+      inBands.withColumn("side", lit("in"))
+        .unionByName(exBands.withColumn("side", lit("ex"))),
+      col("band_idx"), col("band_hash"), col("doc_id"), col("side"))
+    val matches = cand
+      .join(inSets.select(col("doc_id").as("in_id"), col("sh").as("sh_a")), "in_id")
+      .join(exSets.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jac") >= threshold)
+      .groupBy("in_id").agg(min(col("ex_id")).as("matched_id"))
+    incomingIds
+      .join(matches, col("id") === col("in_id"), "left")
+      .select(col("id"), col("matched_id"),
+        col("matched_id").isNull.as("is_new"))
+  }
+
+  /** [[bucketPairs]]'s cross-side twin: distinct (in_id, ex_id) pairs
+    * co-occurring in a bucket, with same-side pairs never generated. Same
+    * one-shuffle group shape, same non-silent cap guard (a bucket whose
+    * total membership exceeds `maxBucketSize` is dropped and counted).
+    */
+  private[graft] def bucketCrossPairs(
+      df: DataFrame,
+      key1: Column,
+      key2: Column,
+      idCol: Column,
+      sideCol: Column,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val buckets = df.groupBy(key1, key2)
+      .agg(
+        array_sort(collect_set(when(sideCol === "in", idCol))).as("in_ids"),
+        array_sort(collect_set(when(sideCol === "ex", idCol))).as("ex_ids"))
+      .observe(s"bucket_cross_pairs_guard_${guardSeq.incrementAndGet()}",
+        coalesce(sum(when(size(col("in_ids")) + size(col("ex_ids")) > maxBucketSize,
+          1L).otherwise(0L)), lit(0L)).as("dropped_buckets"),
+        coalesce(max(size(col("in_ids")) + size(col("ex_ids"))), lit(0)).as("max_bucket_size"),
+        lit(maxBucketSize).as("max_allowed"))
+      .filter(size(col("in_ids")) >= 1 && size(col("ex_ids")) >= 1 &&
+        size(col("in_ids")) + size(col("ex_ids")) <= maxBucketSize)
+    buckets
+      .select(explode(flatten(transform(col("in_ids"), x =>
+        transform(col("ex_ids"), y =>
+          struct(x.as("in_id"), y.as("ex_id")))))).as("p"))
+      .select(col("p.in_id"), col("p.ex_id"))
+      .distinct()
+  }
+
   /** SimHash of the token stream of a text column (multiset weighting). */
   def simhash(text: Column): Column =
     SketchFunctions.simhash64(
@@ -224,6 +349,48 @@ object TextDedup {
       maxHamming: Int = 3): DataFrame =
     hammingPairs(df.select(idCol.as("doc_id"), simhash(textCol).as("sim")),
       maxHamming)
+
+  /** Group-first SimHash clustering: `(id, component, is_canonical)`
+    * directly, without materializing the Hamming pair explosion — the
+    * SimHash twin of [[minhashNearDupGroups]], closing the other
+    * superlinear pair family (a verbatim k-copy class emits k·(k−1)/2
+    * Hamming-0 pairs in the pair path; here it costs one map-side
+    * partial-aggregated groupBy row). Semantically identical to
+    * `ConnectedComponents.clusterPairs(simhashNearDupPairs(...))`.
+    *
+    * The collapse key is even cleaner than MinHash's shingle-set hash:
+    * the 64-bit print ITSELF. Identical prints are Hamming-0 near-dups
+    * by definition (no hash-collision caveat at all — the print is the
+    * similarity object, not a proxy for it), so:
+    *   1. one `groupBy(sim)` elects the min doc id per distinct print;
+    *   2. the pigeonhole-blocked [[hammingPairs]] join runs over one row
+    *      per DISTINCT print (pair counts quadratic in distinct variants,
+    *      not duplicate multiplicity);
+    *   3. min-label propagation runs over the pair endpoints only, and
+    *      members re-attach with one join + coalesce (the rep is its
+    *      print-class minimum, so `coalesce(component, rep)` is the group
+    *      minimum in every case).
+    */
+  def simhashNearDupGroups(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      maxHamming: Int = 3,
+      pointerHalving: Boolean = false,
+      reliable: Boolean = false): DataFrame = {
+    val printed = df.select(idCol.as("doc_id"), simhash(textCol).as("sim"))
+    val reps = printed.groupBy("sim").agg(min(col("doc_id")).as("rep"))
+    val docRep = printed.join(reps, Seq("sim")).select(col("doc_id"), col("rep"))
+    val pairs = hammingPairs(
+      reps.select(col("rep").as("doc_id"), col("sim")), maxHamming)
+    val repComp = ConnectedComponents.runEdgeVertices(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      pointerHalving = pointerHalving, reliable = reliable)
+    docRep.join(repComp, col("rep") === col("id"), "left")
+      .select(col("doc_id").as("id"),
+        coalesce(col("component"), col("rep")).as("component"))
+      .withColumn("is_canonical", col("id") === col("component"))
+  }
 
   /** Pigeonhole-blocked Hamming pairs over ANY precomputed 64-bit sketch
     * (`(doc_id, sim)` input) — the shared engine under text simhash and

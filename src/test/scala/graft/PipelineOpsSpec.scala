@@ -405,6 +405,38 @@ class PipelineOpsSpec extends SparkSpec {
       ("de", 5L, "delta", 1)))
   }
 
+  test("globalRowNumber: matches single-window numbering across many range partitions") {
+    val rows = (1L to 97L).map(i => (i, (i * 37) % 100)).toDF("id", "score")
+    val got = Ranking.globalRowNumber(rows, Seq(col("score").desc, col("id")),
+        numPartitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = rows.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == expected)
+    // plan discipline: every Window in the plan is partitioned by _pid —
+    // a bare `row_number() OVER (ORDER BY ...)` would show an empty
+    // partition spec and funnel the corpus through one task
+    val plan = Ranking.globalRowNumber(rows, Seq(col("score").desc, col("id")),
+        numPartitions = 7)
+      .queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.filter(_.contains("row_number")).forall(_.contains("_pid#")),
+      s"corpus-ranking window not partitioned by _pid:\n$plan")
+  }
+
+  test("quantileBuckets: exact rank cuts, fractions honored on a known frame") {
+    val rows = (1L to 10L).map(i => (i, 100L - i)).toDF("id", "w")
+    val got = Ranking.quantileBuckets(rows, Seq(col("w").desc, col("id")),
+        Seq(("head", 0.1), ("middle", 0.4), ("tail", 0.5)), numPartitions = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // w descends with id, so rank == id; ceil(0.1*10)=1, ceil(0.5*10)=5
+    assert(got(1L) == ((1L, "head")))
+    (2L to 5L).foreach(i => assert(got(i) == ((i, "middle")), s"id $i: ${got(i)}"))
+    (6L to 10L).foreach(i => assert(got(i) == ((i, "tail")), s"id $i: ${got(i)}"))
+  }
+
   test("rrf fusion: rank-sum ordering, single-list candidates survive") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "nid", "rnk")
     val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("qid", "nid", "rnk")

@@ -368,4 +368,120 @@ class TextDedupSpec extends SparkSpec {
       .count()
     assert(pairRows == 190L, s"expected 190 pair rows, got $pairRows")
   }
+
+  test("crossCorpusNearDup: admission flags match brute-force Jaccard, no same-side pairs") {
+    import spark.implicits._
+    val existing = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (4L, "spark query engines love columnar parquet scans with pushdown filters"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (8L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      // verbatim dup of existing 2 AND 8 -> matched_id = min = 2
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      // one-word variant of existing 4 (J well above 0.5)
+      (3L, "spark query engines love columnar parquet scans with pushdown predicates"),
+      // near-dup of another INCOMING doc only -> same-side match must NOT count
+      (5L, "completely novel content about watermark state stores and session gaps"),
+      (7L, "completely novel content about watermark state stores and session windows"),
+      // shingle-less
+      (9L, "solo")
+    ).toDF("doc_id", "text")
+
+    val got = TextDedup.crossCorpusNearDup(incoming, existing,
+        col("doc_id"), col("text"), threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, false)),
+      3L -> ((4L, false)),
+      5L -> ((-1L, true)),
+      7L -> ((-1L, true)),
+      9L -> ((-1L, true))), s"got $got")
+  }
+
+  test("DedupIndex: save->open->admit matches the in-flight operator; append extends the corpus") {
+    import spark.implicits._
+    val existing = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (4L, "spark query engines love columnar parquet scans with pushdown filters"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val lateArrival = Seq(
+      (8L, "watermarks bound streaming state across session gaps and late events")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (3L, "spark query engines love columnar parquet scans with pushdown predicates"),
+      (5L, "watermarks bound streaming state across session gaps and late arrivals"),
+      (7L, "completely novel content nothing in the stored corpus resembles at all")
+    ).toDF("doc_id", "text")
+    def collectAdmit(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))))
+      .toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("dedup-index-spec-").toString
+    graft.operators.DedupIndex.save(existing, col("doc_id"), col("text"), dir,
+      threshold = 0.5)
+    val idx = graft.operators.DedupIndex.open(spark, dir)
+    assert(idx.params.bands == 21 && idx.params.threshold == 0.5)
+
+    val viaIndex = collectAdmit(idx.admit(incoming, col("doc_id"), col("text")))
+    val viaFlight = collectAdmit(TextDedup.crossCorpusNearDup(
+      incoming, existing, col("doc_id"), col("text"), threshold = 0.5))
+    assert(viaIndex == viaFlight, s"index path diverged:\n$viaIndex\nvs\n$viaFlight")
+    // before the append, doc 5's near-match (8) is not in the index
+    assert(viaIndex(5L) == ((-1L, true)))
+
+    idx.append(lateArrival, col("doc_id"), col("text"))
+    val after = collectAdmit(idx.admit(incoming, col("doc_id"), col("text")))
+    assert(after(5L) == ((8L, false)), s"appended doc not matched: ${after(5L)}")
+    assert(after - 5L == viaIndex - 5L, "append changed unrelated admissions")
+  }
+
+  test("simhashNearDupGroups: identical components to the pair+CC path, linear output") {
+    import spark.implicits._
+    // verbatim copy class (identical prints collapse before the Hamming
+    // join), a one-word-swap near-dup within Hamming 3, a transitive
+    // chain, unrelated singletons, and empty/one-token docs (identical
+    // prints — the PAIR path groups those too, so groups must as well)
+    val copies = (100L until 115L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val rows = copies ++ Seq(
+      (10L, "spark query engines love columnar parquet scans with pushdown filters today"),
+      (11L, "spark query engines love columnar parquet scans with pushdown filters tonight"),
+      (30L, "a lone unrelated document about bucketed joins and shuffle exchanges"),
+      (40L, "solo"),
+      (41L, "solo"),
+      (42L, ""),
+      (43L, ""))
+    val df = rows.toDF("doc_id", "text")
+
+    val viaGroups = TextDedup.simhashNearDupGroups(
+        df, col("doc_id"), col("text"), maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val viaPairs = graft.operators.ConnectedComponents.clusterPairs(
+        TextDedup.simhashNearDupPairs(df, col("doc_id"), col("text"), maxHamming = 3),
+        df, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(viaGroups == viaPairs,
+      s"group-first diverged from pair+CC:\n$viaGroups\nvs\n$viaPairs")
+
+    // one row per doc; the copy class maps to min id 100
+    assert(viaGroups.size == rows.size)
+    (100L until 115L).foreach(i => assert(viaGroups(i)._1 == 100L))
+    assert(viaGroups(100L)._2 && !viaGroups(101L)._2)
+    // identical one-word docs share a print => same group (pair-path parity)
+    assert(viaGroups(41L)._1 == viaGroups(40L)._1)
+    assert(viaGroups(43L)._1 == viaGroups(42L)._1)
+    assert(viaGroups(30L) == ((30L, true)))
+
+    // pair path is quadratic on the copy class (105 rows); groups emit 15
+    val pairRows = TextDedup.simhashNearDupPairs(
+        copies.toDF("doc_id", "text"), col("doc_id"), col("text"), maxHamming = 3)
+      .count()
+    assert(pairRows == 105L, s"expected 105 pair rows, got $pairRows")
+  }
 }
