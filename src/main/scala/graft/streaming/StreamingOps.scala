@@ -232,6 +232,36 @@ object StreamingOps {
       }
   }
 
+  /** One micro-batch of an incremental ingest pipeline against a persisted
+    * [[graft.operators.DiskDedupIndex]]: admit the batch (threshold-Jaccard
+    * vs EVERYTHING previously ingested), append the genuinely-new docs so
+    * the NEXT batch dedups against them too, and return the decisions.
+    * Call from `foreachBatch` — the streaming twin of q104/q105's batch
+    * admission, and the exactly-once-ish shape production ingest uses
+    * (append after decide; a replayed batch re-admits the same ids, and
+    * the caller's id uniqueness contract dedups the re-append).
+    *
+    * The batch is local-checkpointed first: it feeds the admission plan
+    * twice (shingle + band sides) and the append, and a MemoryStream /
+    * Kafka batch plan must not re-pull the source per consumer.
+    *
+    * Returns the admission frame `(id, matched_id, is_new)` — already
+    * materialized (the append is an action), so callers can collect or
+    * sink it without re-running admission.
+    */
+  def dedupIngestBatch(
+      index: graft.operators.DiskDedupIndex,
+      batch: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column): DataFrame = {
+    val b = batch.localCheckpoint()
+    val decisions = index.admit(b, idCol, textCol).localCheckpoint()
+    val newIds = decisions.filter(col("is_new")).select(col("id"))
+    index.append(
+      b.join(newIds, idCol === col("id"), "left_semi"), idCol, textCol)
+    decisions
+  }
+
   /** Stream-stream interval join: attribute each purchase to the clicks by
     * the same user in the `horizon` before it (inclusive). Both sides carry
     * watermarks, so Structured Streaming bounds the join buffers — each

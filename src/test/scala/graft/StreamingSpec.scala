@@ -211,6 +211,55 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(10L, 100L, 11L))
   }
 
+  test("streaming ingest: per-batch admission against the disk dedup index, appends gate later batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val existing = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (4L, "spark query engines love columnar parquet scans with pushdown filters")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup-").toString
+    graft.operators.DedupIndex.save(existing, col("doc_id"), col("text"), dir,
+      threshold = 0.5)
+    val idx = graft.operators.DedupIndex.open(spark, dir)
+
+    var decisions = Map.empty[Long, (Long, Boolean)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("doc_id", "text").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        decisions ++= graft.streaming.StreamingOps
+          .dedupIngestBatch(idx, batch, col("doc_id"), col("text"))
+          .collect()
+          .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))))
+      }
+      .start()
+    try {
+      // batch 1: near-dup of stored corpus rejected; novel doc admitted+appended
+      in.addData(
+        (11L, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (13L, "watermarks bound streaming state across session gaps and late events"))
+      q.processAllAvailable()
+      assert(decisions(11L) == ((2L, false)), s"11: ${decisions(11L)}")
+      assert(decisions(13L) == ((-1L, true)), s"13: ${decisions(13L)}")
+      // batch 2: near-dup of the doc ADMITTED in batch 1 must now be
+      // rejected — proves the append feeds subsequent admissions
+      in.addData(
+        (21L, "watermarks bound streaming state across session gaps and late arrival"),
+        (23L, "a wholly unrelated document about broadcast joins and bloom filters"))
+      q.processAllAvailable()
+      assert(decisions(21L) == ((13L, false)), s"21: ${decisions(21L)}")
+      assert(decisions(23L) == ((-1L, true)), s"23: ${decisions(23L)}")
+    } finally q.stop()
+    // the index on disk now holds both corpora: a cold reopen sees them
+    val cold = graft.operators.DedupIndex.open(spark, dir)
+    val replay = cold.admit(
+      Seq((31L, "watermarks bound streaming state across session gaps and late events"))
+        .toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replay(31L) == 13L, s"cold reopen missed appended doc: $replay")
+  }
+
   test("nearDupGateStream admits firsts, drops near-dups across batches, evicts on TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
