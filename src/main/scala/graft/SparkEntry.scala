@@ -1394,6 +1394,45 @@ object SparkEntry {
         tmp, threshold = 0.5)
       graft.operators.DedupIndex.open(s, tmp)
         .admit(docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    }),
+
+    // C4-style line-level cleaning: deterministic multi-line pages (doc
+    // text split into sentence-ish lines + injected boilerplate/code/
+    // unterminated lines), then the line gate — min words, terminal
+    // punctuation, no cookie/JS boilerplate, no code braces. One codegen
+    // HOF projection, zero shuffles; the oracle replays the same string
+    // arithmetic.
+    "q106_line_clean" -> ((s, dir) => {
+      val page = concat(
+        replace(col("text"), lit(" the "), lit(".\n")),
+        lit("\nshort one\nplease enable javascript and cookies to continue.\n" +
+          "var x = { a: 1 };\nthis line just ends without punctuation\n" +
+          "this trailing summary line stays in place."))
+      graft.operators.TextAnalysis.cleanLines(
+        table(s, dir, "documents"), col("doc_id"), page)
+    }),
+
+    // Corpus-wide exact line dedup (CCNet/Dolma paragraph dedup): every
+    // line keeps only its globally-first occurrence. Pages are the same
+    // deterministic multi-line construction (segments + a footer line
+    // every page shares, so the footer survives exactly once corpus-wide).
+    "q107_line_dedup" -> ((s, dir) => {
+      val page = concat(
+        replace(replace(col("text"), lit(" table "), lit("\n")),
+          lit(" the "), lit("\n")),
+        lit("\nshared boilerplate footer line"))
+      graft.operators.TextDedup.dedupLines(
+        table(s, dir, "documents"), col("doc_id"), page)
+    }),
+
+    // Token-distribution drift: the whole corpus vs its German slice,
+    // compared as Laplace-smoothed unigram distributions over the 4096
+    // md5-hex buckets (DSIR's portable bucket) — total variation,
+    // Hellinger, and Jensen-Shannon in one row.
+    "q108_token_drift" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.Profiling.distributionDrift(
+        docs, docs.filter(col("lang") === "de"), col("text"))
     })
   )
 
@@ -3171,6 +3210,98 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM q
         |WHERE lang IN ('en', 'de', 'es') AND quality >= 0.99
-        |  AND doc_id NOT IN (SELECT id_b FROM dups)""".stripMargin
+        |  AND doc_id NOT IN (SELECT id_b FROM dups)""".stripMargin,
+
+    // Same page construction, same four line gates as the engine's
+    // codegen HOF chain — exact string arithmetic on both sides.
+    "q106_line_clean" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    replace(text, ' the ', '.' || chr(10)) || chr(10) || 'short one' || chr(10) ||
+        |    'please enable javascript and cookies to continue.' || chr(10) ||
+        |    'var x = { a: 1 };' || chr(10) ||
+        |    'this line just ends without punctuation' || chr(10) ||
+        |    'this trailing summary line stays in place.' AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+        |k AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, x ->
+        |      len(list_filter(string_split(trim(x), ' '), w -> len(w) > 0)) >= 3
+        |      AND right(trim(x), 1) IN ('.', '!', '?', '"')
+        |      AND NOT contains(lower(trim(x)), 'javascript')
+        |      AND NOT contains(lower(trim(x)), 'cookie')
+        |      AND NOT contains(trim(x), '{')) AS ks
+        |  FROM l)
+        |SELECT doc_id,
+        |  CAST(len(ks) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(ls) - len(ks) AS BIGINT) AS n_lines_dropped,
+        |  array_to_string(list_transform(ks, x -> trim(x)), chr(10)) AS text_clean
+        |FROM k""".stripMargin,
+
+    // Globally-first occurrence per exact line: the engine's
+    // min(struct(doc_id, idx)) election replayed as a row_number window,
+    // then per-doc reassembly in original order.
+    "q107_line_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, ' table ', chr(10)), ' the ', chr(10)) ||
+        |    chr(10) || 'shared boilerplate footer line' AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM src),
+        |lines AS (
+        |  SELECT doc_id, unnest(l) AS line,
+        |    unnest(generate_series(1, len(l))) AS idx
+        |  FROM ls),
+        |firsts AS (
+        |  SELECT doc_id, idx, line FROM lines
+        |  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1),
+        |reb AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY idx) AS text_dedup
+        |  FROM firsts GROUP BY doc_id)
+        |SELECT ls.doc_id,
+        |  COALESCE(reb.n_kept, CAST(0 AS BIGINT)) AS n_lines_kept,
+        |  CAST(len(ls.l) AS BIGINT) - COALESCE(reb.n_kept, CAST(0 AS BIGINT))
+        |    AS n_lines_dropped,
+        |  COALESCE(reb.text_dedup, '') AS text_dedup
+        |FROM ls LEFT JOIN reb ON ls.doc_id = reb.doc_id""".stripMargin,
+
+    // Same 4096 md5-hex buckets (DSIR's digit arithmetic), same Laplace
+    // smoothing over ALL buckets including empties, same three
+    // divergences. TV and Hellinger are rational/sqrt arithmetic
+    // (engine-exact); JS carries ln's last-ulp softness under the shared
+    // 6dp rounding.
+    "q108_token_drift" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> len(t) > 0)) AS t
+        |  FROM documents),
+        |bk AS (
+        |  SELECT lang,
+        |    (strpos('0123456789abcdef', substring(md5(t), 1, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substring(md5(t), 2, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(md5(t), 3, 1)) - 1) AS bkt
+        |  FROM toks),
+        |ca AS (SELECT bkt, COUNT(*) AS na FROM bk GROUP BY bkt),
+        |cb AS (SELECT bkt, COUNT(*) AS nb FROM bk WHERE lang = 'de' GROUP BY bkt),
+        |r AS (SELECT range AS bkt FROM range(4096)),
+        |j AS (
+        |  SELECT r.bkt, COALESCE(ca.na, 0) AS na, COALESCE(cb.nb, 0) AS nb
+        |  FROM r LEFT JOIN ca USING (bkt) LEFT JOIN cb USING (bkt)),
+        |t AS (SELECT CAST(SUM(na) AS DOUBLE) AS ta, CAST(SUM(nb) AS DOUBLE) AS tb FROM j),
+        |p AS (
+        |  SELECT (na + 1.0) / (t.ta + 4096.0) AS pa,
+        |    (nb + 1.0) / (t.tb + 4096.0) AS pb,
+        |    t.ta AS ta, t.tb AS tb
+        |  FROM j CROSS JOIN t)
+        |SELECT
+        |  CAST(MAX(ta) AS BIGINT) AS n_tokens_a,
+        |  CAST(MAX(tb) AS BIGINT) AS n_tokens_b,
+        |  ROUND(SUM(ABS(pa - pb)) / 2.0, 6) + 0.0 AS tv_distance,
+        |  ROUND(SQRT(SUM(POW(SQRT(pa) - SQRT(pb), 2.0)) / 2.0), 6) + 0.0 AS hellinger,
+        |  ROUND((SUM(pa * LN(pa / ((pa + pb) / 2.0)))
+        |       + SUM(pb * LN(pb / ((pa + pb) / 2.0)))) / 2.0, 6) + 0.0 AS js_divergence
+        |FROM p""".stripMargin
   )
 }

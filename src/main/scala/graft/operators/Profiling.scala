@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass table profiling: per-column row/null/distinct counts and
@@ -72,5 +72,60 @@ object Profiling {
         round(lit(lo) + col("bucket") * width, 4).as("lo"),
         round(lit(lo) + (col("bucket") + 1) * width, 4).as("hi"),
         col("cnt"))
+  }
+
+  /** Token-distribution drift between two corpus slices — the monitoring
+    * primitive behind "did this crawl snapshot shift away from the last
+    * one?" / "does the filtered corpus still look like the source?".
+    * Both sides reduce to Laplace-smoothed unigram distributions over the
+    * same 4096 hashed buckets (first 3 md5 hex digits — the repo's
+    * cross-engine-portable bucket, same as DSIR's), so vocabulary size
+    * never matters; the comparison emits three standard divergences:
+    *
+    *   - `tv_distance`   — total variation `½ Σ|p_a − p_b|` (pure rational
+    *     arithmetic, bit-reproducible across engines);
+    *   - `hellinger`     — `sqrt(½ Σ(√p_a − √p_b)²)` (sqrt is correctly
+    *     rounded under IEEE-754, so also engine-exact);
+    *   - `js_divergence` — Jensen–Shannon in nats (symmetric, finite under
+    *     smoothing; `ln` is the one last-ulp-soft term, rounded to 6dp).
+    *
+    * All 4096 buckets participate (including empty ones): under Laplace
+    * smoothing an unobserved bucket still carries `1/(N+4096)` mass, and
+    * the two sides' empties differ whenever their token totals do.
+    *
+    * Scale shape: each side is ONE corpus scan partial-aggregated over
+    * ≤4096 keys (map tasks emit at most 4096 rows regardless of corpus
+    * size); everything after is arithmetic over two 4096-row broadcast
+    * frames. No sort, no wide shuffle, no driver collect of anything
+    * corpus-proportional.
+    *
+    * Returns one row:
+    * `(n_tokens_a, n_tokens_b, tv_distance, hellinger, js_divergence)`.
+    */
+  def distributionDrift(dfA: DataFrame, dfB: DataFrame, textCol: Column): DataFrame = {
+    val buckets = 4096
+    def bucketCounts(df: DataFrame, as: String) = df
+      .select(explode(filter(split(lower(textCol), " "), t => length(t) > 0)).as("t"))
+      .select(conv(substring(md5(col("t")), 1, 3), 16, 10).cast("int").as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as(as))
+    val all = dfA.sparkSession.range(buckets).select(col("id").cast("int").as("bkt"))
+    val joined = all
+      .join(broadcast(bucketCounts(dfA, "na")), Seq("bkt"), "left")
+      .join(broadcast(bucketCounts(dfB, "nb")), Seq("bkt"), "left")
+      .select(col("bkt"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val totals = joined.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val pa = (col("na") + 1.0) / (col("ta") + buckets)
+    val pb = (col("nb") + 1.0) / (col("tb") + buckets)
+    val mid = (pa + pb) / 2.0
+    joined.crossJoin(broadcast(totals))
+      .agg(
+        max(col("ta")).as("n_tokens_a"),
+        max(col("tb")).as("n_tokens_b"),
+        round(sum(abs(pa - pb)) / 2.0, 6).as("tv_distance"),
+        round(sqrt(sum(pow(sqrt(pa) - sqrt(pb), 2.0)) / 2.0), 6).as("hellinger"),
+        round((sum(pa * log(pa / mid)) + sum(pb * log(pb / mid))) / 2.0, 6)
+          .as("js_divergence"))
   }
 }

@@ -269,6 +269,54 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, §2.2): a crawl
+    * document is filtered LINE BY LINE before any document-level gate —
+    * drop lines that are too short, don't end in terminal punctuation,
+    * carry cookie/JavaScript boilerplate, or look like code. Line rules
+    * remove the navigation chrome and consent banners that survive HTML
+    * stripping, which document-level quality scores ([[gopherQualityStats]])
+    * cannot excise without discarding the whole page.
+    *
+    * A line is KEPT iff, after trimming, it
+    *   - has at least `minWords` whitespace-separated words,
+    *   - ends with terminal punctuation (`.` `!` `?` `"`),
+    *   - contains no `blacklist` phrase (case-insensitive), and
+    *   - contains no `{` (the C4 code heuristic).
+    * Kept lines are emitted trimmed, re-joined with `\n`.
+    *
+    * Scale shape: the whole operator is one codegen'd higher-order-function
+    * projection (`split` → `filter` lambda of length/`right-char`/`contains`
+    * tests → `array_join`) — zero shuffles, no regex engine in the hot
+    * path, trivially row-parallel at any corpus size. Every predicate is
+    * exact string arithmetic, so an independent engine replays the output
+    * byte-for-byte.
+    *
+    * Returns `(doc_id, n_lines_kept, n_lines_dropped, text_clean)`.
+    */
+  def cleanLines(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      minWords: Int = 3,
+      blacklist: Seq[String] = Seq("javascript", "cookie")): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val lines = split(textCol, "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      val wc = size(filter(split(t, " "), w => length(w) > 0))
+      val punct = substring(t, -1, 1).isin(".", "!", "?", "\"")
+      val clean = blacklist.foldLeft(punct && wc >= minWords) { (acc, b) =>
+        acc && !contains(lower(t), lit(b.toLowerCase))
+      }
+      clean && !contains(t, lit("{"))
+    })
+    df.select(
+      idCol.as("doc_id"),
+      size(kept).cast("long").as("n_lines_kept"),
+      (size(lines) - size(kept)).cast("long").as("n_lines_dropped"),
+      array_join(transform(kept, l => trim(l)), "\n").as("text_clean"))
+  }
+
   def scrubPii(
       df: DataFrame,
       idCol: Column,

@@ -840,4 +840,55 @@ object TextDedup {
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
+
+  /** Corpus-wide EXACT line deduplication (the CCNet/Dolma paragraph-dedup
+    * family): every line that appears anywhere else in the corpus keeps
+    * exactly its globally-first occurrence — the copy with the minimum
+    * `(doc_id, line_idx)` — and every other occurrence is removed from its
+    * document. Distinct from the span operators ([[stripDuplicateSpans]]):
+    * those chase duplicated token WINDOWS across line boundaries; this is
+    * the cheap whole-line pass crawl pipelines run first, because nav
+    * chrome and consent banners repeat VERBATIM as whole lines millions of
+    * times.
+    *
+    * Scale shape: three hash-partitioned stages, nothing quadratic —
+    *   1. line stream: `posexplode(split)` at scan speed;
+    *   2. first-occurrence election: `groupBy(line)` with
+    *      `min(struct(doc_id, idx))` — partial aggregation collapses a
+    *      million-copy banner to one row per map task BEFORE the shuffle,
+    *      so shuffle volume is bounded by distinct-line count, and the
+    *      kept occurrences fall straight out of the aggregate (no join
+    *      back onto the fat exploded stream);
+    *   3. rebuild: `groupBy(doc_id)` re-assembles surviving lines in
+    *      original order; one id-equi left join re-attaches docs whose
+    *      every line lost its election (they emit empty text, n_kept=0).
+    *
+    * Returns one row per input document:
+    * `(doc_id, n_lines_kept, n_lines_dropped, text_dedup)`.
+    */
+  def dedupLines(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val docs = df.select(idCol.as("doc_id"), split(textCol, "\n").as("ls"))
+    val lines = docs.select(col("doc_id"),
+      posexplode(col("ls")).as(Seq("idx", "line")))
+    // min(struct) orders by (doc_id, idx) lexicographically = the
+    // globally-first occurrence; carrying idx in the struct makes the
+    // winner unique, so the output is deterministic.
+    val kept = lines
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.idx").as("idx"),
+        col("line"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line")), "\n").as("text_dedup"))
+    docs.select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_dropped"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -344,6 +344,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"stripHtml must not shuffle:\n$plan")
   }
 
+  test("cleanLines: C4 line gates — words, punctuation, boilerplate, code, trim") {
+    val docs = Seq(
+      (1L, "this line is fine.\nshort.\nno punct here at all\n" +
+        "please accept Cookies now.\nint f() { return 1; }\n" +
+        "another good line stays here!"),
+      (2L, "   padded line also stays here?   \nJavaScript required to view"),
+      (3L, "")).toDF("id", "t")
+    val got = graft.operators.TextAnalysis.cleanLines(docs, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: 6 lines; keeps the 4-word "." line and the "!" line; drops
+    // the 1-worder, the unterminated line, the cookie banner (case-
+    // insensitive), and the braced code line
+    assert(got(1L) == ((2L, 4L,
+      "this line is fine.\nanother good line stays here!")), s"got ${got(1L)}")
+    // doc 2: rules run on the TRIMMED line, output is emitted trimmed;
+    // the javascript line dies to the blacklist (and no terminal punct)
+    assert(got(2L) == ((1L, 1L, "padded line also stays here?")), s"got ${got(2L)}")
+    // empty text: one empty line, dropped
+    assert(got(3L) == ((0L, 1L, "")), s"got ${got(3L)}")
+    // zero shuffles: one codegen HOF projection
+    val plan = graft.operators.TextAnalysis.cleanLines(docs, col("id"), col("t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cleanLines must not shuffle:\n$plan")
+  }
+
+  test("distributionDrift: zero on identical slices, positive and symmetric on disjoint ones") {
+    val a = Seq("aa aa bb", "cc aa").toDF("t")
+    val b = Seq("dd ee", "dd dd ff").toDF("t")
+    // identical corpora: every bucket has pa == pb exactly → all-zero drift
+    val same = graft.operators.Profiling.distributionDrift(a, a, col("t")).collect()(0)
+    assert(same.getLong(0) == 5L && same.getLong(1) == 5L)
+    assert(same.getDouble(2) == 0.0 && same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0)
+    // disjoint vocabularies: strictly positive, bounded drift
+    val diff = graft.operators.Profiling.distributionDrift(a, b, col("t")).collect()(0)
+    assert(diff.getLong(0) == 5L && diff.getLong(1) == 5L)
+    val (tv, he, js) = (diff.getDouble(2), diff.getDouble(3), diff.getDouble(4))
+    assert(tv > 0.0 && tv <= 1.0, s"tv=$tv")
+    assert(he > 0.0 && he <= 1.0, s"hellinger=$he")
+    assert(js > 0.0 && js <= math.log(2) + 1e-9, s"js=$js")
+    // symmetry: all three divergences are symmetric in (A, B)
+    val rev = graft.operators.Profiling.distributionDrift(b, a, col("t")).collect()(0)
+    assert(rev.getDouble(2) == tv && rev.getDouble(3) == he && rev.getDouble(4) == js)
+  }
+
   test("scrubPii: detects and redacts each class, ip wins over phone on dotted quads") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@sub.example.org or admin@example.com thanks"),

@@ -484,4 +484,35 @@ class TextDedupSpec extends SparkSpec {
       .count()
     assert(pairRows == 105L, s"expected 105 pair rows, got $pairRows")
   }
+
+  test("dedupLines: each line keeps only its globally-first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "z"),
+      (1L, "a\nb\na"),   // within-doc dup: third line is a repeat of the first
+      (2L, "b\nc"),      // "b" already seen in doc 1
+      (3L, "a\nb"),      // every line lost → empty doc survives with n_kept=0
+      (4L, "q\na\nr")).toDF("doc_id", "text") // kept lines keep original order
+    val got = TextDedup.dedupLines(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.size == 5)
+    assert(got(0L) == ((1L, 0L, "z")))
+    assert(got(1L) == ((2L, 1L, "a\nb")), s"got ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, "c")))
+    assert(got(3L) == ((0L, 2L, "")), s"all-lost doc must re-attach: ${got(3L)}")
+    assert(got(4L) == ((2L, 1L, "q\nr")), s"order must survive: ${got(4L)}")
+    // election is by (doc_id, idx), not arrival order: re-keying doc 0 above
+    // doc 1 moves "a"'s first occurrence into doc 1... (z is unique either way)
+    val rekeyed = docs.withColumn("doc_id",
+      when(col("doc_id") === 0L, lit(9L)).otherwise(col("doc_id")))
+    val got2 = TextDedup.dedupLines(rekeyed, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got2(9L) == "z" && got2(1L) == "a\nb")
+    // never quadratic: no cartesian/broadcast-nested-loop in the plan
+    val plan = TextDedup.dedupLines(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"dedupLines must stay key-partitioned:\n$plan")
+  }
 }
