@@ -1433,7 +1433,28 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       graft.operators.Profiling.distributionDrift(
         docs, docs.filter(col("lang") === "de"), col("text"))
-    })
+    }),
+
+    // Corpus overlap matrix: exact pairwise shingle-set Jaccard between
+    // sources — the provenance view a multi-source mix needs before
+    // weights are chosen. Never a shingle self-join: collect_set(source)
+    // per shingle (bounded by the source count), pair-explode that.
+    "q109_overlap_matrix" -> ((s, dir) =>
+      graft.operators.Profiling.overlapMatrix(
+        table(s, dir, "documents"), col("source"), col("text"))),
+
+    // Content-defined chunking dedup stats: every page gets the same
+    // disclaimer paragraph appended; rolling-hash boundaries re-align
+    // inside it regardless of the doc-specific prefix, so its chunks
+    // dedup corpus-wide — the content-addressed-storage saving measured
+    // in one row. O(n) codegen chunker, one content-keyed shuffle.
+    "q110_cdc_chunks" -> ((s, dir) =>
+      graft.operators.Chunking.cdcDedupStats(
+        table(s, dir, "documents").select(concat(col("text"),
+          lit(" meanwhile the standard disclaimer paragraph follows and it " +
+            "is identical on every page of this crawl so content defined " +
+            "chunks align and deduplicate across documents")).as("t")),
+        col("t"), window = 8, divisor = 32))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3302,6 +3323,66 @@ object SparkEntry {
         |  ROUND(SQRT(SUM(POW(SQRT(pa) - SQRT(pb), 2.0)) / 2.0), 6) + 0.0 AS hellinger,
         |  ROUND((SUM(pa * LN(pa / ((pa + pb) / 2.0)))
         |       + SUM(pb * LN(pb / ((pa + pb) / 2.0)))) / 2.0, 6) + 0.0 AS js_divergence
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // Distinct-bigram sets per source, exhaustive pair overlap. (Engine
+    // counts distinct xxhash64 shingle hashes, the oracle distinct
+    // strings — same 2^-64 collision caveat as the LSH oracles.)
+    "q109_overlap_matrix" ->
+      """WITH big AS (
+        |  SELECT source, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+        |    i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |         string_split(lower(text), ' ')[i+1])) AS bg
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source AS g, unnest(bg) AS s FROM big),
+        |sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY g),
+        |co AS (
+        |  SELECT a.g AS ga, b.g AS gb, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM sh a JOIN sh b USING (s) WHERE a.g < b.g GROUP BY 1, 2)
+        |SELECT sa.g AS group_a, sb.g AS group_b, sa.n AS n_a, sb.n AS n_b,
+        |  COALESCE(co.c, CAST(0 AS BIGINT)) AS n_common,
+        |  ROUND(CAST(COALESCE(co.c, 0) AS DOUBLE)
+        |    / (sa.n + sb.n - COALESCE(co.c, 0)), 6) + 0.0 AS jaccard
+        |FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+        |LEFT JOIN co ON co.ga = sa.g AND co.gb = sb.g""".stripMargin,
+
+    // Independent O(n·w) replay of the rolling hash: per-position Horner
+    // sum over the trailing 8 code points (31^i literals, exact BIGINT
+    // arithmetic — the engine's modulus-free hash was designed for this),
+    // boundary positions -> substring slicing -> chunk-frequency stats.
+    "q110_cdc_chunks" ->
+      """WITH src AS (
+        |  SELECT doc_id, text || ' meanwhile the standard disclaimer paragraph follows and it is identical on every page of this crawl so content defined chunks align and deduplicate across documents' AS t
+        |  FROM documents),
+        |cp AS (SELECT doc_id, t,
+        |  list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)) AS cps FROM src),
+        |hb AS (
+        |  SELECT doc_id, t, len(cps) AS n,
+        |    list_filter(range(8, len(cps) + 1), j ->
+        |      (cps[j]*1 + cps[j-1]*31 + cps[j-2]*961 + cps[j-3]*29791
+        |       + cps[j-4]*923521 + cps[j-5]*28629151 + cps[j-6]*887503681
+        |       + cps[j-7]*27512614111) % 32 = 0) AS bs
+        |  FROM cp),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+        |         WHEN n < 8 THEN [t]
+        |         ELSE list_transform(range(1, len(fb)), k ->
+        |           substring(t, CAST(fb[k] + 1 AS INT), CAST(fb[k+1] - fb[k] AS INT)))
+        |    END AS chunks
+        |  FROM (SELECT doc_id, t, n,
+        |          list_concat([CAST(0 AS BIGINT)],
+        |            CASE WHEN len(bs) > 0 AND bs[len(bs)] = n THEN bs
+        |                 ELSE list_concat(bs, [n]) END) AS fb
+        |        FROM hb)),
+        |ce AS (SELECT doc_id, unnest(chunks) AS c FROM ch),
+        |g AS (SELECT c, COUNT(*) AS cnt FROM ce GROUP BY c)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+        |  CAST(SUM(cnt * len(c)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(c)) AS BIGINT) AS distinct_chars,
+        |  ROUND(CAST(SUM(len(c)) AS DOUBLE) / SUM(cnt * len(c)), 6) + 0.0 AS dedup_ratio
+        |FROM g""".stripMargin
   )
 }

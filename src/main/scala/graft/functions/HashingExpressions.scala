@@ -175,4 +175,7 @@ object SketchFunctions {
 
   def wordNgramHashes(text: Column, n: Int, distinct: Boolean): Column =
     GraftSqlBridge.column(WordNgramHashes(GraftSqlBridge.expression(text), n, distinct))
+
+  def cdcChunks(text: Column, window: Int = 8, divisor: Int = 64): Column =
+    GraftSqlBridge.column(CdcChunks(GraftSqlBridge.expression(text), window, divisor))
 }

@@ -142,4 +142,47 @@ object Chunking {
         array_join(slice(col("toks"), col("seg_start") + 1, col("seg_len")), " ")
           .as("seg_text"))
   }
+
+  /** Content-defined-chunking dedup statistics: chunk every document with
+    * the rolling-hash boundary rule ([[graft.functions.CdcChunks]]) and
+    * measure how much of the corpus is REDUNDANT at chunk granularity —
+    * the number a content-addressed store (or a CDC-based dedup pass over
+    * crawl snapshots) would actually save. Because boundaries are
+    * content-defined, the stats survive insertions/edits: a one-word edit
+    * re-chunks one chunk, and every other chunk still counts as a
+    * duplicate of the previous snapshot's.
+    *
+    * Returns ONE row:
+    * `(n_chunks, n_distinct_chunks, total_chars, distinct_chars,
+    * dedup_ratio)` with `dedup_ratio = distinct_chars / total_chars`
+    * (6dp) — the fraction of corpus characters a content-addressed store
+    * must keep.
+    *
+    * Scale shape: chunking is the O(n) codegen expression at scan speed;
+    * the ONLY shuffle groups by chunk content, where partial aggregation
+    * collapses every repeated chunk map-side (a million-copy boilerplate
+    * chunk crosses the wire once per task, like [[TextDedup.dedupLines]]'
+    * election); the final stats agg reduces ≤one row per distinct chunk
+    * to a single row. At 100 TB swap the chunk-string grouping key for
+    * `xxhash64(chunk)` to bound shuffle-key bytes — kept as the string
+    * here so the oracle compare is collision-free.
+    */
+  def cdcDedupStats(
+      df: DataFrame,
+      textCol: Column,
+      window: Int = 8,
+      divisor: Int = 64): DataFrame = {
+    df.select(explode(graft.functions.SketchFunctions.cdcChunks(
+        textCol, window, divisor)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("cnt") * length(col("c")).cast("long")).as("total_chars"),
+        sum(length(col("c")).cast("long")).as("distinct_chars"))
+      .select(col("n_chunks"), col("n_distinct_chunks"), col("total_chars"),
+        col("distinct_chars"),
+        round(col("distinct_chars").cast("double") / col("total_chars"), 6)
+          .as("dedup_ratio"))
+  }
 }

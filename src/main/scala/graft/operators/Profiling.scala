@@ -128,4 +128,60 @@ object Profiling {
         round((sum(pa * log(pa / mid)) + sum(pb * log(pb / mid))) / 2.0, 6)
           .as("js_divergence"))
   }
+
+  /** Pairwise content-overlap matrix between corpus slices (sources,
+    * crawl snapshots, language shards): EXACT shingle-set Jaccard for
+    * every pair of groups — "how much of source A is also in source B?",
+    * the provenance/contamination view a multi-source training mix needs
+    * before weights are chosen ([[graft.operators.Sampling.weightedMix]]).
+    *
+    * Semantics: per group, the DISTINCT set of word-`shingleSize`-gram
+    * hashes of the lowercased text; per pair `(a < b)`, `n_common` the
+    * distinct shingles in both and `jaccard = common / (n_a + n_b −
+    * common)`. Pairs with zero overlap are emitted too (a monitoring
+    * matrix with silently missing cells reads as "no data", not "no
+    * overlap").
+    *
+    * Scale shape: never a shingle-stream self-join. One distinct pass
+    * over `(group, shingle)` — partial-aggregated, shuffle bounded by
+    * distinct volume — then `collect_set(group)` per shingle (bounded by
+    * the number of groups, a metadata cardinality) and pair explosion of
+    * that tiny set; per-group sizes and the final matrix assembly are
+    * ≤groups² rows joined broadcast. Corpus bytes are touched exactly
+    * once.
+    *
+    * Returns `(group_a, group_b, n_a, n_b, n_common, jaccard)`, one row
+    * per unordered group pair, jaccard rounded to 6dp.
+    */
+  def overlapMatrix(
+      df: DataFrame,
+      groupCol: Column,
+      textCol: Column,
+      shingleSize: Int = 2): DataFrame = {
+    import graft.functions.SketchFunctions
+    val sh = df.select(groupCol.cast("string").as("g"),
+        explode(SketchFunctions.wordNgramHashes(lower(textCol), shingleSize,
+          distinct = true)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
+    // group-set per shingle is bounded by the group count; emit each
+    // unordered pair once (the set arrives sorted)
+    val common = sh.groupBy("s").agg(sort_array(collect_set(col("g"))).as("gs"))
+      .filter(size(col("gs")) > 1)
+      .select(explode(flatten(transform(col("gs"), (x, i) =>
+        transform(slice(col("gs"), i + 2, greatest(size(col("gs")) - i - 1, lit(0))),
+          y => struct(x.as("ga"), y.as("gb")))))).as("p"))
+      .groupBy(col("p.ga"), col("p.gb")).agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.select(col("g").as("group_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("g").as("group_b"), col("n").as("n_b"))))
+      .filter(col("group_a") < col("group_b"))
+    pairs
+      .join(broadcast(common),
+        col("group_a") === col("ga") && col("group_b") === col("gb"), "left")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))), 6)
+          .as("jaccard"))
+  }
 }

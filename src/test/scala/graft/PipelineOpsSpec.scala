@@ -389,6 +389,71 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rev.getDouble(2) == tv && rev.getDouble(3) == he && rev.getDouble(4) == js)
   }
 
+  test("overlapMatrix: exact pairwise shingle Jaccard incl. zero-overlap cells") {
+    val docs = Seq(
+      ("g1", "a b c"), ("g1", "b c d"), // g1 bigrams {a b, b c, c d}
+      ("g2", "a b x"),                  // g2 bigrams {a b, b x}
+      ("g3", "zz yy")                   // g3 bigrams {zz yy}
+    ).toDF("src", "t")
+    val got = graft.operators.Profiling.overlapMatrix(docs, col("src"), col("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // full matrix: every unordered pair appears, zero-overlap included
+    assert(got.size == 3)
+    assert(got(("g1", "g2")) == ((3L, 2L, 1L, 0.25)), s"got ${got(("g1", "g2"))}")
+    assert(got(("g1", "g3")) == ((3L, 1L, 0L, 0.0)))
+    assert(got(("g2", "g3")) == ((2L, 1L, 0L, 0.0)))
+    // never a shingle-stream self-join: the only product is the broadcast
+    // groups-x-groups matrix frame, not a CartesianProduct of shingles
+    val plan = graft.operators.Profiling.overlapMatrix(docs, col("src"), col("t"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"overlapMatrix must not cartesian the shingle stream:\n$plan")
+  }
+
+  test("cdcChunks: rolling-hash boundaries, reconstruction, edit-survival, edge docs") {
+    import graft.functions.SketchFunctions
+    def run(ts: String*): Seq[Seq[String]] = ts.map(Tuple1(_)).toDF("t")
+      .select(SketchFunctions.cdcChunks(col("t"), 8, 32).as("c"))
+      .collect().toSeq.map(_.getSeq[String](0))
+    // hand-verified reference chunking (independent per-position replay)
+    val fox = "the quick brown fox jumps over the lazy dog again and again the quick brown fox"
+    assert(run(fox).head ==
+      Seq("the quick brown fox jumps over th",
+        "e lazy dog again and again the quick brown fox"))
+    // edges: empty -> no chunks; shorter than the window -> one whole chunk
+    assert(run("").head.isEmpty)
+    assert(run("tiny").head == Seq("tiny"))
+    // chunks always reconstruct the input exactly
+    for ((t, cs) <- Seq(fox, "tiny", "", "a" * 100).zip(run(fox, "tiny", "", "a" * 100)))
+      assert(cs.mkString == t, s"reconstruction failed for '$t'")
+    // the CDC property: two documents sharing a long suffix re-align on
+    // content-defined boundaries, so their trailing chunks are IDENTICAL
+    // even though their prefixes (and so all offsets) differ
+    val suffix = " meanwhile the standard disclaimer paragraph follows and it " +
+      "is identical on every page of this crawl so content defined chunks " +
+      "align and deduplicate across documents"
+    val Seq(a, b) = run("doc one says something unique here." + suffix,
+      "a totally different second document prefix!" + suffix)
+    assert(a.takeRight(2) == b.takeRight(2),
+      s"shared suffix must re-chunk identically:\n$a\nvs\n$b")
+    // chunking itself is a zero-shuffle codegen projection
+    val plan = Seq(Tuple1(fox)).toDF("t")
+      .select(SketchFunctions.cdcChunks(col("t"), 8, 32))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cdcChunks must not shuffle:\n$plan")
+    // dedup stats: exact on a corpus of one duplicated short doc
+    val stats = graft.operators.Chunking.cdcDedupStats(
+      Seq("tiny", "tiny", "other").map(Tuple1(_)).toDF("t"), col("t"), 8, 32)
+      .collect()(0)
+    // chunks: "tiny" x2 + "other" -> 3 total, 2 distinct; chars 4+4+5 /
+    // distinct 4+5
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3)) ==
+      ((3L, 2L, 13L, 9L)), s"got $stats")
+    assert(stats.getDouble(4) == math.rint(9.0 / 13.0 * 1e6) / 1e6 ||
+      stats.getDouble(4) == BigDecimal(9.0 / 13.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("scrubPii: detects and redacts each class, ip wins over phone on dotted quads") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@sub.example.org or admin@example.com thanks"),
