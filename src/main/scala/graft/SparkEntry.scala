@@ -1454,7 +1454,15 @@ object SparkEntry {
           lit(" meanwhile the standard disclaimer paragraph follows and it " +
             "is identical on every page of this crawl so content defined " +
             "chunks align and deduplicate across documents")).as("t")),
-        col("t"), window = 8, divisor = 32))
+        col("t"), window = 8, divisor = 32)),
+
+    // Interpolated-bigram LM scoring with BINDING table caps (vocab 30,
+    // bigrams 200) so the bounded-heap selection semantics — not just the
+    // probabilities — are what the oracle replays.
+    "q111_bigram_logprob" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bigramLogProbScore(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        vocabSize = 30, bigramTable = 200))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3383,6 +3391,45 @@ object SparkEntry {
         |  CAST(SUM(cnt * len(c)) AS BIGINT) AS total_chars,
         |  CAST(SUM(len(c)) AS BIGINT) AS distinct_chars,
         |  ROUND(CAST(SUM(len(c)) AS DOUBLE) / SUM(cnt * len(c)), 6) + 0.0 AS dedup_ratio
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // Same heap-selection replay as q80 (count desc, key asc, rank cap)
+    // for BOTH tables; same interpolation arithmetic, 4dp-rounded ln.
+    "q111_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+        |cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        |vocab AS (
+        |  SELECT term, c FROM (
+        |    SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rn FROM cnt)
+        |  WHERE rn <= 30),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cnt),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+        |bcnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+        |btab AS (
+        |  SELECT w1, w2, c FROM (
+        |    SELECT w1, w2, c,
+        |      ROW_NUMBER() OVER (ORDER BY c DESC, w1 || ' ' || w2 ASC) AS rn
+        |    FROM bcnt)
+        |  WHERE rn <= 200),
+        |p AS (
+        |  SELECT bg.doc_id,
+        |    -- (1.0 - 0.7) evaluated, not a 0.3 literal: the engine builds
+        |    -- its backoff weight as 1.0-lambda, one IEEE ulp off of 0.3
+        |    0.7 * least(1.0, COALESCE(CAST(bt.c AS DOUBLE), 0.0)
+        |        / COALESCE(CAST(v1.c AS DOUBLE), 0.5))
+        |    + (1.0 - 0.7) * (COALESCE(CAST(v2.c AS DOUBLE), 0.5) / n_total) AS prob
+        |  FROM bg
+        |  LEFT JOIN btab bt ON bg.w1 = bt.w1 AND bg.w2 = bt.w2
+        |  LEFT JOIN vocab v1 ON bg.w1 = v1.term
+        |  LEFT JOIN vocab v2 ON bg.w2 = v2.term
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(ln(prob)), 4) + 0.0 AS logprob
+        |FROM p GROUP BY doc_id""".stripMargin
   )
 }

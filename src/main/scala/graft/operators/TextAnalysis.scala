@@ -217,6 +217,82 @@ object TextAnalysis {
             / col("n_total"))), 4) + lit(0.0)).as("logprob"))
   }
 
+  /** Interpolated-bigram language-model score — the CCNet-family
+    * perplexity filter one rung up from [[unigramLogProbScore]]: each
+    * document is scored by the average log-probability of its bigram
+    * transitions under a model trained on the corpus itself,
+    * `P(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N` — repetitive
+    * machine-generated text scores high, token-salad scores low, and the
+    * conditional term catches phrase-level fluency a unigram model is
+    * blind to.
+    *
+    * Bounded-model discipline (the 100 TB part): the unigram vocabulary
+    * caps at `vocabSize` and the bigram table at `bigramTable`, both
+    * selected corpus-wide by the string-keyed bounded heap
+    * ([[graft.functions.TopKByStrKey]], count desc / key asc — map tasks
+    * reduce to ≤k entries before the one tiny stats shuffle). Out-of-table
+    * terms fall back to `oovCount`; out-of-table bigrams to the pure
+    * backoff `(1−λ)·P_uni(w₂)`. The conditional's denominator is the
+    * CAPPED vocab count (oov fallback), clamped to ≤1 — every term is
+    * rational arithmetic over broadcast maps, so an independent engine
+    * replays it exactly; only the final `ln` is transcendental, absorbed
+    * by 4dp rounding like q80.
+    *
+    * Scale shape: two partial-agg count shuffles (terms, bigrams), two
+    * bounded-heap stats aggs broadcast back, one doc-keyed partial-agg
+    * scoring shuffle. No token-stream joins, no global sorts.
+    *
+    * Returns `(doc_id, n_bigrams, logprob)` — one row per document with
+    * at least one bigram (≥2 tokens).
+    */
+  def bigramLogProbScore(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      vocabSize: Int = 50000,
+      bigramTable: Int = 200000,
+      lambda: Double = 0.7,
+      oovCount: Double = 0.5): DataFrame = {
+    require(vocabSize > 0 && bigramTable > 0, "table sizes must be > 0")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
+    val docs = df.select(idCol.as("doc_id"), toks.as("ts"))
+    val m = greatest(size(col("ts")) - 1, lit(0))
+    val pairs = zip_with(
+      slice(col("ts"), lit(1), m), slice(col("ts"), lit(2), m),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bgE = docs.select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val tokE = docs.select(explode(col("ts")).as("term"))
+    val uniStats = tokE.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .agg(
+        graft.functions.TopKByStrKey.topK(
+          col("cnt").cast("double"), col("term"), vocabSize).as("tk"),
+        sum("cnt").cast("double").as("n_total"))
+      .select(map_from_arrays(
+        transform(col("tk"), e => e.getField("id")),
+        transform(col("tk"), e => e.getField("score"))).as("vocab"),
+        col("n_total"))
+    val bgStats = bgE.select(concat_ws(" ", col("w1"), col("w2")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .agg(graft.functions.TopKByStrKey.topK(
+        col("cnt").cast("double"), col("bg"), bigramTable).as("tk"))
+      .select(map_from_arrays(
+        transform(col("tk"), e => e.getField("id")),
+        transform(col("tk"), e => e.getField("score"))).as("bgmap"))
+    val cond = least(lit(1.0),
+      coalesce(element_at(col("bgmap"), concat_ws(" ", col("w1"), col("w2"))),
+        lit(0.0)) /
+        coalesce(element_at(col("vocab"), col("w1")), lit(oovCount)))
+    val puni = coalesce(element_at(col("vocab"), col("w2")), lit(oovCount)) /
+      col("n_total")
+    bgE.crossJoin(broadcast(uniStats)).crossJoin(broadcast(bgStats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(avg(log(lit(lambda) * cond + lit(1.0 - lambda) * puni)), 4)
+          + lit(0.0)).as("logprob"))
+  }
+
   /** A PII class: display name (column suffix), detection regex, and the
     * replacement token. Patterns stay inside the RE2-compatible subset
     * (character classes, bounded quantifiers, optional groups, `\b`) so

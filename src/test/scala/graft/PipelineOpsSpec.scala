@@ -411,6 +411,35 @@ class PipelineOpsSpec extends SparkSpec {
       s"overlapMatrix must not cartesian the shingle stream:\n$plan")
   }
 
+  test("bigramLogProbScore: fluent text outscores token salad, exact interpolated values") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "mat on cat the sat zz"), // same-ish vocabulary, shuffled = no phrase fluency
+      (4L, "solo")                   // <2 tokens: no bigram positions, no output row
+    ).toDF("id", "t")
+    val got = graft.operators.TextAnalysis.bigramLogProbScore(
+        docs, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // hand-computed against the documented model (uncapped tables here):
+    // P(w2|w1) = 0.7*c(w1w2)/c(w1) + (1-0.7)*c(w2)/16, avg ln, 4dp
+    assert(got.size == 3, s"1-token docs emit no row: $got")
+    assert(got(1L) == ((5L, -1.052)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, -0.7746)), s"got ${got(2L)}")
+    assert(got(3L) == ((5L, -1.1735)), s"got ${got(3L)}")
+    // the phrase-fluency ordering a unigram model cannot see: doc 3 uses
+    // (almost) the same words as doc 1 but scores strictly lower
+    assert(got(3L)._2 < got(1L)._2 && got(1L)._2 < got(2L)._2)
+    // binding caps stay deterministic (heap tie-break = count desc, term asc)
+    val capped = graft.operators.TextAnalysis.bigramLogProbScore(
+        docs, col("id"), col("t"), vocabSize = 2, bigramTable = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val capped2 = graft.operators.TextAnalysis.bigramLogProbScore(
+        docs, col("id"), col("t"), vocabSize = 2, bigramTable = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(capped == capped2 && capped.size == 3)
+  }
+
   test("cdcChunks: rolling-hash boundaries, reconstruction, edit-survival, edge docs") {
     import graft.functions.SketchFunctions
     def run(ts: String*): Seq[Seq[String]] = ts.map(Tuple1(_)).toDF("t")
