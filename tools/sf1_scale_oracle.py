@@ -20,6 +20,13 @@ sf1 ran >40 minutes and died):
   q82  every w-token window now occurs >= 10 times corpus-wide, so every
        doc with >= w tokens collapses to ONE maximal span covering the
        whole document (start 0, length n_tokens, text = tokens re-joined).
+  q107 line dedup elects the minimum (doc_id, idx) occurrence and every
+       replica-0 id sorts below every replica-r>0 id, so replica 0's
+       rows equal the sf0.1 result exactly and every replica-r>0 doc
+       loses ALL its lines (n_kept=0, empty text).
+  q110 CDC chunk stats: replicas chunk identically (boundaries are
+       content-defined), so totals scale x10 while distinct counts are
+       unchanged and dedup_ratio becomes distinct/(10*total).
 
 This is exactly the regime the bucket caps (maxBucketSize) were built
 for: LSH/chunk buckets are 10x hotter, and any silent cap-fire or
@@ -57,7 +64,8 @@ def main():
     # results are oracle-verified every round, and the replication algebra
     # then tests whether the big-SF run's guards silently diverged).
     base_from_engine = os.environ.get("BASE_FROM_ENGINE") == "1"
-    for q in ("q22_minhash_neardup", "q23_simhash_hamming", "q61_dedup_clusters"):
+    for q in ("q22_minhash_neardup", "q23_simhash_hamming", "q61_dedup_clusters",
+              "q107_line_dedup", "q110_cdc_chunks"):
         short = q.split("_")[0]
         if base_from_engine:
             con.sql(f"CREATE TABLE base_{short} AS "
@@ -111,6 +119,21 @@ def main():
         CAST(len(ts) AS INT) AS span_tokens,
         array_to_string(ts, ' ') AS span_text
       FROM toks t, reps r WHERE len(ts) >= 8"""
+
+    expected["q107_line_dedup"] = f"""
+      SELECT b.doc_id + r.r * {SHIFT} AS doc_id,
+        CASE WHEN r.r = 0 THEN b.n_lines_kept ELSE 0 END AS n_lines_kept,
+        CASE WHEN r.r = 0 THEN b.n_lines_dropped
+             ELSE b.n_lines_kept + b.n_lines_dropped END AS n_lines_dropped,
+        CASE WHEN r.r = 0 THEN b.text_dedup ELSE '' END AS text_dedup
+      FROM base_q107 b, reps r"""
+
+    expected["q110_cdc_chunks"] = f"""
+      SELECT b.n_chunks * {FACTOR} AS n_chunks, b.n_distinct_chunks,
+        b.total_chars * {FACTOR} AS total_chars, b.distinct_chars,
+        ROUND(CAST(b.distinct_chars AS DOUBLE) / (b.total_chars * {FACTOR}), 6)
+          + 0.0 AS dedup_ratio
+      FROM base_q110 b"""
 
     report = {}
     n_pass = n_fail = 0
