@@ -1462,7 +1462,21 @@ object SparkEntry {
     "q111_bigram_logprob" -> ((s, dir) =>
       graft.operators.TextAnalysis.bigramLogProbScore(
         table(s, dir, "documents"), col("doc_id"), col("text"),
-        vocabSize = 30, bigramTable = 200))
+        vocabSize = 30, bigramTable = 200)),
+
+    // Frozen-model scoring (CCNet's actual production shape): train the
+    // bigram LM on the even half ONCE, persist, reopen, score the odd
+    // half under the stored tables — the score never touches the
+    // training corpus again.
+    "q112_lm_index_score" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q112-lm-").toString
+      graft.operators.LmIndex.save(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+        tmp, vocabSize = 30, bigramTable = 200)
+      graft.operators.LmIndex.open(s, tmp)
+        .score(docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3420,6 +3434,49 @@ object SparkEntry {
         |  SELECT bg.doc_id,
         |    -- (1.0 - 0.7) evaluated, not a 0.3 literal: the engine builds
         |    -- its backoff weight as 1.0-lambda, one IEEE ulp off of 0.3
+        |    0.7 * least(1.0, COALESCE(CAST(bt.c AS DOUBLE), 0.0)
+        |        / COALESCE(CAST(v1.c AS DOUBLE), 0.5))
+        |    + (1.0 - 0.7) * (COALESCE(CAST(v2.c AS DOUBLE), 0.5) / n_total) AS prob
+        |  FROM bg
+        |  LEFT JOIN btab bt ON bg.w1 = bt.w1 AND bg.w2 = bt.w2
+        |  LEFT JOIN vocab v1 ON bg.w1 = v1.term
+        |  LEFT JOIN vocab v2 ON bg.w2 = v2.term
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(ln(prob)), 4) + 0.0 AS logprob
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    // q111's model CTEs restricted to the even (training) half; the
+    // scored bigram stream comes from the odd half only — the oracle for
+    // the frozen save->open->score path.
+    "q112_lm_index_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks WHERE doc_id % 2 = 0),
+        |cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        |vocab AS (
+        |  SELECT term, c FROM (
+        |    SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rn FROM cnt)
+        |  WHERE rn <= 30),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cnt),
+        |bgtr AS (
+        |  SELECT ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+        |  WHERE doc_id % 2 = 0),
+        |bcnt AS (SELECT w1, w2, COUNT(*) AS c FROM bgtr GROUP BY w1, w2),
+        |btab AS (
+        |  SELECT w1, w2, c FROM (
+        |    SELECT w1, w2, c,
+        |      ROW_NUMBER() OVER (ORDER BY c DESC, w1 || ' ' || w2 ASC) AS rn
+        |    FROM bcnt)
+        |  WHERE rn <= 200),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+        |  WHERE doc_id % 2 = 1),
+        |p AS (
+        |  SELECT bg.doc_id,
         |    0.7 * least(1.0, COALESCE(CAST(bt.c AS DOUBLE), 0.0)
         |        / COALESCE(CAST(v1.c AS DOUBLE), 0.5))
         |    + (1.0 - 0.7) * (COALESCE(CAST(v2.c AS DOUBLE), 0.5) / n_total) AS prob

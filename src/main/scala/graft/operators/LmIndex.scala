@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted interpolated-bigram language model — the train-once /
+  * score-forever lifecycle of the CCNet-style perplexity filter
+  * ([[TextAnalysis.bigramLogProbScore]] is its self-trained twin). In
+  * production the model trains ONCE on a reference corpus (CCNet: a
+  * Wikipedia KenLM) and then scores every incoming crawl batch; retraining
+  * per batch would both re-read the reference corpus and silently shift
+  * the score scale between batches. This index freezes the model on disk:
+  *
+  * ```
+  * dir/vocab/          (term, cnt)      — ≤ vocabSize heap-selected rows
+  * dir/bigrams/        (w1, w2, cnt)    — ≤ bigramTable heap-selected rows
+  * dir/metadata.json   vocab_size/bigram_table/lambda/oov_count/n_total
+  * ```
+  *
+  * `n_total` is the FULL training-corpus token count (the unigram
+  * denominator never shrinks with the vocab cap), captured at save time.
+  * λ and the OOV fallback live in the metadata because a score is only
+  * comparable across batches when every batch is scored under the exact
+  * same smoothing — `open` restores them so call sites cannot drift
+  * (same reasoning as [[DedupIndex]]'s hashing params).
+  *
+  * Scale shape: save = the two bounded-heap stats aggs written as rows
+  * (both tables are broadcast-sized BY CONSTRUCTION — that is what the
+  * caps are for); score = the batch's transition stream against the two
+  * tables read back and collapsed to broadcast maps (≤cap-row scans, no
+  * training-corpus access at all).
+  */
+object LmIndex {
+
+  private[graft] final case class Params(
+      vocabSize: Int, bigramTable: Int, lambda: Double, oovCount: Double,
+      nTotal: Double)
+
+  private val MetaFile = "metadata.json"
+
+  /** Train on `docs` and persist the frozen model at `dir`. */
+  def save(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      dir: String,
+      vocabSize: Int = 50000,
+      bigramTable: Int = 200000,
+      lambda: Double = 0.7,
+      oovCount: Double = 0.5): DiskLmIndex = {
+    require(vocabSize > 0 && bigramTable > 0, "table sizes must be > 0")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = docs.sparkSession
+    // the heap aggs themselves do the selection, so the stored rows are
+    // EXACTLY the self-trained operator's tables (count desc, key asc)
+    val uni = TextAnalysis.lmUniStats(
+      TextAnalysis.lmTokens(docs, textCol), vocabSize)
+    uni.select(explode(map_entries(col("vocab"))).as("e"))
+      .select(col("e.key").as("term"), col("e.value").as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+    TextAnalysis.lmBgStats(
+        TextAnalysis.lmBigramPairs(docs, idCol, textCol), bigramTable)
+      .select(explode(map_entries(col("bgmap"))).as("e"))
+      .select(
+        substring_index(col("e.key"), " ", 1).as("w1"),
+        substring_index(col("e.key"), " ", -1).as("w2"),
+        col("e.value").as("cnt"))
+      .write.mode("overwrite").parquet(s"$dir/bigrams")
+    val nTotal = uni.select(col("n_total")).collect()(0).getDouble(0)
+    val p = Params(vocabSize, bigramTable, lambda, oovCount, nTotal)
+    writeMeta(spark, dir, p)
+    new DiskLmIndex(spark, dir, p)
+  }
+
+  def open(spark: SparkSession, dir: String): DiskLmIndex =
+    new DiskLmIndex(spark, dir, readMeta(spark, dir))
+
+  private def writeMeta(spark: SparkSession, dir: String, p: Params): Unit = {
+    val json =
+      s"""{"vocab_size": ${p.vocabSize}, "bigram_table": ${p.bigramTable},
+         | "lambda": ${p.lambda}, "oov_count": ${p.oovCount}, "n_total": ${p.nTotal}}""".stripMargin
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Params = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val json = try {
+      val len = fs.getFileStatus(path).getLen.toInt
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val v = JsonMethods.parse(json)
+    Params(
+      (v \ "vocab_size").extract[Int],
+      (v \ "bigram_table").extract[Int],
+      (v \ "lambda").extract[Double],
+      (v \ "oov_count").extract[Double],
+      (v \ "n_total").extract[Double])
+  }
+}
+
+/** An opened frozen LM: score any batch without touching the training
+  * corpus.
+  */
+final class DiskLmIndex(
+    spark: SparkSession,
+    val dir: String,
+    private[graft] val params: LmIndex.Params) {
+
+  /** [[TextAnalysis.bigramLogProbScore]]'s contract —
+    * `(doc_id, n_bigrams, logprob)`, one row per batch document with ≥2
+    * tokens — under the STORED model: same maps, same smoothing, so a
+    * batch scored today and a batch scored next month sit on one scale.
+    */
+  def score(batch: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val uniStats = spark.read.parquet(s"$dir/vocab")
+      .agg(map_from_arrays(
+        collect_list(col("term")), collect_list(col("cnt"))).as("vocab"))
+      .withColumn("n_total", lit(params.nTotal))
+    val bgStats = spark.read.parquet(s"$dir/bigrams")
+      .agg(map_from_arrays(
+        collect_list(concat_ws(" ", col("w1"), col("w2"))),
+        collect_list(col("cnt"))).as("bgmap"))
+    TextAnalysis.lmScore(
+      TextAnalysis.lmBigramPairs(batch, idCol, textCol),
+      uniStats, bgStats, params.lambda, params.oovCount)
+  }
+}

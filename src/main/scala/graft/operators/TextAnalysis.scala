@@ -254,17 +254,37 @@ object TextAnalysis {
       lambda: Double = 0.7,
       oovCount: Double = 0.5): DataFrame = {
     require(vocabSize > 0 && bigramTable > 0, "table sizes must be > 0")
-    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val bgE = lmBigramPairs(df, idCol, textCol)
+    lmScore(bgE,
+      lmUniStats(lmTokens(df, textCol), vocabSize),
+      lmBgStats(bgE, bigramTable),
+      lambda, oovCount)
+  }
+
+  /** Token stream of a corpus (the unigram training input). */
+  private[graft] def lmTokens(df: DataFrame, textCol: Column): DataFrame = {
+    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
+    df.select(explode(toks).as("term"))
+  }
+
+  /** `(doc_id, w1, w2)` bigram-transition stream of a corpus. */
+  private[graft] def lmBigramPairs(
+      df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
     val docs = df.select(idCol.as("doc_id"), toks.as("ts"))
     val m = greatest(size(col("ts")) - 1, lit(0))
     val pairs = zip_with(
       slice(col("ts"), lit(1), m), slice(col("ts"), lit(2), m),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val bgE = docs.select(col("doc_id"), explode(pairs).as("p"))
+    docs.select(col("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val tokE = docs.select(explode(col("ts")).as("term"))
-    val uniStats = tokE.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One-row `(vocab map, n_total)` unigram model: heap-capped counts +
+    * FULL-corpus token total (the denominator never shrinks with the cap).
+    */
+  private[graft] def lmUniStats(tokE: DataFrame, vocabSize: Int): DataFrame =
+    tokE.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .agg(
         graft.functions.TopKByStrKey.topK(
           col("cnt").cast("double"), col("term"), vocabSize).as("tk"),
@@ -273,13 +293,28 @@ object TextAnalysis {
         transform(col("tk"), e => e.getField("id")),
         transform(col("tk"), e => e.getField("score"))).as("vocab"),
         col("n_total"))
-    val bgStats = bgE.select(concat_ws(" ", col("w1"), col("w2")).as("bg"))
+
+  /** One-row `(bgmap)` bigram table keyed `"w1 w2"`, heap-capped. */
+  private[graft] def lmBgStats(bgE: DataFrame, bigramTable: Int): DataFrame =
+    bgE.select(concat_ws(" ", col("w1"), col("w2")).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
       .agg(graft.functions.TopKByStrKey.topK(
         col("cnt").cast("double"), col("bg"), bigramTable).as("tk"))
       .select(map_from_arrays(
         transform(col("tk"), e => e.getField("id")),
         transform(col("tk"), e => e.getField("score"))).as("bgmap"))
+
+  /** Score a `(doc_id, w1, w2)` transition stream under broadcast model
+    * frames — shared by the self-trained operator and the persisted
+    * [[LmIndex]] (train-once / score-forever) path.
+    */
+  private[graft] def lmScore(
+      bgE: DataFrame,
+      uniStats: DataFrame,
+      bgStats: DataFrame,
+      lambda: Double,
+      oovCount: Double): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
     val cond = least(lit(1.0),
       coalesce(element_at(col("bgmap"), concat_ws(" ", col("w1"), col("w2"))),
         lit(0.0)) /

@@ -440,6 +440,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped == capped2 && capped.size == 3)
   }
 
+  test("LmIndex: save->open->score equals the self-trained model; OOV floor on new data") {
+    import graft.operators.LmIndex
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "mat on cat the sat zz")).toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmidx").toString
+    LmIndex.save(docs, col("id"), col("t"), dir)
+    val idx = LmIndex.open(spark, dir)
+    // identical corpus scored under the persisted model == the
+    // self-trained operator, row for row (same maps, same smoothing)
+    val viaIndex = idx.score(docs, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val selfTrained = graft.operators.TextAnalysis.bigramLogProbScore(
+        docs, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(viaIndex == selfTrained, s"$viaIndex\nvs\n$selfTrained")
+    // a batch of entirely unseen vocabulary hits the pure smoothed floor:
+    // every transition scores (1-lambda) * oov/N with N = 15 stored tokens
+    val nov = idx.score(Seq((9L, "qq ww ee")).toDF("id", "t"), col("id"), col("t"))
+      .collect()(0)
+    val floor = BigDecimal(math.log((1.0 - 0.7) * (0.5 / 15.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(nov.getLong(1) == 2L && nov.getDouble(2) == floor,
+      s"got $nov, want logprob=$floor")
+    // params survive the metadata round-trip
+    assert(idx.params == LmIndex.open(spark, dir).params)
+  }
+
   test("cdcChunks: rolling-hash boundaries, reconstruction, edit-survival, edge docs") {
     import graft.functions.SketchFunctions
     def run(ts: String*): Seq[Seq[String]] = ts.map(Tuple1(_)).toDF("t")
