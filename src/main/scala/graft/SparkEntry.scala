@@ -1476,6 +1476,37 @@ object SparkEntry {
         tmp, vocabSize = 30, bigramTable = 200)
       graft.operators.LmIndex.open(s, tmp)
         .score(docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    }),
+
+    // The crawl-to-corpus pipeline end-to-end: line-gate each page (q106's
+    // rules) -> corpus-wide exact line dedup (q107's election — the shared
+    // trailing summary line survives in exactly ONE document) -> bigram
+    // LM gate over the deduped body (q111's model, self-trained on the
+    // pipeline's own output). Each stage feeds the next lazily; Catalyst
+    // sees one plan.
+    "q113_crawl_pipeline" -> ((s, dir) => {
+      val page = concat(
+        replace(col("text"), lit(" the "), lit(".\n")),
+        lit("\nshort one\nplease enable javascript and cookies to continue.\n" +
+          "var x = { a: 1 };\nthis line just ends without punctuation\n" +
+          "this trailing summary line stays in place."))
+      val docs = table(s, dir, "documents")
+      val cleaned = graft.operators.TextAnalysis.cleanLines(
+        docs, col("doc_id"), page)
+      val deduped = graft.operators.TextDedup.dedupLines(
+        cleaned, col("doc_id"), col("text_clean"))
+      // localCheckpoint (CC's lineage-cut precedent): the clean+dedup
+      // stages feed FOUR downstream scans (uni counts, bigram counts,
+      // scoring stream, final join) — materialize them once instead of
+      // re-running the election shuffles per scan
+      val flat = deduped.select(col("doc_id"), col("n_lines_kept"),
+        translate(col("text_dedup"), "\n", " ").as("body")).localCheckpoint()
+      val scored = graft.operators.TextAnalysis.bigramLogProbScore(
+        flat, col("doc_id"), col("body"), vocabSize = 30, bigramTable = 200)
+      flat.join(scored, "doc_id")
+        .filter(col("n_lines_kept") >= 1 && col("logprob") >= -6.5)
+        .select(col("doc_id"), col("n_lines_kept"), col("n_bigrams"),
+          col("logprob"))
     })
   )
 
@@ -3487,6 +3518,83 @@ object SparkEntry {
         |  CROSS JOIN tot)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  ROUND(AVG(ln(prob)), 4) + 0.0 AS logprob
-        |FROM p GROUP BY doc_id""".stripMargin
+        |FROM p GROUP BY doc_id""".stripMargin,
+
+    // q106's gates -> q107's election -> q111's model, chained as one
+    // CTE pipeline over the same constructed pages — the oracle follows
+    // the engine stage for stage.
+    "q113_crawl_pipeline" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    replace(text, ' the ', '.' || chr(10)) || chr(10) || 'short one' || chr(10) ||
+        |    'please enable javascript and cookies to continue.' || chr(10) ||
+        |    'var x = { a: 1 };' || chr(10) ||
+        |    'this line just ends without punctuation' || chr(10) ||
+        |    'this trailing summary line stays in place.' AS t
+        |  FROM documents),
+        |lraw AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM src),
+        |cl AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    list_filter(ls, x ->
+        |      len(list_filter(string_split(trim(x), ' '), w -> len(w) > 0)) >= 3
+        |      AND right(trim(x), 1) IN ('.', '!', '?', '"')
+        |      AND NOT contains(lower(trim(x)), 'javascript')
+        |      AND NOT contains(lower(trim(x)), 'cookie')
+        |      AND NOT contains(trim(x), '{')), x -> trim(x)), chr(10)) AS text_clean
+        |  FROM lraw),
+        |ls2 AS (SELECT doc_id, string_split(text_clean, chr(10)) AS ll FROM cl),
+        |lines AS (
+        |  SELECT doc_id, unnest(ll) AS line,
+        |    unnest(generate_series(1, len(ll))) AS idx
+        |  FROM ls2),
+        |firsts AS (
+        |  SELECT doc_id, idx, line FROM lines
+        |  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1),
+        |reb AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY idx) AS td
+        |  FROM firsts GROUP BY doc_id),
+        |flat AS (
+        |  SELECT ls2.doc_id,
+        |    COALESCE(reb.n_kept, CAST(0 AS BIGINT)) AS n_lines_kept,
+        |    replace(COALESCE(reb.td, ''), chr(10), ' ') AS body
+        |  FROM ls2 LEFT JOIN reb ON ls2.doc_id = reb.doc_id),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(body), ' '), t -> len(t) > 0) AS ts
+        |  FROM flat),
+        |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+        |cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        |vocab AS (
+        |  SELECT term, c FROM (
+        |    SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rn FROM cnt)
+        |  WHERE rn <= 30),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cnt),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+        |bcnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+        |btab AS (
+        |  SELECT w1, w2, c FROM (
+        |    SELECT w1, w2, c,
+        |      ROW_NUMBER() OVER (ORDER BY c DESC, w1 || ' ' || w2 ASC) AS rn
+        |    FROM bcnt)
+        |  WHERE rn <= 200),
+        |p AS (
+        |  SELECT bg.doc_id,
+        |    0.7 * least(1.0, COALESCE(CAST(bt.c AS DOUBLE), 0.0)
+        |        / COALESCE(CAST(v1.c AS DOUBLE), 0.5))
+        |    + (1.0 - 0.7) * (COALESCE(CAST(v2.c AS DOUBLE), 0.5) / n_total) AS prob
+        |  FROM bg
+        |  LEFT JOIN btab bt ON bg.w1 = bt.w1 AND bg.w2 = bt.w2
+        |  LEFT JOIN vocab v1 ON bg.w1 = v1.term
+        |  LEFT JOIN vocab v2 ON bg.w2 = v2.term
+        |  CROSS JOIN tot),
+        |scored AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    ROUND(AVG(ln(prob)), 4) + 0.0 AS logprob
+        |  FROM p GROUP BY doc_id)
+        |SELECT f.doc_id, f.n_lines_kept, s.n_bigrams, s.logprob
+        |FROM flat f JOIN scored s ON f.doc_id = s.doc_id
+        |WHERE f.n_lines_kept >= 1 AND s.logprob >= -6.5""".stripMargin
   )
 }
