@@ -121,6 +121,50 @@ final class DiskLmIndex(
     * batch scored today and a batch scored next month sit on one scale.
     */
   def score(batch: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val (uniStats, bgStats) = modelFrames()
+    TextAnalysis.lmScore(
+      TextAnalysis.lmBigramPairs(batch, idCol, textCol),
+      uniStats, bgStats, params.lambda, params.oovCount)
+  }
+
+  /** [[score]] as a STATELESS projection: the per-document average runs as
+    * a higher-order `aggregate` over the row's own transition array
+    * instead of explode + groupBy, so there is no shuffle and — on a
+    * streaming frame — no stateful operator and no watermark requirement.
+    * This is the ingest-time quality gate: `readStream → scoreStream →
+    * filter(logprob ≥ τ) → sink` scores every arriving batch under the
+    * frozen model at scan speed. Works identically on batch frames
+    * (same output as [[score]]: per-doc transitions are contiguous in one
+    * partition, so the batch path's partial sum is the same left-to-right
+    * sequential sum this lambda computes).
+    */
+  def scoreStream(batch: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val (uniStats, bgStats) = modelFrames()
+    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
+    val withTs = batch.select(idCol.as("doc_id"), toks.as("ts"))
+      .crossJoin(broadcast(uniStats)).crossJoin(broadcast(bgStats))
+    val m = greatest(size(col("ts")) - 1, lit(0))
+    val pairs = zip_with(
+      slice(col("ts"), lit(1), m), slice(col("ts"), lit(2), m),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    def term(w1: Column, w2: Column): Column = {
+      val cond = least(lit(1.0),
+        coalesce(element_at(col("bgmap"), concat_ws(" ", w1, w2)), lit(0.0)) /
+          coalesce(element_at(col("vocab"), w1), lit(params.oovCount)))
+      val puni = coalesce(element_at(col("vocab"), w2), lit(params.oovCount)) /
+        col("n_total")
+      log(lit(params.lambda) * cond + lit(1.0 - params.lambda) * puni)
+    }
+    withTs
+      .select(col("doc_id"),
+        transform(pairs, p => term(p.getField("w1"), p.getField("w2"))).as("lp"))
+      .filter(size(col("lp")) > 0)
+      .select(col("doc_id"), size(col("lp")).cast("long").as("n_bigrams"),
+        (round(aggregate(col("lp"), lit(0.0), (acc, x) => acc + x) /
+          size(col("lp")), 4) + lit(0.0)).as("logprob"))
+  }
+
+  private def modelFrames(): (DataFrame, DataFrame) = {
     val uniStats = spark.read.parquet(s"$dir/vocab")
       .agg(map_from_arrays(
         collect_list(col("term")), collect_list(col("cnt"))).as("vocab"))
@@ -129,8 +173,6 @@ final class DiskLmIndex(
       .agg(map_from_arrays(
         collect_list(concat_ws(" ", col("w1"), col("w2"))),
         collect_list(col("cnt"))).as("bgmap"))
-    TextAnalysis.lmScore(
-      TextAnalysis.lmBigramPairs(batch, idCol, textCol),
-      uniStats, bgStats, params.lambda, params.oovCount)
+    (uniStats, bgStats)
   }
 }

@@ -329,6 +329,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen-LM quality gate scores an ingest stream statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // freeze a model on a reference corpus
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "mat on cat the sat zz")).toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-lm-").toString
+    graft.operators.LmIndex.save(ref, col("id"), col("t"), dir)
+    val idx = graft.operators.LmIndex.open(spark, dir)
+    // stream a batch through the stateless scorer (per-row HOF average:
+    // no explode+groupBy, so no state store and no watermark needed)
+    val in = MemoryStream[(Long, String)]
+    val q = idx.scoreStream(in.toDS().toDF("id", "t"), col("id"), col("t"))
+      .writeStream.format("memory").queryName("lm_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((10L, "the cat sat on the mat"), (11L, "qq ww ee"), (12L, "solo"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "scoreStream must run without a stateful operator")
+      val streamed = spark.table("lm_sink")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // identical rows to the batch path under the same frozen model
+      val batch = idx.score(
+          Seq((10L, "the cat sat on the mat"), (11L, "qq ww ee"), (12L, "solo"))
+            .toDF("id", "t"), col("id"), col("t"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed == batch, s"$streamed\nvs\n$batch")
+      assert(streamed.contains(10L) && streamed.contains(11L) && !streamed.contains(12L))
+      // fluent in-vocabulary text outscores the unseen-vocabulary doc
+      assert(streamed(10L)._2 > streamed(11L)._2)
+    } finally q.stop()
+  }
+
   test("typed sessionization matches the window/lag SQL formulation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = graft.sources.Events.normalize(
