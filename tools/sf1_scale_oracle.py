@@ -27,6 +27,9 @@ sf1 ran >40 minutes and died):
   q110 CDC chunk stats: replicas chunk identically (boundaries are
        content-defined), so totals scale x10 while distinct counts are
        unchanged and dedup_ratio becomes distinct/(10*total).
+  q109 overlap matrix is replication-INVARIANT: copies add no new
+       distinct shingles to any source, so the expected sf1 output is
+       the base result verbatim.
 
 This is exactly the regime the bucket caps (maxBucketSize) were built
 for: LSH/chunk buckets are 10x hotter, and any silent cap-fire or
@@ -65,7 +68,7 @@ def main():
     # then tests whether the big-SF run's guards silently diverged).
     base_from_engine = os.environ.get("BASE_FROM_ENGINE") == "1"
     for q in ("q22_minhash_neardup", "q23_simhash_hamming", "q61_dedup_clusters",
-              "q107_line_dedup", "q110_cdc_chunks"):
+              "q107_line_dedup", "q110_cdc_chunks", "q109_overlap_matrix"):
         short = q.split("_")[0]
         if base_from_engine:
             con.sql(f"CREATE TABLE base_{short} AS "
@@ -134,6 +137,8 @@ def main():
         ROUND(CAST(b.distinct_chars AS DOUBLE) / (b.total_chars * {FACTOR}), 6)
           + 0.0 AS dedup_ratio
       FROM base_q110 b"""
+
+    expected["q109_overlap_matrix"] = "SELECT * FROM base_q109"
 
     report = {}
     n_pass = n_fail = 0
