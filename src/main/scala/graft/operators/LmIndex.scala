@@ -52,21 +52,39 @@ object LmIndex {
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
     val spark = docs.sparkSession
     // the heap aggs themselves do the selection, so the stored rows are
-    // EXACTLY the self-trained operator's tables (count desc, key asc)
-    val uni = TextAnalysis.lmUniStats(
-      TextAnalysis.lmTokens(docs, textCol), vocabSize)
-    uni.select(explode(map_entries(col("vocab"))).as("e"))
-      .select(col("e.key").as("term"), col("e.value").as("cnt"))
+    // EXACTLY the self-trained operator's tables (count desc, key asc).
+    // The one-row stats frames collect to the driver (bounded by the
+    // caps) and the table files are written from the collected maps —
+    // ONE corpus scan per table, not one per output.
+    val uniRow = TextAnalysis.lmUniStats(
+      TextAnalysis.lmTokens(docs, textCol), vocabSize).collect()(0)
+    val nTotal = if (uniRow.isNullAt(1)) 0.0 else uniRow.getDouble(1)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      uniRow.getMap[String, Double](0).toSeq
+        .map { case (t, c) => org.apache.spark.sql.Row(t, c) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
       .write.mode("overwrite").parquet(s"$dir/vocab")
-    TextAnalysis.lmBgStats(
-        TextAnalysis.lmBigramPairs(docs, idCol, textCol), bigramTable)
-      .select(explode(map_entries(col("bgmap"))).as("e"))
-      .select(
-        substring_index(col("e.key"), " ", 1).as("w1"),
-        substring_index(col("e.key"), " ", -1).as("w2"),
-        col("e.value").as("cnt"))
+    val bgRow = TextAnalysis.lmBgStats(
+      TextAnalysis.lmBigramPairs(docs, idCol, textCol), bigramTable).collect()(0)
+    spark.createDataFrame(
+      bgRow.getMap[String, Double](0).toSeq
+        .map { case (bg, c) =>
+          val i = bg.indexOf(' ')
+          org.apache.spark.sql.Row(bg.substring(0, i), bg.substring(i + 1), c)
+        }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w1",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("w2",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
       .write.mode("overwrite").parquet(s"$dir/bigrams")
-    val nTotal = uni.select(col("n_total")).collect()(0).getDouble(0)
     val p = Params(vocabSize, bigramTable, lambda, oovCount, nTotal)
     writeMeta(spark, dir, p)
     new DiskLmIndex(spark, dir, p)

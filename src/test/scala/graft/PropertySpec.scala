@@ -220,4 +220,42 @@ class PropertySpec extends SparkSpec {
       assert(native == hof, s"mismatch at n=$n")
     }
   }
+
+  test("property: CDC chunks reconstruct the input and cut exactly at hash boundaries") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent O(n·w) reference: per-position Horner over code points
+    // (no rolling update — a structurally different formulation)
+    def refChunks(s: String, w: Int, d: Int): Seq[String] = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      if (n == 0) return Seq.empty
+      if (n < w) return Seq(s)
+      val bounds = (w - 1 until n).filter { j =>
+        var h = 0L
+        for (i <- j - w + 1 to j) h = h * 31L + cps(i)
+        h % d == 0
+      }
+      val cuts = (-1 +: bounds) :+ (n - 1)
+      cuts.sliding(2).collect {
+        case Seq(a, b) if b > a => new String(cps, a + 1, b - a)
+      }.toSeq.filter(_.nonEmpty)
+    }
+    val charGen = Gen.oneOf(('a' to 'f') :+ ' ' :+ '.' :+ '日' :+ 'é')
+    val gen = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, charGen)
+      w <- Gen.choose(2, 10)
+      d <- Gen.oneOf(4, 16, 32)
+    } yield (cs.mkString, w, d)
+    forAll(gen, trials = 150) { case (s, w, d) =>
+      val expr = graft.functions.CdcChunks(
+        org.apache.spark.sql.catalyst.expressions.Literal(s), w, d)
+      val got = expr.compute(UTF8String.fromString(s))
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      assert(got.mkString == s, s"reconstruction failed for '$s' (w=$w d=$d)")
+      assert(got == refChunks(s, w, d),
+        s"boundary divergence for '$s' (w=$w d=$d):\n$got\nvs\n${refChunks(s, w, d)}")
+    }
+  }
 }
