@@ -91,7 +91,8 @@ final class DatasetCache(val cacheDir: String) {
     * needed — the reference's main entry point (`cache.py:257-311`).
     * Driver-side only; `conf` resolves any Hadoop-supported scheme.
     */
-  def getCachedPath(remoteUrl: String, conf: Configuration): String = {
+  def getCachedPath(remoteUrl: String, conf: Configuration,
+      progress: Progress = Progress.Noop): String = {
     val cp = cachePath(remoteUrl)
     val pp = partialPath(cp)
     val mp = metaPath(cp)
@@ -121,8 +122,15 @@ final class DatasetCache(val cacheDir: String) {
       val out = new java.io.FileOutputStream(pp.toFile, start > 0)
       try {
         val buf = new Array[Byte](1024 * 1024)
+        var fetched = start
         var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          fetched += n
+          // byte-level progress, the reference's cache.py:223-230 loop
+          progress.update(remoteUrl, fetched, remoteSize)
+          n = in.read(buf)
+        }
       } finally out.close()
     } finally in.close()
     Files.move(pp, cp, StandardCopyOption.REPLACE_EXISTING)

@@ -76,11 +76,20 @@ final class PineconeDataset private (
     * streams partitions to the driver with `toLocalIterator` — never a
     * full `collect()`, so this works at any scale the driver can consume.
     */
-  def iterDocuments(batchSize: Int = 1, returnIndexes: Boolean = false): Iterator[Seq[Row]] = {
+  def iterDocuments(batchSize: Int = 1, returnIndexes: Boolean = false,
+      progress: Progress = Progress.Noop): Iterator[Seq[Row]] = {
     require(batchSize > 0, "batch_size must be greater than 0")
     val projected = PineconeDataset.dropAllNullColumns(
       documents.select(PineconeSchema.documentsSelectColumns.map(col): _*))
-    projected.toLocalIterator().asScala.grouped(batchSize).map(_.toSeq)
+    // row-count total only when someone is listening (one count job,
+    // like the reference's len(df) for its tqdm total)
+    val total = if (progress eq Progress.Noop) -1L else projected.count()
+    var done = 0L
+    projected.toLocalIterator().asScala.grouped(batchSize).map { b =>
+      done += b.size
+      progress.update("Loading documents", done, total)
+      b.toSeq
+    }
   }
 
   /** Indexed variant: yields (startIndex, batch) like `return_indexes=True`. */

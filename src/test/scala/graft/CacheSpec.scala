@@ -93,6 +93,25 @@ class CacheSpec extends SparkSpec {
     assert(fresh == content, "stale partial must restart from byte 0")
   }
 
+  test("progress: download reports monotone byte updates ending at the total") {
+    import graft.sources.Progress
+    val c = newCache()
+    val srcDir = Files.createTempDirectory("graft-cache-src-").toString
+    // >1 MiB so the 1 MiB buffer loop reports more than once
+    val body = "x" * (1024 * 1024 + 4096)
+    val src = writeSrc(srcDir, "big.bin", body)
+    val rec = new Progress.Recording
+    c.getCachedPath(s"file:$src", conf, rec)
+    val ev = rec.events.toSeq
+    assert(ev.size >= 2, s"expected multiple buffer updates, got $ev")
+    assert(ev.forall(_._3 == body.length.toLong))
+    assert(ev.map(_._2) == ev.map(_._2).sorted, "byte counts must be monotone")
+    assert(ev.last._2 == body.length.toLong, "final update must reach the total")
+    // the default is the reference's dummy-tqdm: no listener, no cost
+    val c2 = newCache()
+    c2.getCachedPath(s"file:$src", conf)
+  }
+
   test("cacheInfo excludes sidecars; clearCache counts them; pattern filters") {
     val c = newCache()
     Files.write(Paths.get(c.cacheDir, "aa11.parquet"), Array.fill(10)('x'.toByte))

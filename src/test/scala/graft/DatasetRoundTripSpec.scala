@@ -131,6 +131,15 @@ class DatasetRoundTripSpec extends SparkSpec {
     assert(ds.iterQueries().size == 2)
   }
 
+  test("iteration: progress callback reports running rows against the known total") {
+    import graft.sources.Progress
+    val ds = PineconeDataset.fromDataFrames(fixtureDocs, meta("pg"))
+    val rec = new Progress.Recording
+    ds.iterDocuments(batchSize = 1, progress = rec).foreach(_ => ())
+    assert(rec.events.toSeq == Seq(
+      ("Loading documents", 1L, 2L), ("Loading documents", 2L, 2L)))
+  }
+
   test("typed views: documentsDS/queriesDS decode rows into case classes") {
     val ds = PineconeDataset.fromDataFrames(fixtureDocs, meta("ty"), queries = Some(fixtureQueries))
     val docs = ds.documentsDS.collect().sortBy(_.id)
