@@ -221,6 +221,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dedupLines matches a plain-Scala election on randomized corpora") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val linePool = Vector("alpha beta", "gamma", "delta epsilon zeta", "", "eta", "theta iota")
+    val docGen = Gen.listOf(Gen.oneOf(linePool)).map(_.mkString("\n"))
+    val corpusGen = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, docGen))
+    forAll(corpusGen, trials = 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // reference: first (doc, idx) occurrence wins, rebuild in order
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = docs.map { case (id, t) =>
+        val ls = t.split("\n", -1).toSeq
+        val kept = ls.filter(l => seen.add(l))
+        (id, kept.size.toLong, (ls.size - kept.size).toLong, kept.mkString("\n"))
+      }.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val got = graft.operators.TextDedup.dedupLines(
+          docs.toDF("id", "t"), col("id"), col("t"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == expected, s"corpus=$texts\n$got\nvs\n$expected")
+    }
+  }
+
+  test("property: overlapMatrix matches plain-Scala set arithmetic on randomized groups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val rowGen = Gen.zip(Gen.oneOf("g1", "g2", "g3"), docGen)
+    forAll(Gen.choose(3, 20).flatMap(n => Gen.listOfN(n, rowGen)), trials = 8) { rows =>
+      def bigrams(t: String): Set[String] = {
+        val w = t.toLowerCase.split(" ").toSeq
+        w.zip(w.drop(1)).map { case (x, y) => s"$x $y" }.toSet
+      }
+      val sets = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(_._2).map(bigrams).fold(Set.empty)(_ ++ _)
+      }.filter(_._2.nonEmpty)
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        sa = sets(a); sb = sets(b); c = (sa & sb).size
+      } yield (a, b) -> ((sa.size.toLong, sb.size.toLong, c.toLong,
+        BigDecimal(c.toDouble / (sa.size + sb.size - c))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+      val got = graft.operators.Profiling.overlapMatrix(
+          rows.toDF("g", "t"), col("g"), col("t"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      assert(got == expected, s"rows=$rows\n$got\nvs\n$expected")
+    }
+  }
+
   test("property: CDC chunks reconstruct the input and cut exactly at hash boundaries") {
     import org.apache.spark.unsafe.types.UTF8String
     // independent O(n·w) reference: per-position Horner over code points
