@@ -1478,6 +1478,17 @@ object SparkEntry {
         .score(docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
     }),
 
+    // Matryoshka truncated retrieval: cosine top-k over the first 16 of
+    // 64 components — the MRL coarse pass at 1/4 the arithmetic;
+    // renormalization is implicit in the cosine kernel.
+    "q114_matryoshka_topk" -> ((s, dir) =>
+      graft.operators.Similarity.matryoshkaTopK(
+        table(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        table(s, dir, "embeddings").filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        k = 10, dims = 16)),
+
     // The crawl-to-corpus pipeline end-to-end: line-gate each page (q106's
     // rules) -> corpus-wide exact line dedup (q107's election — the shared
     // trailing summary line survives in exactly ONE document) -> bigram
@@ -3519,6 +3530,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  ROUND(AVG(ln(prob)), 4) + 0.0 AS logprob
         |FROM p GROUP BY doc_id""".stripMargin,
+
+    // q15's oracle on 16-component prefixes (slice-then-cast ==
+    // cast-then-slice, elementwise).
+    "q114_matryoshka_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, (embedding::DOUBLE[])[1:16] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, (embedding::DOUBLE[])[1:16] AS v
+        |      FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score FROM q CROSS JOIN c),
+        |r AS (SELECT qid, nid, score,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
 
     // q106's gates -> q107's election -> q111's model, chained as one
     // CTE pipeline over the same constructed pages — the oracle follows

@@ -93,6 +93,28 @@ object Similarity {
     heapSelect(scored, k)
   }
 
+  /** Matryoshka (MRL) truncated retrieval: cosine top-k over only the
+    * FIRST `dims` components of matryoshka-trained embeddings
+    * (Kusupati et al. 2022) — the cheap first pass of a
+    * coarse-to-fine pipeline (truncated search, optionally re-ranked
+    * full-dim via [[DiskIvfPqIndex.searchRefined]]'s shape). Truncation
+    * is a `slice`; renormalization is implicit in the cosine kernel
+    * (which divides by both truncated norms), so the whole operator
+    * rides the existing codegen scoring scan with `dims/d` of the
+    * arithmetic and — on a column-pruned layout that stores prefix
+    * slices — `dims/d` of the bytes.
+    *
+    * Same contract as [[bruteForceTopKHeap]]: `(qid, nid, score, rnk)`,
+    * score is the truncated-space cosine rounded to 4dp.
+    */
+  def matryoshkaTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int, dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    bruteForceTopKHeap(
+      queries.withColumn("qvec", slice(col("qvec"), 1, dims)),
+      candidates.withColumn("nvec", slice(col("nvec"), 1, dims)), k)
+  }
+
   /** Metadata-filtered top-k with a scalar k applied to every query —
     * convenience overload of [[filteredTopKPerQuery]]. */
   def filteredTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =

@@ -31,6 +31,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("matryoshka truncation: full-width is the identity; truncated equals sliced window form") {
+    // dims = full width: exactly bruteForceTopKHeap (the slice is a no-op)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(rows(Similarity.matryoshkaTopK(queries, cands, k = 5, dims = dim)) ==
+      rows(Similarity.bruteForceTopKHeap(queries, cands, k = 5)))
+    // truncated form == the window formulation over hand-sliced inputs
+    // (renormalization is implicit in cosine, so no extra scaling step)
+    val qs16 = queries.withColumn("qvec", slice(col("qvec"), 1, 16))
+    val cs16 = cands.withColumn("nvec", slice(col("nvec"), 1, 16))
+    assert(rows(Similarity.matryoshkaTopK(queries, cands, k = 5, dims = 16)) ==
+      rows(Similarity.bruteForceTopK(qs16, cs16, k = 5)))
+    // the truncated space is a different geometry: scores differ from
+    // full-dim (sanity that the slice actually bound)
+    assert(rows(Similarity.matryoshkaTopK(queries, cands, k = 5, dims = 16)) !=
+      rows(Similarity.bruteForceTopKHeap(queries, cands, k = 5)))
+  }
+
   test("multi-probe ivf scores a superset of single-probe candidates, better-or-equal recall") {
     val single = Similarity.ivfTopK(queries, cands, k = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
