@@ -1489,6 +1489,17 @@ object SparkEntry {
           .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
         k = 10, dims = 16)),
 
+    // The complete MRL coarse-to-fine: 16-dim coarse pass keeps 30
+    // survivors per query, full 64-dim cosine re-ranks them to 10 —
+    // the expensive kernel touches 30 rows per query, not the corpus.
+    "q115_matryoshka_refine" -> ((s, dir) =>
+      graft.operators.Similarity.matryoshkaTopKRefined(
+        table(s, dir, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        table(s, dir, "embeddings").filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        k = 10, dims = 16, rerank = 30)),
+
     // The crawl-to-corpus pipeline end-to-end: line-gate each page (q106's
     // rules) -> corpus-wide exact line dedup (q107's election — the shared
     // trailing summary line survives in exactly ONE document) -> bigram
@@ -3541,6 +3552,30 @@ object SparkEntry {
         |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score FROM q CROSS JOIN c),
         |r AS (SELECT qid, nid, score,
         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Truncated coarse CTE (rank <= 30 in 16-dim space) -> full-dim
+    // cosine re-rank of exactly those survivors (rank <= 10).
+    "q115_matryoshka_refine" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
+        |      FROM embeddings WHERE vec_id >= 10),
+        |coarse AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT q.qid, c.nid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv[1:16], c.v[1:16]) DESC,
+        |                 c.nid ASC) AS crnk
+        |    FROM q CROSS JOIN c)
+        |  WHERE crnk <= 30),
+        |fine AS (
+        |  SELECT coarse.qid, coarse.nid,
+        |    list_cosine_similarity(q.qv, c.v) AS score
+        |  FROM coarse JOIN q ON q.qid = coarse.qid JOIN c ON c.nid = coarse.nid),
+        |r AS (SELECT qid, nid, score,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+        |  FROM fine)
         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
 
     // q106's gates -> q107's election -> q111's model, chained as one

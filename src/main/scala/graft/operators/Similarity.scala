@@ -115,6 +115,41 @@ object Similarity {
       candidates.withColumn("nvec", slice(col("nvec"), 1, dims)), k)
   }
 
+  /** Two-stage matryoshka search: [[matryoshkaTopK]]'s truncated coarse
+    * pass keeps `rerank ≥ k` survivors per query, then ONLY those
+    * `queries × rerank` rows are re-scored with the full-dimension cosine
+    * and re-selected to `k` — the complete MRL coarse-to-fine shape
+    * (same two-stage discipline as [[DiskIvfPqIndex.searchRefined]]: the
+    * expensive kernel touches a candidate set bounded by `rerank`, never
+    * the corpus).
+    *
+    * Scale shape: stage 1 scans the corpus at `dims/d` arithmetic; stage
+    * 2 is a broadcast-sized semi-join (queries × rerank survivor ids)
+    * back onto the candidate table — full vectors are read only for
+    * survivors, which is the I/O win when the layout stores prefix and
+    * tail slices separately.
+    *
+    * Returns `(qid, nid, score, rnk)` with `score` the FULL-dimension
+    * cosine, `rnk` the full-dimension rank within the surviving set.
+    */
+  def matryoshkaTopKRefined(
+      queries: DataFrame, candidates: DataFrame,
+      k: Int, dims: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val coarse = matryoshkaTopK(queries, candidates, rerank, dims)
+      .select(col("qid").as("s_qid"), col("nid").as("s_nid"))
+    val q = broadcast(queries.select(col("qid"),
+      col("qvec").cast("array<double>").as("qv")))
+    val survivors = broadcast(coarse)
+    val scored = candidates
+      .select(col("nid"), col("nvec").cast("array<double>").as("v"))
+      .join(survivors, col("nid") === col("s_nid"))
+      .join(q, col("qid") === col("s_qid"))
+      .select(col("qid"), col("nid"),
+        GraftFunctions.vecCosine(col("qv"), col("v")).as("score_raw"))
+    heapSelect(scored, k)
+  }
+
   /** Metadata-filtered top-k with a scalar k applied to every query —
     * convenience overload of [[filteredTopKPerQuery]]. */
   def filteredTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame =

@@ -50,6 +50,27 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.bruteForceTopKHeap(queries, cands, k = 5)))
   }
 
+  test("matryoshka refine: rerank=all equals exact full-dim search; scores are full-dim") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val nCands = cands.count().toInt
+    // when every candidate survives the coarse pass, refine IS exact search
+    assert(rows(Similarity.matryoshkaTopKRefined(queries, cands,
+        k = 5, dims = 8, rerank = nCands)) ==
+      rows(Similarity.bruteForceTopKHeap(queries, cands, k = 5)))
+    // narrow rerank: results carry FULL-dim scores for surviving pairs —
+    // every (qid, nid, score) appears in the exact full-dim scoring of
+    // the whole corpus with the same score
+    val refined = Similarity.matryoshkaTopKRefined(queries, cands,
+      k = 5, dims = 8, rerank = 12)
+    val exactAll = rows(Similarity.bruteForceTopKHeap(queries, cands, k = nCands))
+      .map(t => (t._1, t._2, t._3))
+    assert(rows(refined).map(t => (t._1, t._2, t._3)).subsetOf(exactAll))
+    assert(refined.count() == 5 * queries.count())
+    intercept[IllegalArgumentException](
+      Similarity.matryoshkaTopKRefined(queries, cands, k = 5, dims = 8, rerank = 3))
+  }
+
   test("multi-probe ivf scores a superset of single-probe candidates, better-or-equal recall") {
     val single = Similarity.ivfTopK(queries, cands, k = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
