@@ -1489,6 +1489,19 @@ object SparkEntry {
           .select(col("vec_id").as("nid"), col("embedding").as("nvec")),
         k = 10, dims = 16)),
 
+    // Storage-level dedup of OPAQUE BLOBS: the same CDC boundary rule
+    // over unsigned bytes (no decoder, no text assumption) — here over
+    // the UTF-8 bytes of constructed pages so the oracle can replay the
+    // byte stream exactly; on a media corpus the same operator chunks
+    // image/video blobs unchanged.
+    "q116_cdc_binary" -> ((s, dir) =>
+      graft.operators.Chunking.cdcDedupStats(
+        table(s, dir, "documents").select(concat(col("text"),
+          lit(" every page carries this exact shared binary tail so chunk " +
+            "boundaries realign and storage dedup finds the repetition"))
+          .cast("binary").as("b")),
+        col("b"), window = 8, divisor = 48)),
+
     // The complete MRL coarse-to-fine: 16-dim coarse pass keeps 30
     // survivors per query, full 64-dim cosine re-ranks them to 10 —
     // the expensive kernel touches 30 rows per query, not the corpus.
@@ -3553,6 +3566,45 @@ object SparkEntry {
         |r AS (SELECT qid, nid, score,
         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    // Byte-level replay: boundary hashes from hex-digit arithmetic over
+    // the blob's hex dump; chunk IDENTITY is the hex slice (grouping
+    // only — no blob reconstruction needed), lengths are byte spans.
+    "q116_cdc_binary" ->
+      """WITH src AS (
+        |  SELECT doc_id, encode(text || ' every page carries this exact shared binary tail so chunk boundaries realign and storage dedup finds the repetition') AS b
+        |  FROM documents),
+        |hx AS (SELECT doc_id, hex(b) AS h, octet_length(b) AS n FROM src),
+        |cp AS (
+        |  SELECT doc_id, h, n, list_transform(range(1, n + 1), i ->
+        |    CAST((strpos('0123456789ABCDEF', substring(h, 2*i - 1, 1)) - 1) * 16
+        |       + (strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1) AS BIGINT)) AS cps
+        |  FROM hx),
+        |hb AS (
+        |  SELECT doc_id, h, n,
+        |    list_filter(range(8, n + 1), j ->
+        |      (cps[j]*1 + cps[j-1]*31 + cps[j-2]*961 + cps[j-3]*29791
+        |       + cps[j-4]*923521 + cps[j-5]*28629151 + cps[j-6]*887503681
+        |       + cps[j-7]*27512614111) % 48 = 0) AS bs
+        |  FROM cp),
+        |ch AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(fb)), k ->
+        |      struct_pack(cid := lower(substring(h, 2*fb[k] + 1, 2*(fb[k+1] - fb[k]))),
+        |                  clen := fb[k+1] - fb[k])) AS chunks
+        |  FROM (SELECT doc_id, h, n,
+        |          list_concat([CAST(0 AS BIGINT)],
+        |            CASE WHEN len(bs) > 0 AND bs[len(bs)] = n THEN bs
+        |                 ELSE list_concat(bs, [n]) END) AS fb
+        |        FROM hb)),
+        |ce AS (SELECT doc_id, unnest(chunks, recursive := true) FROM ch),
+        |g AS (SELECT cid, clen, COUNT(*) AS cnt FROM ce GROUP BY cid, clen)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+        |  CAST(SUM(cnt * clen) AS BIGINT) AS total_chars,
+        |  CAST(SUM(clen) AS BIGINT) AS distinct_chars,
+        |  ROUND(CAST(SUM(clen) AS DOUBLE) / SUM(cnt * clen), 6) + 0.0 AS dedup_ratio
+        |FROM g""".stripMargin,
 
     // Truncated coarse CTE (rank <= 30 in 16-dim space) -> full-dim
     // cosine re-rank of exactly those survivors (rank <= 10).

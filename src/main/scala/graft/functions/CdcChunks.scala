@@ -41,15 +41,52 @@ case class CdcChunks(child: Expression, window: Int, divisor: Int)
 
   override def prettyName: String = "cdc_chunks"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"cdc_chunks expects string, got ${other.simpleString}")
+      s"cdc_chunks expects string or binary, got ${other.simpleString}")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  private def isBinary: Boolean = child.dataType == BinaryType
+  override def dataType: DataType =
+    ArrayType(if (isBinary) BinaryType else StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[UTF8String])
+  override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => compute(s)
+    case b: Array[Byte] => computeBytes(b)
+  }
+
+  /** BinaryType arm: identical boundary rule over UNSIGNED BYTES instead
+    * of code points — the storage-dedup form for opaque blobs (media,
+    * model shards). Chunks are byte slices of the input.
+    */
+  def computeBytes(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (n < window) {
+      out += bytes.clone()
+      return new GenericArrayData(out.toArray)
+    }
+    var topPow = 1L
+    var k = 1
+    while (k < window) { topPow *= 31L; k += 1 }
+    var h = 0L
+    k = 0
+    while (k < window) { h = h * 31L + (bytes(k) & 0xff); k += 1 }
+    var from = 0
+    var j = window - 1
+    while (j < n) {
+      if (h % divisor == 0) {
+        out += java.util.Arrays.copyOfRange(bytes, from, j + 1)
+        from = j + 1
+      }
+      if (j + 1 < n) h = (h - (bytes(j - window + 1) & 0xff) * topPow) * 31L +
+        (bytes(j + 1) & 0xff)
+      j += 1
+    }
+    if (from < n) out += java.util.Arrays.copyOfRange(bytes, from, n)
+    new GenericArrayData(out.toArray)
+  }
 
   /** Public so generated code calls it directly (one virtual call per row
     * keeps the surrounding WholeStageCodegen stage intact).
@@ -86,7 +123,8 @@ case class CdcChunks(child: Expression, window: Int, divisor: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cdc", this, classOf[CdcChunks].getName)
-    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.compute($in);")
+    val call = if (isBinary) "computeBytes" else "compute"
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.$call($in);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunks =

@@ -500,6 +500,20 @@ class PipelineOpsSpec extends SparkSpec {
       .select(SketchFunctions.cdcChunks(col("t"), 8, 32))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"cdcChunks must not shuffle:\n$plan")
+    // binary arm: over pure-ASCII input, byte chunks mirror the string
+    // chunks exactly (UTF-8 of ASCII is the identity)
+    val binGot = Seq(Tuple1(fox)).toDF("t")
+      .select(SketchFunctions.cdcChunks(col("t").cast("binary"), 8, 32).as("c"))
+      .collect()(0).getSeq[Array[Byte]](0).map(new String(_, "UTF-8")).toSeq
+    assert(binGot == run(fox).head, s"binary arm diverged on ASCII:\n$binGot")
+    // ...and on multi-byte input the BYTE stream (not code points) is
+    // what chunks and reconstructs
+    val uni = "é日本語" * 30
+    val uniChunks = Seq(Tuple1(uni)).toDF("t")
+      .select(SketchFunctions.cdcChunks(col("t").cast("binary"), 8, 32).as("c"))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(uniChunks.map(_.length).sum == uni.getBytes("UTF-8").length)
+    assert(uniChunks.flatten.toSeq == uni.getBytes("UTF-8").toSeq)
     // dedup stats: exact on a corpus of one duplicated short doc
     val stats = graft.operators.Chunking.cdcDedupStats(
       Seq("tiny", "tiny", "other").map(Tuple1(_)).toDF("t"), col("t"), 8, 32)
