@@ -1502,6 +1502,24 @@ object SparkEntry {
           .cast("binary").as("b")),
         col("b"), window = 8, divisor = 48)),
 
+    // Storage-dedup admission from a PERSISTED chunk store: chunk the
+    // even half once into `chunks/`, reopen, and price the odd half's
+    // write — per doc, how many chunks (and bytes) are new vs already
+    // stored. Same page construction as q110 so chunks actually collide.
+    "q117_chunk_store" -> ((s, dir) => {
+      val page = concat(col("text"),
+        lit(" meanwhile the standard disclaimer paragraph follows and it " +
+          "is identical on every page of this crawl so content defined " +
+          "chunks align and deduplicate across documents"))
+      val docs = table(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q117-chunks-").toString
+      graft.operators.ChunkStore.save(
+        docs.filter(col("doc_id") % 2 === 0).select(page.as("t")),
+        col("t"), tmp, window = 8, divisor = 32)
+      graft.operators.ChunkStore.open(s, tmp)
+        .admit(docs.filter(col("doc_id") % 2 === 1), col("doc_id"), page)
+    }),
+
     // The complete MRL coarse-to-fine: 16-dim coarse pass keeps 30
     // survivors per query, full 64-dim cosine re-ranks them to 10 —
     // the expensive kernel touches 30 rows per query, not the corpus.
@@ -3605,6 +3623,44 @@ object SparkEntry {
         |  CAST(SUM(clen) AS BIGINT) AS distinct_chars,
         |  ROUND(CAST(SUM(clen) AS DOUBLE) / SUM(cnt * clen), 6) + 0.0 AS dedup_ratio
         |FROM g""".stripMargin,
+
+    // q110's chunk CTEs over BOTH halves; stored set = the even half's
+    // distinct chunks, per-odd-doc admission stats via one left join.
+    "q117_chunk_store" ->
+      """WITH src AS (
+        |  SELECT doc_id, text || ' meanwhile the standard disclaimer paragraph follows and it is identical on every page of this crawl so content defined chunks align and deduplicate across documents' AS t
+        |  FROM documents),
+        |cp AS (SELECT doc_id, t,
+        |  list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)) AS cps FROM src),
+        |hb AS (
+        |  SELECT doc_id, t, len(cps) AS n,
+        |    list_filter(range(8, len(cps) + 1), j ->
+        |      (cps[j]*1 + cps[j-1]*31 + cps[j-2]*961 + cps[j-3]*29791
+        |       + cps[j-4]*923521 + cps[j-5]*28629151 + cps[j-6]*887503681
+        |       + cps[j-7]*27512614111) % 32 = 0) AS bs
+        |  FROM cp),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+        |         WHEN n < 8 THEN [t]
+        |         ELSE list_transform(range(1, len(fb)), k ->
+        |           substring(t, CAST(fb[k] + 1 AS INT), CAST(fb[k+1] - fb[k] AS INT)))
+        |    END AS chunks
+        |  FROM (SELECT doc_id, t, n,
+        |          list_concat([CAST(0 AS BIGINT)],
+        |            CASE WHEN len(bs) > 0 AND bs[len(bs)] = n THEN bs
+        |                 ELSE list_concat(bs, [n]) END) AS fb
+        |        FROM hb)),
+        |ce AS (SELECT doc_id, unnest(chunks) AS c FROM ch),
+        |stored AS (SELECT DISTINCT c FROM ce WHERE doc_id % 2 = 0),
+        |odd AS (SELECT doc_id, c, len(c) AS clen FROM ce WHERE doc_id % 2 = 1)
+        |SELECT o.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN s.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_chunks,
+        |  CAST(SUM(CASE WHEN s.c IS NULL THEN o.clen ELSE 0 END) AS BIGINT) AS new_bytes,
+        |  CAST(SUM(CASE WHEN s.c IS NOT NULL THEN o.clen ELSE 0 END) AS BIGINT) AS dup_bytes
+        |FROM odd o LEFT JOIN stored s ON o.c = s.c
+        |GROUP BY o.doc_id""".stripMargin,
 
     // Truncated coarse CTE (rank <= 30 in 16-dim space) -> full-dim
     // cosine re-rank of exactly those survivors (rank <= 10).

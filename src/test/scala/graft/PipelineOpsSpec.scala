@@ -469,6 +469,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(idx.params == LmIndex.open(spark, dir).params)
   }
 
+  test("ChunkStore: admission prices new vs stored bytes; append makes chunks known") {
+    import graft.operators.ChunkStore
+    val fox = "the quick brown fox jumps over the lazy dog again and again the quick brown fox"
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore").toString
+    ChunkStore.save(Seq(Tuple1(fox)).toDF("t"), col("t"), dir, window = 8, divisor = 32)
+    val store = ChunkStore.open(spark, dir)
+    def admit(rows: (Long, String)*) = store.admit(
+        rows.toDF("id", "t"), col("id"), col("t"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a doc identical to stored content: all chunks known, zero new bytes
+    val same = admit((1L, fox))
+    assert(same(1L)._2 == 0L && same(1L)._3 == 0L &&
+      same(1L)._4 == fox.length.toLong, s"got $same")
+    // fresh content: every chunk new, bytes = doc length
+    val fresh = admit((2L, "entirely different words never seen in the store corpus"))
+    assert(fresh(2L)._2 == fresh(2L)._1 && fresh(2L)._4 == 0L)
+    // admission is a pure read: repeating the batch changes nothing, and
+    // two in-batch copies of the same unseen doc BOTH price as new
+    val twin = admit((3L, "xyz xyz xyz novel"), (4L, "xyz xyz xyz novel"))
+    assert(twin(3L) == twin(4L) && twin(3L)._2 > 0L)
+    // append: what was new is now stored
+    store.append(Seq((5L, "xyz xyz xyz novel")).toDF("id", "t"), col("id"), col("t"))
+    val after = admit((6L, "xyz xyz xyz novel"))
+    assert(after(6L)._2 == 0L && after(6L)._3 == 0L, s"got $after")
+    // params survive the metadata round-trip
+    assert(ChunkStore.open(spark, dir).params == store.params)
+  }
+
   test("cdcChunks: rolling-hash boundaries, reconstruction, edit-survival, edge docs") {
     import graft.functions.SketchFunctions
     def run(ts: String*): Seq[Seq[String]] = ts.map(Tuple1(_)).toDF("t")
