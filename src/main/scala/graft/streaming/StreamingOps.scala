@@ -262,6 +262,23 @@ object StreamingOps {
     decisions
   }
 
+  /** Streaming storage-dedup ingest: price the micro-batch against the
+    * persisted chunk store, then append its unseen chunks so the NEXT
+    * batch dedups against them too — the content-addressed write path
+    * under `foreachBatch` (same admit-then-append discipline as
+    * [[dedupIngestBatch]]). Returns the batch's admission stats.
+    */
+  def chunkIngestBatch(
+      store: graft.operators.DiskChunkStore,
+      batch: DataFrame,
+      idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column): DataFrame = {
+    val b = batch.localCheckpoint()
+    val stats = store.admit(b, idCol, textCol).localCheckpoint()
+    store.append(b, idCol, textCol)
+    stats
+  }
+
   /** Stream-stream interval join: attribute each purchase to the clicks by
     * the same user in the `horizon` before it (inclusive). Both sides carry
     * watermarks, so Structured Streaming bounds the join buffers — each

@@ -365,6 +365,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunk ingest: later batches dedup against earlier appends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-chunks-").toString
+    graft.operators.ChunkStore.save(
+      Seq(Tuple1("seed corpus content for the store baseline")).toDF("t"),
+      col("t"), dir, window = 8, divisor = 32)
+    val store = graft.operators.ChunkStore.open(spark, dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("id", "t").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.chunkIngestBatch(store, batch, col("id"), col("t"))
+          .collect().foreach(r => seen.synchronized {
+            seen += ((r.getLong(0), r.getLong(2), r.getLong(4)))
+          })
+      }
+      .start()
+    try {
+      val page = "a brand new page with chunks the store has never seen before"
+      in.addData((1L, page))
+      q.processAllAvailable()
+      in.addData((2L, page)) // verbatim re-crawl in the NEXT batch
+      q.processAllAvailable()
+      val byId = seen.toSeq.map(t => t._1 -> ((t._2, t._3))).toMap
+      // batch 1: new chunks appended; batch 2: the same page is all-dup
+      assert(byId(1L)._1 > 0L, s"first sight must price as new: $byId")
+      assert(byId(2L)._1 == 0L && byId(2L)._2 == page.length.toLong,
+        s"re-crawl must dedup against the appended chunks: $byId")
+    } finally q.stop()
+  }
+
   test("typed sessionization matches the window/lag SQL formulation") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = graft.sources.Events.normalize(
