@@ -1502,6 +1502,14 @@ object SparkEntry {
           .cast("binary").as("b")),
         col("b"), window = 8, divisor = 48)),
 
+    // Deterministic epoch shuffle: 8 shards, seed 7 — the reproducible
+    // training read order (same seed = same permutation on any engine;
+    // the within-shard Window sorts corpus/shards rows, never the corpus).
+    "q118_epoch_shuffle" -> ((s, dir) =>
+      graft.operators.Ranking.epochShuffle(
+        table(s, dir, "documents").select("doc_id", "source"),
+        col("doc_id"), shards = 8, seed = 7L)),
+
     // Storage-dedup admission from a PERSISTED chunk store: chunk the
     // even half once into `chunks/`, reopen, and price the odd half's
     // write — per doc, how many chunks (and bytes) are new vs already
@@ -3623,6 +3631,23 @@ object SparkEntry {
         |  CAST(SUM(clen) AS BIGINT) AS distinct_chars,
         |  ROUND(CAST(SUM(clen) AS DOUBLE) / SUM(cnt * clen), 6) + 0.0 AS dedup_ratio
         |FROM g""".stripMargin,
+
+    // Same md5 digit split: shard from digits 1-3 mod 8, rank by digits
+    // 4-15 within the shard.
+    "q118_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, md5('7:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)) % 8 AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)) % 8
+        |    ORDER BY substring(h, 4, 12), doc_id) AS BIGINT) AS rnk
+        |FROM k""".stripMargin,
 
     // q110's chunk CTEs over BOTH halves; stored set = the even half's
     // distinct chunks, per-odd-doc admission stats via one left join.

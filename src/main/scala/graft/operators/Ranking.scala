@@ -166,4 +166,41 @@ object Ranking {
       .withColumn("bucket", bucketExpr)
       .drop("_total")
   }
+
+  /** Deterministic epoch-shuffle ordering: assign every row a shard and a
+    * pseudo-random rank within it — the reproducible "shuffled" read
+    * order a training run consumes (and can REPLAY: same seed ⇒ the same
+    * permutation on any cluster, any partitioning, any engine; a new
+    * epoch is just a new seed). The shuffle key is the first 12 md5 hex
+    * digits of `(seed, id)` — the repo's cross-engine-portable 48-bit
+    * rank (same construction as [[Sampling.balancedSample]]'s rank).
+    *
+    * Scale shape: shard assignment is a codegen projection; the
+    * within-shard ordering is a Window partitioned BY SHARD, so the sort
+    * unit is corpus/`shards` rows — `shards` is the parallelism lever
+    * (pick it so a shard sorts in memory; a training-data export wants
+    * fixed-size output shards anyway). No global sort, no single-task
+    * Window.
+    *
+    * Returns the input plus `(shard, rnk)` with `rnk` 1-based within the
+    * shard.
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: Column,
+      shards: Int,
+      seed: Long): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    // disjoint digit ranges: shard from hex digits 1-3, within-shard rank
+    // from digits 4-15 — shard membership never skews the rank order
+    val h = md5(concat(lit(seed.toString), lit(":"), idCol.cast("string")))
+    val shard = pmod(conv(substring(h, 1, 3), 16, 10).cast("long"),
+      lit(shards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col("__id"))
+    df.withColumn("__k", substring(h, 4, 12))
+      .withColumn("__id", idCol)
+      .withColumn("shard", shard)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .drop("__k", "__id")
+  }
 }

@@ -469,6 +469,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(idx.params == LmIndex.open(spark, dir).params)
   }
 
+  test("epochShuffle: reproducible permutation, seed-sensitive, shard-partitioned window") {
+    import graft.operators.Ranking
+    val docs = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "t")
+    def perm(seed: Long) = Ranking.epochShuffle(docs, col("id"), shards = 4, seed = seed)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val a = perm(7L)
+    // every row present; ranks within each shard are exactly 1..size
+    assert(a.size == 200)
+    a.groupBy(_._2._1).foreach { case (_, rows) =>
+      assert(rows.values.map(_._2).toSeq.sorted == (1L to rows.size).toSeq)
+    }
+    // deterministic: same seed twice is the identical permutation
+    assert(perm(7L) == a)
+    // a new epoch (seed) is a different permutation
+    assert(perm(8L) != a)
+    // plan discipline: every row_number window partitions by shard —
+    // nothing corpus-sized ever sorts in one task
+    val plan = Ranking.epochShuffle(docs, col("id"), 4, 7L)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.filter(_.contains("row_number")).forall(_.contains("shard#")),
+      s"epoch-shuffle window not partitioned by shard:\n$plan")
+  }
+
   test("ChunkStore: admission prices new vs stored bytes; append makes chunks known") {
     import graft.operators.ChunkStore
     val fox = "the quick brown fox jumps over the lazy dog again and again the quick brown fox"
