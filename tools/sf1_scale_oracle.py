@@ -30,6 +30,11 @@ sf1 ran >40 minutes and died):
   q109 overlap matrix is replication-INVARIANT: copies add no new
        distinct shingles to any source, so the expected sf1 output is
        the base result verbatim.
+  q117 chunk-store admission: the SHIFT (10^8) is even, so replica ids
+       keep their parity — the stored (even) side's distinct-chunk set
+       is unchanged by replication, and every odd replica doc prices
+       exactly like its base twin: expected = base rows x10 under id
+       shifts.
 
 This is exactly the regime the bucket caps (maxBucketSize) were built
 for: LSH/chunk buckets are 10x hotter, and any silent cap-fire or
@@ -68,7 +73,8 @@ def main():
     # then tests whether the big-SF run's guards silently diverged).
     base_from_engine = os.environ.get("BASE_FROM_ENGINE") == "1"
     for q in ("q22_minhash_neardup", "q23_simhash_hamming", "q61_dedup_clusters",
-              "q107_line_dedup", "q110_cdc_chunks", "q109_overlap_matrix"):
+              "q107_line_dedup", "q110_cdc_chunks", "q109_overlap_matrix",
+              "q117_chunk_store"):
         short = q.split("_")[0]
         if base_from_engine:
             con.sql(f"CREATE TABLE base_{short} AS "
@@ -139,6 +145,11 @@ def main():
       FROM base_q110 b"""
 
     expected["q109_overlap_matrix"] = "SELECT * FROM base_q109"
+
+    expected["q117_chunk_store"] = f"""
+      SELECT b.doc_id + r.r * {SHIFT} AS doc_id, b.n_chunks, b.n_new_chunks,
+        b.new_bytes, b.dup_bytes
+      FROM base_q117 b, reps r"""
 
     report = {}
     n_pass = n_fail = 0
