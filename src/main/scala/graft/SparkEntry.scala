@@ -1502,6 +1502,13 @@ object SparkEntry {
           .cast("binary").as("b")),
         col("b"), window = 8, divisor = 48)),
 
+    // Hour-over-hour event-mix drift: TV distance between consecutive
+    // hours' event_type distributions — ingest monitoring in pure
+    // rational arithmetic over an (hour, type)-bounded frame.
+    "q119_hourly_drift" -> ((s, dir) =>
+      graft.operators.Profiling.hourlyCategoryDrift(
+        events(s, dir), col("ts"), col("event_type"))),
+
     // Deterministic epoch shuffle: 8 shards, seed 7 — the reproducible
     // training read order (same seed = same permutation on any engine;
     // the within-shard Window sorts corpus/shards rows, never the corpus).
@@ -3631,6 +3638,30 @@ object SparkEntry {
         |  CAST(SUM(clen) AS BIGINT) AS distinct_chars,
         |  ROUND(CAST(SUM(clen) AS DOUBLE) / SUM(cnt * clen), 6) + 0.0 AS dedup_ratio
         |FROM g""".stripMargin,
+
+    // Same (hour, type) count frame, same consecutive-hour full-outer
+    // join with absent-category zeros, same both-sides-present gate.
+    "q119_hourly_drift" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type AS cat, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT h, SUM(cnt) AS tot FROM c GROUP BY h),
+        |p AS (
+        |  SELECT c.h, c.cat, CAST(c.cnt AS DOUBLE) / tot.tot AS p
+        |  FROM c JOIN tot ON c.h = tot.h),
+        |prev AS (
+        |  SELECT h + INTERVAL 1 HOUR AS h, cat, p AS p_prev FROM p),
+        |j AS (
+        |  SELECT COALESCE(p.h, prev.h) AS h,
+        |    COALESCE(p.p, 0.0) AS p, COALESCE(prev.p_prev, 0.0) AS p_prev
+        |  FROM p FULL OUTER JOIN prev ON p.h = prev.h AND p.cat = prev.cat),
+        |ok AS (
+        |  SELECT t1.h FROM tot t1
+        |  JOIN tot t0 ON t0.h + INTERVAL 1 HOUR = t1.h)
+        |SELECT strftime(j.h, '%Y-%m-%d %H:00') AS hour,
+        |  ROUND(SUM(ABS(p - p_prev)) / 2.0, 6) + 0.0 AS tv_drift
+        |FROM j JOIN ok ON j.h = ok.h
+        |GROUP BY j.h""".stripMargin,
 
     // Same md5 digit split: shard from digits 1-3 mod 8, rank by digits
     // 4-15 within the shard.

@@ -153,6 +153,47 @@ object Profiling {
     * Returns `(group_a, group_b, n_a, n_b, n_common, jaccard)`, one row
     * per unordered group pair, jaccard rounded to 6dp.
     */
+  /** Hour-over-hour categorical drift: for every hour with a predecessor,
+    * the total-variation distance between the hour's category
+    * distribution and the previous hour's — the ingest-monitoring signal
+    * that catches a traffic mix shifting (one event type surging, a
+    * source going dark) without any model. Pure rational arithmetic
+    * (TV = `½ Σ|p_h − p_{h−1}|`, absent categories = 0), so dashboards
+    * get bit-identical numbers from any engine.
+    *
+    * Scale shape: ONE partial-aggregated count over `(hour, category)`
+    * (bounded by hours × categories — metadata cardinality, not event
+    * volume), then all arithmetic runs on that compact frame: totals
+    * join, a self full-outer join of consecutive hours on `(hour,
+    * category)`, and a per-hour sum. Event volume is touched exactly
+    * once, at scan speed.
+    *
+    * Returns `(hour, tv_drift)` — `hour` formatted as a string (engines
+    * disagree on raw timestamp rendering), 6dp TV, first hour excluded
+    * (no predecessor).
+    */
+  def hourlyCategoryDrift(df: DataFrame, tsCol: Column, catCol: Column): DataFrame = {
+    val c = df.select(date_trunc("hour", tsCol).as("h"), catCol.as("cat"))
+      .groupBy("h", "cat").agg(count(lit(1)).as("cnt"))
+    val tot = c.groupBy("h").agg(sum("cnt").as("tot"))
+    val p = c.join(tot, "h")
+      .select(col("h"), col("cat"), (col("cnt").cast("double") / col("tot")).as("p"))
+    val prev = p.select((col("h") + expr("INTERVAL 1 HOUR")).as("h"),
+      col("cat"), col("p").as("p_prev"))
+    // full outer on (h, cat): categories absent on either side carry 0
+    val joined = p.join(prev, Seq("h", "cat"), "full_outer")
+      .select(col("h"), coalesce(col("p"), lit(0.0)).as("p"),
+        coalesce(col("p_prev"), lit(0.0)).as("p_prev"))
+    // only hours with events in BOTH this hour and the previous one
+    // (either side empty would degenerate TV to a vacuous 0.5)
+    val withPrev = tot.select((col("h") + expr("INTERVAL 1 HOUR")).as("h"))
+    joined.join(withPrev, Seq("h"), "left_semi")
+      .join(tot.select(col("h")), Seq("h"), "left_semi")
+      .groupBy("h")
+      .agg(round(sum(abs(col("p") - col("p_prev"))) / 2.0, 6).as("tv_drift"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"), col("tv_drift"))
+  }
+
   def overlapMatrix(
       df: DataFrame,
       groupCol: Column,

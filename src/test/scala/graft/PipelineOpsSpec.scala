@@ -469,6 +469,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(idx.params == LmIndex.open(spark, dir).params)
   }
 
+  test("hourlyCategoryDrift: exact TV between consecutive hours, gaps and first hour excluded") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-03-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      // 10:00 — {x:2, y:2}
+      (ts(10, 1), "x"), (ts(10, 2), "x"), (ts(10, 3), "y"), (ts(10, 4), "y"),
+      // 11:00 — {x:1, y:3}: TV vs 10:00 = (|.25-.5|+|.75-.5|)/2 = 0.25
+      (ts(11, 1), "x"), (ts(11, 2), "y"), (ts(11, 3), "y"), (ts(11, 4), "y"),
+      // 12:00 — {z:4}: disjoint support, TV = 1.0
+      (ts(12, 1), "z"), (ts(12, 2), "z"), (ts(12, 3), "z"), (ts(12, 4), "z"),
+      // 14:00 — follows a GAP (no 13:00): excluded, no predecessor
+      (ts(14, 1), "x")).toDF("t", "cat")
+    val got = graft.operators.Profiling.hourlyCategoryDrift(ev, col("t"), col("cat"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map(
+      "2026-03-01 11:00" -> 0.25,
+      "2026-03-01 12:00" -> 1.0), s"got $got")
+  }
+
   test("epochShuffle: reproducible permutation, seed-sensitive, shard-partitioned window") {
     import graft.operators.Ranking
     val docs = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "t")
