@@ -3709,7 +3709,7 @@ object SparkEntry {
         |        FROM hb)),
         |ce AS (SELECT doc_id, unnest(chunks) AS c FROM ch),
         |stored AS (SELECT DISTINCT c FROM ce WHERE doc_id % 2 = 0),
-        |odd AS (SELECT doc_id, c, len(c) AS clen FROM ce WHERE doc_id % 2 = 1)
+        |odd AS (SELECT doc_id, c, strlen(c) AS clen FROM ce WHERE doc_id % 2 = 1)
         |SELECT o.doc_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
         |  CAST(SUM(CASE WHEN s.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_chunks,

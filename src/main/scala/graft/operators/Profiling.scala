@@ -123,36 +123,16 @@ object Profiling {
       .agg(
         max(col("ta")).as("n_tokens_a"),
         max(col("tb")).as("n_tokens_b"),
-        round(sum(abs(pa - pb)) / 2.0, 6).as("tv_distance"),
-        round(sqrt(sum(pow(sqrt(pa) - sqrt(pb), 2.0)) / 2.0), 6).as("hellinger"),
-        round((sum(pa * log(pa / mid)) + sum(pb * log(pb / mid))) / 2.0, 6)
-          .as("js_divergence"))
+        // `+ 0.0` collapses IEEE -0.0 to 0.0 (the oracle's ROUND(...) + 0.0
+        // convention): js in particular can sum to a tiny negative on
+        // near-identical slices and round to -0.0 engine-side otherwise
+        (round(sum(abs(pa - pb)) / 2.0, 6) + lit(0.0)).as("tv_distance"),
+        (round(sqrt(sum(pow(sqrt(pa) - sqrt(pb), 2.0)) / 2.0), 6) + lit(0.0))
+          .as("hellinger"),
+        (round((sum(pa * log(pa / mid)) + sum(pb * log(pb / mid))) / 2.0, 6)
+          + lit(0.0)).as("js_divergence"))
   }
 
-  /** Pairwise content-overlap matrix between corpus slices (sources,
-    * crawl snapshots, language shards): EXACT shingle-set Jaccard for
-    * every pair of groups — "how much of source A is also in source B?",
-    * the provenance/contamination view a multi-source training mix needs
-    * before weights are chosen ([[graft.operators.Sampling.weightedMix]]).
-    *
-    * Semantics: per group, the DISTINCT set of word-`shingleSize`-gram
-    * hashes of the lowercased text; per pair `(a < b)`, `n_common` the
-    * distinct shingles in both and `jaccard = common / (n_a + n_b −
-    * common)`. Pairs with zero overlap are emitted too (a monitoring
-    * matrix with silently missing cells reads as "no data", not "no
-    * overlap").
-    *
-    * Scale shape: never a shingle-stream self-join. One distinct pass
-    * over `(group, shingle)` — partial-aggregated, shuffle bounded by
-    * distinct volume — then `collect_set(group)` per shingle (bounded by
-    * the number of groups, a metadata cardinality) and pair explosion of
-    * that tiny set; per-group sizes and the final matrix assembly are
-    * ≤groups² rows joined broadcast. Corpus bytes are touched exactly
-    * once.
-    *
-    * Returns `(group_a, group_b, n_a, n_b, n_common, jaccard)`, one row
-    * per unordered group pair, jaccard rounded to 6dp.
-    */
   /** Hour-over-hour categorical drift: for every hour with a predecessor,
     * the total-variation distance between the hour's category
     * distribution and the previous hour's — the ingest-monitoring signal
@@ -194,6 +174,30 @@ object Profiling {
       .select(date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"), col("tv_drift"))
   }
 
+  /** Pairwise content-overlap matrix between corpus slices (sources,
+    * crawl snapshots, language shards): EXACT shingle-set Jaccard for
+    * every pair of groups — "how much of source A is also in source B?",
+    * the provenance/contamination view a multi-source training mix needs
+    * before weights are chosen ([[graft.operators.Sampling.weightedMix]]).
+    *
+    * Semantics: per group, the DISTINCT set of word-`shingleSize`-gram
+    * hashes of the lowercased text; per pair `(a < b)`, `n_common` the
+    * distinct shingles in both and `jaccard = common / (n_a + n_b −
+    * common)`. Pairs with zero overlap are emitted too (a monitoring
+    * matrix with silently missing cells reads as "no data", not "no
+    * overlap").
+    *
+    * Scale shape: never a shingle-stream self-join. One distinct pass
+    * over `(group, shingle)` — partial-aggregated, shuffle bounded by
+    * distinct volume — then `collect_set(group)` per shingle (bounded by
+    * the number of groups, a metadata cardinality) and pair explosion of
+    * that tiny set; per-group sizes and the final matrix assembly are
+    * ≤groups² rows joined broadcast. Corpus bytes are touched exactly
+    * once.
+    *
+    * Returns `(group_a, group_b, n_a, n_b, n_common, jaccard)`, one row
+    * per unordered group pair, jaccard rounded to 6dp.
+    */
   def overlapMatrix(
       df: DataFrame,
       groupCol: Column,

@@ -191,16 +191,24 @@ object Ranking {
       shards: Int,
       seed: Long): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
+    // shard/rnk are the operator's reserved output columns — overwriting
+    // an input column of the same name would silently drop user data
+    Seq("shard", "rnk").foreach { r =>
+      require(!df.columns.contains(r),
+        s"epochShuffle reserves output column '$r' but the input already has it")
+    }
     // disjoint digit ranges: shard from hex digits 1-3, within-shard rank
     // from digits 4-15 — shard membership never skews the rank order
     val h = md5(concat(lit(seed.toString), lit(":"), idCol.cast("string")))
     val shard = pmod(conv(substring(h, 1, 3), 16, 10).cast("long"),
       lit(shards.toLong))
-    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col("__id"))
-    df.withColumn("__k", substring(h, 4, 12))
-      .withColumn("__id", idCol)
+    val kCol = "__graft_es_k"
+    val idC = "__graft_es_id"
+    val w = Window.partitionBy(col("shard")).orderBy(col(kCol), col(idC))
+    df.withColumn(kCol, substring(h, 4, 12))
+      .withColumn(idC, idCol)
       .withColumn("shard", shard)
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .drop("__k", "__id")
+      .drop(kCol, idC)
   }
 }

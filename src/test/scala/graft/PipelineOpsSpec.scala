@@ -540,6 +540,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(after(6L)._2 == 0L && after(6L)._3 == 0L, s"got $after")
     // params survive the metadata round-trip
     assert(ChunkStore.open(spark, dir).params == store.params)
+    // exact (collision-paranoid) mode prices identically on real data
+    val exactSame = store.admit(Seq((7L, fox)).toDF("id", "t"),
+        col("id"), col("t"), exact = true)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    assert(exactSame == ((0L, 0L, fox.length.toLong)), s"got $exactSame")
+  }
+
+  test("ChunkStore: admission shuffles hashes, never stored text; vtype guards") {
+    import graft.operators.ChunkStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-h").toString
+    ChunkStore.save(Seq(Tuple1("seed corpus content for the hash keyed store"))
+      .toDF("t"), col("t"), dir, window = 8, divisor = 32)
+    val store = ChunkStore.open(spark, dir)
+    // plan discipline: the stored side of the admission join reads ONLY
+    // (h, clen) from parquet — chunk text bytes never enter the shuffle
+    val plan = store.admit(Seq((1L, "a new page")).toDF("id", "t"),
+      col("id"), col("t")).queryExecution.executedPlan.toString
+    val storedScan = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("chunks")).mkString("\n")
+    assert(storedScan.contains("h:bigint") && storedScan.contains("clen:bigint"),
+      s"stored-side scan must read the hash key:\n$storedScan")
+    assert(!storedScan.contains("c:string"),
+      s"stored-side scan must NOT read chunk text:\n$storedScan")
+    // exact mode is the one place stored text is allowed back in
+    val exactPlan = store.admit(Seq((1L, "a new page")).toDF("id", "t"),
+      col("id"), col("t"), exact = true).queryExecution.executedPlan.toString
+    assert(exactPlan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("chunks"))
+      .mkString.contains("c:string"))
+    // a binary batch against a string store fails with a clear message
+    val bin = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "b")
+    val e = intercept[IllegalArgumentException](
+      store.admit(bin, col("id"), col("b")))
+    assert(e.getMessage.contains("string chunks"))
+    // binary stores round-trip their vtype and admit binary batches
+    val bdir = java.nio.file.Files.createTempDirectory("graft-chunkstore-b").toString
+    ChunkStore.save(Seq(Tuple1(Array.tabulate(64)(i => (i % 7).toByte))).toDF("b"),
+      col("b"), bdir, window = 8, divisor = 16)
+    val bstore = ChunkStore.open(spark, bdir)
+    assert(bstore.params.vtype == "binary")
+    val stats = bstore.admit(Seq((1L, Array.tabulate(64)(i => (i % 7).toByte)))
+      .toDF("id", "b"), col("id"), col("b"))
+      .collect().map(r => (r.getLong(2), r.getLong(4))).head
+    assert(stats == ((0L, 64L)), s"got $stats")
   }
 
   test("cdcChunks: rolling-hash boundaries, reconstruction, edit-survival, edge docs") {
