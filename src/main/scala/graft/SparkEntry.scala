@@ -1913,6 +1913,17 @@ object SparkEntry {
     * (same argmin metric and tie-break as CentroidOps.nearest),
     * reconstruction, and the ADC dot-product top-10.
     */
+  /** The engine scores via the ADC lookup table — per-subspace partial
+    * dots summed left-to-right in subspace order — so the oracle's score
+    * expression slices the same subvectors and adds in the same order
+    * (SQL `+` is left-associative); a full-dim `list_dot_product` would
+    * associate the FP sum differently.
+    */
+  private def adcFineTerms(qv: String, rv: String, m: Int, sd: Int): String =
+    (0 until m).map(s =>
+      s"list_dot_product($qv[${s * sd + 1}:${(s + 1) * sd}], " +
+        s"$rv[${s * sd + 1}:${(s + 1) * sd}])").mkString(" + ")
+
   private def q64OracleSql: String = q64Codebook match {
     case None => unavailableOracle
     case Some(cb) =>
@@ -1938,7 +1949,7 @@ object SparkEntry {
          |  FROM codes JOIN cb ON cb.sub = codes.sub AND cb.cell = codes.cell
          |  GROUP BY nid),
          |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-         |s AS (SELECT qid, nid, list_dot_product(qv, rv) AS score FROM q CROSS JOIN recon),
+         |s AS (SELECT qid, nid, ${adcFineTerms("qv", "rv", cb.m, sd)} AS score FROM q CROSS JOIN recon),
          |r AS (SELECT qid, nid, score,
          |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
          |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin
@@ -1957,7 +1968,7 @@ object SparkEntry {
       s"""${ivfPqOracleCtes(cbs)},
          |s AS (
          |  SELECT p.qid, r.nid,
-         |    list_dot_product(p.qv, ct.cvec) + list_dot_product(p.qv, r.rv) AS score
+         |    list_dot_product(p.qv, ct.cvec) + ${adcFineTerms("p.qv", "r.rv", cbs.pq.m, cbs.pq.subDim)} AS score
          |  FROM probed p JOIN recon r USING (cell) JOIN cent ct ON ct.cell = p.cell),
          |r AS (SELECT qid, nid, score,
          |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
@@ -1977,7 +1988,7 @@ object SparkEntry {
       s"""${ivfPqOracleCtes(cbs)},
          |s AS (
          |  SELECT p.qid, r.nid,
-         |    list_dot_product(p.qv, ct.cvec) + list_dot_product(p.qv, r.rv) AS score
+         |    list_dot_product(p.qv, ct.cvec) + ${adcFineTerms("p.qv", "r.rv", cbs.pq.m, cbs.pq.subDim)} AS score
          |  FROM probed p JOIN recon r USING (cell) JOIN cent ct ON ct.cell = p.cell),
          |a AS (SELECT qid, nid,
          |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS ar

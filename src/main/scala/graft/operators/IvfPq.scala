@@ -28,10 +28,12 @@ import graft.functions.GraftFunctions
   *
   *   dot(q, centroid + residual̂) = dot(q, centroid) + dot(q, residual̂)
   *
-  * — the coarse term is per (query, cell), the fine term is the same ADC
-  * reconstruct-then-dot kernel as [[ProductQuantization.adcTopK]]. Both
-  * codebooks ride into the plan as single literal objects; selection is
-  * the bounded-heap aggregate (never a Window over the scored stream).
+  * — the coarse term is computed once per (query, cell) on the broadcast
+  * side, the fine term is the classic ADC lookup-table kernel
+  * ([[ProductQuantization.adcTable]]/[[ProductQuantization.adcLookupScore]]):
+  * an m×k partial-dot table per query, m array lookups + adds per scanned
+  * row. Selection is the bounded-heap aggregate (never a Window over the
+  * scored stream).
   *
   * The layout keeps the raw vector column NEXT TO the codes — parquet is
   * columnar, so an ADC search that selects only `(nid, codes)` never
@@ -120,9 +122,17 @@ final class DiskIvfPqIndex(
         explode(KMeans.probeCells(col("qv"), codebooks.centroids, nprobe)).as("cell"))
     val probedRows = probedPlan.collect()
     val probeSet = probedRows.map(_.getAs[Int]("cell")).distinct
-    val probed = spark.createDataFrame(
-      java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
     val centLit = typedlit(codebooks.centroids.map(_.toSeq).toSeq)
+    // ADC lookup tables ride the broadcast side: per (query, cell) the
+    // coarse dot(q, centroid) term and per query the m×k partial-dot
+    // table — both computed ONCE per probed row, so the probed scan's
+    // per-row kernel is m lookups + adds, never a full-dim dot
+    val probed = spark.createDataFrame(
+        java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
+      .withColumn("coarse",
+        GraftFunctions.vecDot(col("qv"), element_at(centLit, col("cell") + 1)))
+      .withColumn("lut", ProductQuantization.adcTable(col("qv"), codebooks.pq))
+      .select(col("qid"), col("cell"), col("coarse"), col("lut"))
     // the projection to (nid, codes, cell) is what prunes the raw-vector
     // bytes: parquet never materializes the unselected `v` column
     val cells = spark.read.parquet(dir)
@@ -130,9 +140,8 @@ final class DiskIvfPqIndex(
       .select(col("nid"), col("codes"), col("cell"))
     val scored = cells.join(broadcast(probed), "cell")
       .select(col("qid"), col("nid"),
-        (GraftFunctions.vecDot(col("qv"), element_at(centLit, col("cell") + 1)) +
-          GraftFunctions.vecDot(col("qv"),
-            ProductQuantization.decode(col("codes"), codebooks.pq))).as("score_raw"))
+        ProductQuantization.adcLookupScore(col("lut"), col("codes"),
+          codebooks.pq.m, prefix = Seq(col("coarse"))).as("score_raw"))
     Similarity.heapSelect(scored, k)
   }
 
@@ -206,18 +215,24 @@ final class DiskIvfPqIndex(
         explode(KMeans.probeCells(col("qv"), codebooks.centroids, nprobe)).as("cell"))
     val probedRows = probedPlan.collect()
     val probeSet = probedRows.map(_.getAs[Int]("cell")).distinct
-    val probed = spark.createDataFrame(
-      java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
     val centLit = typedlit(codebooks.centroids.map(_.toSeq).toSeq)
+    // same ADC-LUT broadcast shape as [[search]]: coarse term + m×k table
+    // computed per probed row, scan kernel = m lookups + adds
+    val probed = spark.createDataFrame(
+        java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
+      .withColumn("coarse",
+        GraftFunctions.vecDot(col("qv"), element_at(centLit, col("cell") + 1)))
+      .withColumn("lut", ProductQuantization.adcTable(col("qv"), codebooks.pq))
+      .select(col("qid"), col("cell"), col("filter"), col("top_k"),
+        col("coarse"), col("lut"))
     val cells = spark.read.parquet(dir)
       .filter(col("cell").isin(probeSet.map(Integer.valueOf): _*))
       .select(col("nid"), col("codes"), col("metadata"), col("cell"))
     val scored = cells.join(broadcast(probed), "cell")
       .filter(GraftFunctions.jsonFilterMatch(col("filter"), col("metadata")))
       .select(col("qid"), col("top_k"), col("nid"),
-        (GraftFunctions.vecDot(col("qv"), element_at(centLit, col("cell") + 1)) +
-          GraftFunctions.vecDot(col("qv"),
-            ProductQuantization.decode(col("codes"), codebooks.pq))).as("score_raw"))
+        ProductQuantization.adcLookupScore(col("lut"), col("codes"),
+          codebooks.pq.m, prefix = Seq(col("coarse"))).as("score_raw"))
     Similarity.heapSelectPerQuery(scored, maxK)
   }
 }

@@ -17,13 +17,14 @@ import graft.functions.GraftFunctions
   *
   * Scoring uses the asymmetric-distance identity for inner product: the
   * dot of a query against a PQ-reconstructed vector equals the SUM of
-  * per-subspace dots against the coded centroids, so reconstruct-then-dot
-  * (one `flatten(transform(codes, ...))` over a single nested-array
-  * codebook literal, then the codegen dot kernel) IS the classic ADC
-  * lookup-table formulation, expressed with built-in expressions. The
-  * codebook rides into the plan as ONE literal object (m × k × subDim
-  * doubles), not a k×dim expression tree — plans stay O(1) like
-  * [[KMeans]]'s.
+  * per-subspace dots against the coded centroids. That makes the classic
+  * ADC lookup-table formulation exact, not approximate: per query an m×k
+  * table of partial dots ([[adcTable]], computed once on the broadcast
+  * query side), then each scanned row costs m `element_at` lookups + adds
+  * ([[adcLookupScore]]) — a ~dim/m constant-factor cut on the scan kernel
+  * versus reconstructing the vector per row. Codebooks and tables ride
+  * into the plan as single literal/broadcast objects — plans stay O(1)
+  * like [[KMeans]]'s.
   *
   * Training is deterministic ([[KMeans.train]]: seeded init, fixed iters),
   * so a captured codebook lets an independent engine replicate encoding
@@ -137,19 +138,57 @@ object ProductQuantization {
       element_at(element_at(cbLit, s + 1), code + 1)))
   }
 
+  /** The per-query ADC lookup table (Jégou et al. §V.A): an m×k nested
+    * array where `lut[s][c] = dot(q_sub_s, codebooks(s)(c))`. Computed as
+    * a projection on the QUERY side — batch-sized, so the m·k·subDim
+    * multiplies happen once per query, not once per scanned row. Entry
+    * `(s, c)` is the exact partial dot [[adcLookupScore]] will look up,
+    * evaluated by the same codegen dot kernel over the same slice order
+    * the decode-then-dot formulation used.
+    */
+  def adcTable(qvec: Column, cb: PQCodebook): Column = {
+    val v = qvec.cast("array<double>")
+    array((0 until cb.m).map { s =>
+      array((0 until cb.k).map { c =>
+        GraftFunctions.vecDot(slice(v, s * cb.subDim + 1, cb.subDim),
+          typedlit(cb.codebooks(s)(c).toSeq))
+      }: _*)
+    }: _*)
+  }
+
+  /** The ADC scan kernel: score a coded row with m array lookups + adds
+    * against a per-query [[adcTable]] — no reconstruction, no full-dim
+    * dot (a ~dim/m constant-factor cut on the per-row work). `prefix`
+    * terms (e.g. IVF's per-cell coarse dot) fold in FIRST, so the sum
+    * associates `(((prefix + p₀) + p₁) + …)` — fixed left-to-right
+    * subspace order, which is what lets an oracle replay the FP sum
+    * exactly.
+    */
+  def adcLookupScore(lut: Column, codes: Column, m: Int,
+      prefix: Seq[Column] = Nil): Column =
+    (prefix ++ (0 until m).map(s =>
+      element_at(element_at(lut, s + 1), element_at(codes, s + 1) + 1)))
+      .reduce(_ + _)
+
   /** Asymmetric (query-exact, candidate-coded) inner-product top-k.
     * Expects `queries(qid, qvec)` and `encoded(nid, codes)` (from
-    * [[encode]]). Scores = dot(query, reconstruction) — the ADC identity —
-    * selected per query by the bounded-heap aggregate (no sort of the
-    * scored stream). Returns `(qid, nid, score, rnk)`.
+    * [[encode]]). Scores come from the classic ADC lookup-table
+    * formulation: the m×k partial-dot table ([[adcTable]]) is computed
+    * once per query on the broadcast side, and each candidate row costs
+    * m lookups + adds ([[adcLookupScore]]) — identical arithmetic to
+    * dot(query, reconstruction), with the sum associated per subspace.
+    * Selection is the bounded-heap aggregate (no sort of the scored
+    * stream). Returns `(qid, nid, score, rnk)`.
     */
   def adcTopK(queries: DataFrame, encoded: DataFrame, cb: PQCodebook, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("qid"), col("qvec").cast("array<double>").as("qv")))
+    val q = broadcast(queries
+      .select(col("qid"), col("qvec").cast("array<double>").as("qv"))
+      .withColumn("lut", adcTable(col("qv"), cb))
+      .select(col("qid"), col("lut")))
     val scored = encoded
-      .withColumn("rv", decode(col("codes"), cb))
       .crossJoin(q)
       .select(col("qid"), col("nid"),
-        GraftFunctions.vecDot(col("qv"), col("rv")).as("score_raw"))
+        adcLookupScore(col("lut"), col("codes"), cb.m).as("score_raw"))
     Similarity.heapSelect(scored, k)
   }
 }
