@@ -1023,16 +1023,20 @@ object SparkEntry {
     // form of q60 + q61 that a curation pipeline actually runs.
     "q81_semdedup" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
-      val (pairs, cb) = graft.operators.Dedup.cosineNearDupAuto(
-        emb, col("vec_id"), col("embedding"),
-        threshold = 0.3, nlist = 8, nprobe = 2, iters = 3)
-      q81Centroids = Some(cb)
+      // group-first (q99's discipline for embeddings): exact-duplicate
+      // vectors collapse to one representative BEFORE training/blocking/
+      // pair generation, CC runs over paired reps only, members re-attach
+      // with one join — intermediates stay linear in duplicate
+      // multiplicity (the sf1 corpus replicates every vector 10×).
       // pointerHalving: a loose-threshold semantic graph is chain-shaped,
       // so rounds must be O(log diameter), not O(diameter); reliable=true
       // runs the long loop on storage-backed checkpoints (see q61)
-      graft.operators.ConnectedComponents.clusterPairs(
-          pairs, emb, col("vec_id"), pointerHalving = true,
-          reliable = ensureCheckpointDir(s))
+      val (groups, cb) = graft.operators.Dedup.semDeDupGroups(
+        emb, col("vec_id"), col("embedding"),
+        threshold = 0.3, nlist = 8, nprobe = 2, iters = 3,
+        pointerHalving = true, reliable = ensureCheckpointDir(s))
+      q81Centroids = Some(cb)
+      groups
         .filter(col("is_canonical"))
         .select(col("id").as("vec_id"), col("component"))
     }),

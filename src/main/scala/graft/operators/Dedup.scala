@@ -118,6 +118,70 @@ object Dedup {
     (pairs, centroids)
   }
 
+  /** Group-first SemDeDup: embedding near-dup CLUSTERS without ever
+    * materializing member-level pairs — the
+    * [[TextDedup.minhashNearDupGroups]] discipline applied to the
+    * embedding family. A crawl corpus at scale is full of verbatim
+    * duplicates whose embeddings are bit-identical, and the pair form is
+    * quadratic in that multiplicity; this form keeps every intermediate
+    * linear in it:
+    *
+    *   1. EXACT-VECTOR COLLAPSE — identical vectors are cosine-1 near-dups
+    *      by definition, so each distinct vector elects its minimum id as
+    *      representative in one partial-aggregated `groupBy(xxhash64(v))`
+    *      (the 2⁻⁶⁴ hash-collision odds are the same accepted-risk class
+    *      as the group operators' set hash). A million-copy page
+    *      contributes ONE row to everything downstream.
+    *   2. TRAIN + BLOCK + VERIFY OVER REPRESENTATIVES ONLY
+    *      ([[cosineNearDupAuto]]: Lloyd-trained cells, co-occurrence
+    *      candidates, exact codegen cosine) — cosine depends only on the
+    *      vectors, so a rep-level edge stands for every member-level edge
+    *      exactly, and cell sizes are bounded by DISTINCT vectors, not
+    *      duplicate multiplicity.
+    *   3. CC OVER PAIRED REPS ONLY, then one left join + coalesce
+    *      re-attaches exact-dup members and singletons (the rep IS the
+    *      exact-dup class minimum, so `coalesce(component, rep)` is the
+    *      group minimum in every case).
+    *
+    * Returns `((id, component, is_canonical) — one row per input row,
+    * component = the group's minimum id — , trained centroids)`; the
+    * centroids let the correctness oracle replay the blocking.
+    */
+  def semDeDupGroups(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      threshold: Double,
+      nlist: Int = 16,
+      nprobe: Int = 2,
+      iters: Int = 3,
+      maxBlockSize: Int = 10000,
+      pointerHalving: Boolean = false,
+      reliable: Boolean = false): (DataFrame, Array[Array[Double]]) = {
+    val base = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
+    val keyed = base.withColumn("k", xxhash64(col("v").cast("string")))
+    val reps = keyed.groupBy("k").agg(min(col("id")).as("rep"))
+    // localCheckpoint (the CC lineage-cut precedent): the collapse feeds
+    // every Lloyd pass, the probe/verify joins, AND the final re-attach —
+    // without materialization each of those re-runs the hash+groupBy+join
+    val collapsed = keyed.join(reps, Seq("k"))
+      .select(col("id"), col("rep"), col("v")).localCheckpoint()
+    val idRep = collapsed.select(col("id"), col("rep"))
+    val repRows = collapsed.filter(col("id") === col("rep"))
+      .select(col("id"), col("v"))
+    val (pairs, centroids) = cosineNearDupAuto(
+      repRows, col("id"), col("v"), threshold, nlist, nprobe, iters, maxBlockSize)
+    val repComp = ConnectedComponents.runEdgeVertices(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      pointerHalving = pointerHalving, reliable = reliable)
+    val attached = idRep
+      .join(repComp.select(col("id").as("rid"), col("component")),
+        col("rep") === col("rid"), "left")
+      .select(col("id"), coalesce(col("component"), col("rep")).as("component"))
+      .withColumn("is_canonical", col("id") === col("component"))
+    (attached, centroids)
+  }
+
   /** Fuzzy (edit-distance) pair join — entity resolution over short
     * strings (names, titles, product labels): pairs within the same
     * caller-provided block whose Levenshtein distance is at most

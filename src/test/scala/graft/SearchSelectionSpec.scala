@@ -206,6 +206,44 @@ class SearchSelectionSpec extends SparkSpec {
       s"recall ${got.size}/${exact.size}")
   }
 
+  test("semDeDupGroups: pair-form parity on distinct vectors; exact-dup collapse algebra") {
+    import graft.operators.ConnectedComponents
+    // (1) no exact duplicates -> collapse is a no-op and group-first must
+    // equal the pair-form clusters exactly (same centroids, same edges)
+    val (groups, cb) = Dedup.semDeDupGroups(emb, col("vec_id"), col("embedding"),
+      threshold = 0.3, nlist = 8, nprobe = 2, iters = 3, pointerHalving = true)
+    val (pairs, cbPair) = Dedup.cosineNearDupAuto(emb, col("vec_id"), col("embedding"),
+      threshold = 0.3, nlist = 8, nprobe = 2, iters = 3)
+    assert(cb.flatten.toSeq == cbPair.flatten.toSeq,
+      "reps == corpus here, so training must see identical data")
+    val viaPairs = ConnectedComponents.clusterPairs(
+        pairs, emb, col("vec_id"), pointerHalving = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val viaGroups = groups
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(viaGroups == viaPairs)
+    // (2) replicate the corpus 3x under shifted ids (planted exact dups):
+    // canonical rows must be REPLICATION-INVARIANT (every replica attaches
+    // to the replica-0 component; the canonical set is unchanged)
+    val shift = 1000000L
+    val rep3 = (0L until 3L).map(r =>
+      emb.select((col("vec_id") + lit(r * shift)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val (g3, cb3) = Dedup.semDeDupGroups(rep3, col("vec_id"), col("embedding"),
+      threshold = 0.3, nlist = 8, nprobe = 2, iters = 3, pointerHalving = true)
+    assert(cb3.flatten.toSeq == cb.flatten.toSeq,
+      "reps of the replicated corpus are the base vectors -> same training")
+    val canon3 = g3.filter(col("is_canonical"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val canonBase = viaGroups.filter(_._3).map(t => (t._1, t._2))
+    assert(canon3 == canonBase, "canonical set must be replication-invariant")
+    // every replica member lands in its base twin's component
+    val comp3 = g3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val compBase = viaGroups.map(t => t._1 -> t._2).toMap
+    assert(compBase.forall { case (id, c) =>
+      (0L until 3L).forall(r => comp3(id + r * shift) == c) })
+  }
+
   test("cosine near-dup block guard drops oversized blocks, keeps the rest") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>
