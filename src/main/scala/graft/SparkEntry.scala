@@ -1513,6 +1513,30 @@ object SparkEntry {
       graft.operators.Profiling.hourlyCategoryDrift(
         events(s, dir), col("ts"), col("event_type"))),
 
+    // Filter-aware posting-list sparse search: the reference query row's
+    // complete sparse surface (sparse_vector + filter + top_k together,
+    // cfg.py:30-36) through the inverted-index plan — each query's JSON
+    // filter interpreted on the posting-join stream BEFORE the multiply,
+    // so filtered-out pairings never reach the score aggregate (q100's
+    // in-scan discipline applied to the sparse leg).
+    "q120_sparse_filtered" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 10)
+        .join(table(s, dir, "documents"), col("doc_id") === col("vec_id"))
+        .select(col("vec_id").as("nid"),
+          sparseStruct(col("embedding")).as("sparse_values"),
+          to_json(struct(col("lang"), col("n_chars"))).as("metadata"))
+      val qs = e.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("qid"),
+          sparseStruct(col("embedding")).as("sparse_vector"))
+        .withColumn("filter",
+          when(col("qid") % 3 === 0, lit("""{"lang": {"$eq": "en"}}"""))
+            .when(col("qid") % 3 === 1, lit("""{"lang": {"$in": ["de", "fr"]}}"""))
+            .otherwise(lit("""{"n_chars": {"$gt": 300}}""")))
+        .withColumn("top_k", (col("qid") % 3 + 3).cast("int"))
+      graft.operators.Similarity.sparseFilteredTopKPerQuery(qs, cands)
+    }),
+
     // Deterministic epoch shuffle: 8 shards, seed 7 — the reproducible
     // training read order (same seed = same permutation on any engine;
     // the within-shard Window sorts corpus/shards rows, never the corpus).
@@ -3653,6 +3677,29 @@ object SparkEntry {
         |  CAST(SUM(clen) AS BIGINT) AS distinct_chars,
         |  ROUND(CAST(SUM(clen) AS DOUBLE) / SUM(cnt * clen), 6) + 0.0 AS dedup_ratio
         |FROM g""".stripMargin,
+
+    // q56's masked-sparse dot + q57's filter replay: the join predicate
+    // IS the per-query metadata filter, the score the sparse dot over
+    // the >0.1 mask, positive-overlap pairs only, per-row top_k.
+    "q120_sparse_filtered" ->
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CASE WHEN x > 0.1 THEN x ELSE 0 END) AS mv
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, mv AS qmv FROM m WHERE vec_id < 6),
+        |d AS (SELECT e.vec_id AS nid, e.mv AS nmv, doc.lang, doc.n_chars
+        |      FROM m e JOIN documents doc ON doc.doc_id = e.vec_id
+        |      WHERE e.vec_id >= 10),
+        |s AS (SELECT qid, nid, list_dot_product(qmv, nmv) AS score
+        |      FROM q JOIN d ON
+        |        CASE qid % 3 WHEN 0 THEN lang = 'en'
+        |                     WHEN 1 THEN lang IN ('de', 'fr')
+        |                     ELSE n_chars > 300 END
+        |      WHERE list_dot_product(qmv, nmv) > 0),
+        |r AS (SELECT qid, nid, score,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+        |      FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= qid % 3 + 3""".stripMargin,
 
     // Same (hour, type) count frame, same consecutive-hour full-outer
     // join with absent-category zeros, same both-sides-present gate.

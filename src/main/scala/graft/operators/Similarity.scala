@@ -238,6 +238,58 @@ object Similarity {
     heapSelectPerQuery(scored, maxK)
   }
 
+  /** Filter-aware posting-list sparse search — [[sparseTopKPerQuery]]'s
+    * plan with each query row's JSON metadata `filter` (reference
+    * `cfg.py:33`: the query row carries `sparse_vector` + `filter` +
+    * `top_k` together) enforced the way [[filteredTopKPerQuery]] does for
+    * dense: interpreted in-scan, BEFORE any scoring arithmetic.
+    *
+    * Where the filter sits in the posting plan: on the posting-join
+    * stream, between the broadcast index equi-join and the multiply —
+    * the Spark translation of an inverted-index engine intersecting
+    * posting lists with a filter bitmap. A filtered-out (query,
+    * candidate) pairing contributes NOTHING to the partial aggregate, so
+    * the score shuffle is bounded by surviving overlapping pairs only.
+    * The candidate's `metadata` string rides its posting rows (nnz-fold
+    * column duplication at scan time, no extra shuffle — the same
+    * trade the posting explode already makes for `nid`), and the match
+    * predicate evaluates per posting row; callers with very fat metadata
+    * and high-nnz vectors should project the filtered fields into a
+    * compact struct first.
+    *
+    * Expects `queries(qid, sparse_vector, filter, top_k)` and
+    * `candidates(nid, sparse_values, metadata)`. Returns
+    * `(qid, nid, score, rnk)` with per-row `top_k` honored.
+    */
+  def sparseFilteredTopKPerQuery(queries: DataFrame, candidates: DataFrame): DataFrame = {
+    val maxK = maxTopK(queries)
+    val q = queries.select(
+      col("qid"),
+      col("sparse_vector.indices").cast("array<long>").as("qi"),
+      col("sparse_vector.values").cast("array<double>").as("qw"),
+      col("filter"),
+      col("top_k").cast("int").as("top_k"))
+    val qPost = broadcast(q
+      .select(col("qid"), col("top_k"), col("filter"), col("qw"),
+        posexplode(col("qi")).as(Seq("qpos", "idx")))
+      .select(col("qid"), col("top_k"), col("filter"), col("idx"),
+        element_at(col("qw"), col("qpos") + 1).as("qval")))
+    val cPost = candidates
+      .select(col("nid"), col("metadata"),
+        col("sparse_values.indices").cast("array<long>").as("ni"),
+        col("sparse_values.values").cast("array<double>").as("nw"))
+      .select(col("nid"), col("metadata"), col("nw"),
+        posexplode(col("ni")).as(Seq("npos", "idx")))
+      .select(col("nid"), col("metadata"), col("idx"),
+        element_at(col("nw"), col("npos") + 1).as("nval"))
+    val scored = cPost.join(qPost, "idx")
+      .filter(GraftFunctions.jsonFilterMatch(col("filter"), col("metadata")))
+      .groupBy(col("qid"), col("top_k"), col("nid"))
+      .agg(sum(col("qval") * col("nval")).as("score_raw"))
+      .filter(col("score_raw") > 0.0)
+    heapSelectPerQuery(scored, maxK)
+  }
+
   /** Hybrid dense+sparse filtered top-k — the COMPLETE reference query-row
     * surface in one search: each query row carries `vector`,
     * `sparse_vector`, `filter` and `top_k` (reference `cfg.py:30-36`), and

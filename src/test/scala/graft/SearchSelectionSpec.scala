@@ -206,6 +206,45 @@ class SearchSelectionSpec extends SparkSpec {
       s"recall ${got.size}/${exact.size}")
   }
 
+  test("sparse filtered: posting-list plan equals brute-force filter+dot replay") {
+    import graft.functions.GraftFunctions
+    val sparse = (c: org.apache.spark.sql.Column) => struct(
+      filter(sequence(lit(0), size(c) - 1),
+        i => element_at(c, i + 1) > 0.1).cast("array<long>").as("indices"),
+      filter(c, x => x > 0.1).cast("array<double>").as("values"))
+    val qs = queries
+      .select(col("qid"), sparse(col("qvec")).as("sparse_vector"))
+      .withColumn("filter",
+        when(col("qid") % 2 === 0, lit("""{"grp": {"$eq": "a"}}"""))
+          .otherwise(lit("""{"grp": {"$in": ["b", "c"]}}""")))
+      .withColumn("top_k", lit(3))
+    val cs = cands
+      .select(col("nid"), sparse(col("nvec")).as("sparse_values"),
+        to_json(struct(
+          element_at(array(lit("a"), lit("b"), lit("c")),
+            (col("nid") % 3 + 1).cast("int")).as("grp"))).as("metadata"))
+    val got = Similarity.sparseFilteredTopKPerQuery(qs, cs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // brute replay: every (query, candidate) pair, filter first, merge-join
+    // dot, positive scores only, Window selection
+    val replay = cs.crossJoin(broadcast(qs))
+      .filter(GraftFunctions.jsonFilterMatch(col("filter"), col("metadata")))
+      .select(col("qid"), col("nid"),
+        GraftFunctions.sparseDot(
+          col("sparse_vector.indices"), col("sparse_vector.values"),
+          col("sparse_values.indices"), col("sparse_values.values")).as("s"))
+      .filter(col("s") > 0.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("s").desc, col("nid").asc)
+    val want = replay.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), round(col("s"), 4).as("score"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want && got.nonEmpty)
+    // and the plan stays heap-selected (no Window over the scored stream)
+    assertNoWindowSort(Similarity.sparseFilteredTopKPerQuery(qs, cs))
+  }
+
   test("semDeDupGroups: pair-form parity on distinct vectors; exact-dup collapse algebra") {
     import graft.operators.ConnectedComponents
     // (1) no exact duplicates -> collapse is a no-op and group-first must
