@@ -1219,16 +1219,20 @@ object SparkEntry {
     // bit-for-bit match.
     "q95_image_phash" -> ((s, dir) => {
       // %4==0 → PNG (real zlib inflate + unfilter), %4==1 → BMP pixel
-      // array, %4==3 → baseline JPEG (real huffman entropy decode + IDCT;
-      // constant 8×8 blocks make the lossy format's decode exact and
-      // SQL-replayable). The hash is scale-invariant, so one oracle
-      // covers all three decoders.
+      // array, %4==3 → baseline JPEG (real huffman entropy decode + IDCT),
+      // %4==2 → PROGRESSIVE JPEG (SOF2: three real scans — DC first/refine
+      // by successive approximation, AC band as an EOB-run). Constant 8×8
+      // blocks make the lossy formats' decode exact and SQL-replayable.
+      // The hash is scale-invariant, so one oracle covers all four
+      // decoders.
       import graft.multimodal.Multimodal
       val docs = table(s, dir, "documents")
       Multimodal.averageHash(
         Multimodal.syntheticMedia(docs.filter(col("doc_id") % 4 <= 1), "doc_id")
           .union(Multimodal.syntheticJpegMedia(
-            docs.filter(col("doc_id") % 4 === 3), "doc_id")))
+            docs.filter(col("doc_id") % 4 === 3), "doc_id"))
+          .union(Multimodal.syntheticProgressiveJpegMedia(
+            docs.filter(col("doc_id") % 4 === 2), "doc_id")))
         .toDF()
     }),
 
@@ -1242,7 +1246,9 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(
         Multimodal.syntheticMedia(docs.filter(col("doc_id") % 4 <= 1), "doc_id")
           .union(Multimodal.syntheticJpegMedia(
-            docs.filter(col("doc_id") % 4 === 3), "doc_id")),
+            docs.filter(col("doc_id") % 4 === 3), "doc_id"))
+          .union(Multimodal.syntheticProgressiveJpegMedia(
+            docs.filter(col("doc_id") % 4 === 2), "doc_id")),
         maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
     }),
@@ -2299,10 +2305,10 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, CAST(16 + doc_id % 317 AS BIGINT) AS w,
         |         CAST(16 + (doc_id * 7) % 97 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 4 <= 1 OR doc_id % 4 = 3),
+        |  FROM documents),
         |px AS (
         |  SELECT d.doc_id, d.w, d.h, t1.r, t2.c,
-        |    CASE WHEN d.doc_id % 4 = 3
+        |    CASE WHEN d.doc_id % 4 >= 2
         |         THEN (d.doc_id + (t1.r // 8) * ((d.w + 7) // 8) + (t2.c // 8)) % 256
         |         ELSE 3 * ((d.doc_id + t1.r * d.w + t2.c) % 256) END AS lum
         |  FROM d,
@@ -2328,10 +2334,10 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, CAST(16 + doc_id % 317 AS BIGINT) AS w,
         |         CAST(16 + (doc_id * 7) % 97 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 4 <= 1 OR doc_id % 4 = 3),
+        |  FROM documents),
         |px AS (
         |  SELECT d.doc_id, d.w, d.h, t1.r, t2.c,
-        |    CASE WHEN d.doc_id % 4 = 3
+        |    CASE WHEN d.doc_id % 4 >= 2
         |         THEN (d.doc_id + (t1.r // 8) * ((d.w + 7) // 8) + (t2.c // 8)) % 256
         |         ELSE 3 * ((d.doc_id + t1.r * d.w + t2.c) % 256) END AS lum
         |  FROM d,

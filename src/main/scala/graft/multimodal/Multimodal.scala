@@ -718,15 +718,18 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------- JPEG
-  // Baseline sequential DCT decoder (ITU-T T.81): marker walk → DQT/DHT/
-  // SOF0/DRI/SOS → huffman entropy decode → dequant → float IDCT → luma
-  // plane. General: reads whatever quant/huffman tables the file carries
-  // (no baked-in spec tables), interleaved multi-component scans with
-  // sampling factors, 0xFF00 byte stuffing, restart markers. Chroma
-  // blocks are entropy-decoded (the bitstream position demands it) but
-  // never IDCT'd — only the luma plane feeds the perceptual hash.
-  // Progressive (SOF2) and non-8-bit frames return None; so does any
-  // malformed stream (never throws).
+  // Sequential AND progressive DCT decoder (ITU-T T.81): marker walk →
+  // DQT/DHT/SOF0-2/DRI/SOS → huffman entropy decode → dequant → float
+  // IDCT → luma plane. General: reads whatever quant/huffman tables the
+  // file carries (no baked-in spec tables), interleaved multi-component
+  // scans with sampling factors, 0xFF00 byte stuffing, restart markers.
+  // Progressive (SOF2) frames accumulate coefficients across scans
+  // (spectral selection + successive approximation, EOB-run coding) and
+  // IDCT once at the end. Chroma blocks are entropy-decoded only where
+  // the bitstream position demands it (sequential scans, interleaved DC
+  // scans); progressive chroma AC scans are skipped whole — only the
+  // luma plane feeds the perceptual hash. Non-8-bit frames return None;
+  // so does any malformed stream (never throws).
 
   private val JpegZigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -743,9 +746,10 @@ object Multimodal {
   private lazy val JpegC: Array[Double] =
     Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
 
-  /** Decode a baseline JPEG to its luma plane at full resolution:
-    * `(width, height, pixels)`, row-major, values 0..255. `None` for
-    * progressive/12-bit/malformed streams — never throws.
+  /** Decode a sequential OR progressive JPEG to its luma plane at full
+    * resolution: `(width, height, pixels)`, row-major, values 0..255.
+    * `None` for 12-bit/lossless/arithmetic/malformed streams — never
+    * throws.
     */
   private[graft] def jpegGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -779,6 +783,9 @@ object Multimodal {
     val compV = new Array[Int](4); val compQ = new Array[Int](4)
     var restartInterval = 0
     var off = 2
+    var progressive = false
+    // current scan's spectral selection + successive approximation
+    var ss = 0; var se = 63; var ah = 0; var al = 0
 
     // ---- marker walk up to (and including) the SOS header
     var scanComps: Array[(Int, Int, Int)] = null // (sofIdx, dcTable, acTable)
@@ -828,7 +835,8 @@ object Multimodal {
               p += total
               huffs(tc)(th) = new JpegHuff(bits, vals)
             }
-          case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0/1/2: sequential / progressive
+            progressive = marker == 0xc2
             if ((b(p) & 0xff) != 8) return None // 8-bit only
             h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
             w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
@@ -846,8 +854,8 @@ object Multimodal {
               p += 3
               c += 1
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // progressive/lossless/arithmetic frames
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // lossless/arithmetic/hierarchical frames
           case 0xdd => // DRI
             restartInterval = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
           case 0xda => // SOS
@@ -864,6 +872,9 @@ object Multimodal {
               p += 2
               i += 1
             }
+            if (p + 3 > end) return None
+            ss = b(p) & 0xff; se = b(p + 1) & 0xff
+            ah = (b(p + 2) & 0xff) >> 4; al = b(p + 2) & 0x0f
             scanComps = sc
           case _ => () // APPn / COM / DNL / unknown: skip by length
         }
@@ -978,7 +989,295 @@ object Multimodal {
         java.util.Arrays.fill(dcPred, 0)
       }
 
-    if (scanComps.length > 1) {
+    if (progressive) {
+      // ---- progressive (T.81 annex G): coefficients accumulate across
+      // scans — DC first/refine by successive approximation, AC bands by
+      // spectral selection with EOB-run coding — and the IDCT runs ONCE at
+      // the end over the accumulated (still-quantized) luma coefficients.
+      // Luma-only: chroma DC is entropy-decoded where it interleaves with
+      // luma bits, but chroma AC scans (always single-component) are
+      // skipped by scanning to the next marker — their coefficient
+      // history is never needed for the luma plane.
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      val blocksW = mcusX * compH(0)
+      val lumaBx = (w + 7) / 8; val lumaBy = (h + 7) / 8
+      val coefs = Array.fill(mcusY * compV(0) * blocksW)(new Array[Int](64))
+      var eobrun = 0
+
+      def restartProg(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          bitCnt = 0 // byte-align
+          if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff ||
+            (b(pos + 1) & 0xff) < 0xd0 || (b(pos + 1) & 0xff) > 0xd7)
+            throw new IllegalStateException("jpeg: expected restart marker")
+          pos += 2
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+
+      def dcUnit(ci: Int, dcT: Int, blockRow: Int, blockCol: Int): Unit =
+        if (ah == 0) {
+          val s = decodeHuff(huffs(0)(dcT))
+          if (s > 15) throw new IllegalStateException("jpeg: bad DC category")
+          dcPred(ci) += extend(receive(s), s)
+          if (ci == 0) coefs(blockRow * blocksW + blockCol)(0) = dcPred(ci) << al
+        } else {
+          val bit = readBit()
+          // refinement appends the next lower magnitude bit; it is always
+          // currently 0 (first pass left bits below the old Al clear), so
+          // |= is the spec's += at this bit position
+          if (ci == 0 && bit == 1) coefs(blockRow * blocksW + blockCol)(0) |= 1 << al
+        }
+
+      // first AC pass over one block's [ss, se] band (T.81 G.1.2.2 /
+      // the libjpeg decode_mcu_AC_first shape)
+      def acFirst(cf: Array[Int], acT: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var break = false
+        while (k <= se && !break) {
+          val rs = decodeHuff(huffs(1)(acT))
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += receive(r)
+              break = true
+            } else k += 16 // ZRL
+          } else {
+            k += r
+            if (k > 63) throw new IllegalStateException("jpeg: AC index overflow")
+            cf(JpegZigzag(k)) = extend(receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      // AC refinement pass (G.1.2.3 / decode_mcu_AC_refine): every
+      // nonzero-history coefficient in the band consumes a correction
+      // bit; new coefficients appear with magnitude 1 at this bit
+      def acRefine(cf: Array[Int], acT: Int): Unit = {
+        val bit = 1 << al
+        def correct(idx: Int): Unit =
+          if (readBit() == 1 && (cf(idx) & bit) == 0)
+            cf(idx) += (if (cf(idx) > 0) bit else -bit)
+        var k = ss
+        if (eobrun > 0) {
+          eobrun -= 1
+          while (k <= se) {
+            val idx = JpegZigzag(k)
+            if (cf(idx) != 0) correct(idx)
+            k += 1
+          }
+        } else {
+          while (k <= se) {
+            val rs = decodeHuff(huffs(1)(acT))
+            var r = rs >> 4; val s = rs & 15
+            var sVal = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += receive(r)
+                // no new coefficient: r = 64 makes the advance below walk
+                // the REST of the band correcting nonzero-history
+                // coefficients (they still consume bits in an EOB block),
+                // then k > se ends the scan of this block
+                r = 64
+              } // r == 15 (ZRL): pass over 16 zero-history coefficients
+            } else {
+              if (s != 1) throw new IllegalStateException("jpeg: bad AC refine size")
+              sVal = if (readBit() == 1) bit else -bit
+            }
+            var placed = false
+            while (k <= se && !placed) {
+              val idx = JpegZigzag(k); k += 1
+              if (cf(idx) != 0) correct(idx)
+              else if (r == 0) {
+                if (sVal != 0) cf(idx) = sVal
+                placed = true
+              } else r -= 1
+            }
+          }
+        }
+      }
+
+      // first 0xFF-marker position at/after `from`, skipping stuffed
+      // 0xFF00 data bytes, fill bytes, and in-scan restart markers —
+      // how a scan whose bits we do not need (chroma AC) is stepped over
+      def nextMarker(from: Int): Int = {
+        var p = from
+        while (p + 1 < b.length) {
+          if ((b(p) & 0xff) == 0xff) {
+            val m = b(p + 1) & 0xff
+            if (m == 0x00) p += 2
+            else if (m == 0xff) p += 1
+            else if (m >= 0xd0 && m <= 0xd7) p += 2
+            else return p
+          } else p += 1
+        }
+        b.length
+      }
+
+      var done = false
+      while (!done) {
+        // ---- decode the current scan (entropy data starts at `off`)
+        pos = off; bitBuf = 0; bitCnt = 0
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+        if (ss == 0) {
+          if (se != 0) return None // DC scan must not carry AC band
+          if (scanComps.length > 1) {
+            // interleaved DC: MCU walk, all listed components in order
+            var mcu = 0; var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                restartProg(mcu)
+                var i = 0
+                while (i < scanComps.length) {
+                  val (ci, dcT, _) = scanComps(i)
+                  var bv = 0
+                  while (bv < compV(ci)) {
+                    var bh = 0
+                    while (bh < compH(ci)) {
+                      dcUnit(ci, dcT, my * compV(ci) + bv, mx * compH(ci) + bh)
+                      bh += 1
+                    }
+                    bv += 1
+                  }
+                  i += 1
+                }
+                mcu += 1; mx += 1
+              }
+              my += 1
+            }
+          } else {
+            // single-component DC scan: the component's own block grid
+            val (ci, dcT, _) = scanComps(0)
+            val cw = (w * compH(ci) + hmax - 1) / hmax
+            val ch = (h * compV(ci) + vmax - 1) / vmax
+            val bx = (cw + 7) / 8; val by = (ch + 7) / 8
+            var unit = 0; var yB = 0
+            while (yB < by) {
+              var xB = 0
+              while (xB < bx) {
+                restartProg(unit)
+                dcUnit(ci, dcT, yB, xB)
+                unit += 1; xB += 1
+              }
+              yB += 1
+            }
+          }
+        } else {
+          // AC scan: T.81 requires non-interleaved
+          if (scanComps.length != 1 || se > 63 || ss > se) return None
+          val (ci, _, acT) = scanComps(0)
+          if (ci == 0) {
+            var unit = 0; var yB = 0
+            while (yB < lumaBy) {
+              var xB = 0
+              while (xB < lumaBx) {
+                restartProg(unit)
+                val cf = coefs(yB * blocksW + xB)
+                if (ah == 0) acFirst(cf, acT) else acRefine(cf, acT)
+                unit += 1; xB += 1
+              }
+              yB += 1
+            }
+          }
+          // chroma AC: bits unread — nextMarker below steps over them
+        }
+
+        // ---- walk to the next scan (DHT/DQT/DRI may redefine between)
+        var p = nextMarker(if (ss > 0 && scanComps(0)._1 != 0) off else pos)
+        var nextScan: Array[(Int, Int, Int)] = null
+        while (nextScan == null && !done) {
+          if (p + 2 > b.length) return None
+          val marker = b(p + 1) & 0xff
+          p += 2
+          if (marker == 0xd9) done = true // EOI: all scans accumulated
+          else {
+            if (p + 2 > b.length) return None
+            val len = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+            if (len < 2 || p + len > b.length) return None
+            val end = p + len
+            var q = p + 2
+            marker match {
+              case 0xdb =>
+                while (q < end) {
+                  val pq = (b(q) & 0xff) >> 4; val tq = b(q) & 0x0f
+                  if (tq > 3) return None
+                  q += 1
+                  var i = 0
+                  while (i < 64) {
+                    val v =
+                      if (pq == 0) { val x = b(q) & 0xff; q += 1; x }
+                      else { val x = ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff); q += 2; x }
+                    quant(tq)(JpegZigzag(i)) = v
+                    i += 1
+                  }
+                }
+              case 0xc4 =>
+                while (q < end) {
+                  val tc = (b(q) & 0xff) >> 4; val th = b(q) & 0x0f
+                  if (tc > 1 || th > 3) return None
+                  q += 1
+                  val bits = new Array[Int](16)
+                  var total = 0
+                  var i = 0
+                  while (i < 16) { bits(i) = b(q + i) & 0xff; total += bits(i); i += 1 }
+                  q += 16
+                  if (total > 256 || q + total > end) return None
+                  val vals = new Array[Int](total)
+                  i = 0
+                  while (i < total) { vals(i) = b(q + i) & 0xff; i += 1 }
+                  q += total
+                  huffs(tc)(th) = new JpegHuff(bits, vals)
+                }
+              case 0xdd =>
+                restartInterval = ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff)
+              case 0xda =>
+                val ns = b(q) & 0xff
+                q += 1
+                if (ns < 1 || ns > 4) return None
+                val sc = new Array[(Int, Int, Int)](ns)
+                var i = 0
+                while (i < ns) {
+                  val cid = b(q) & 0xff
+                  val idx = (0 until nComp).find(compId(_) == cid).getOrElse(return None)
+                  sc(i) = (idx, (b(q + 1) & 0xff) >> 4, b(q + 1) & 0x0f)
+                  q += 2
+                  i += 1
+                }
+                if (q + 3 > end) return None
+                ss = b(q) & 0xff; se = b(q + 1) & 0xff
+                ah = (b(q + 2) & 0xff) >> 4; al = b(q + 2) & 0x0f
+                nextScan = sc
+              case _ => () // APPn / COM / DNL: skip
+            }
+            if (nextScan == null && !done) p = end
+            else if (nextScan != null) off = end // entropy data of next scan
+          }
+        }
+        if (nextScan != null) scanComps = nextScan
+      }
+
+      // ---- dequantize + IDCT the accumulated luma blocks
+      val qt = quant(compQ(0))
+      var yB = 0
+      while (yB < lumaBy) {
+        var xB = 0
+        while (xB < lumaBx) {
+          val cf = coefs(yB * blocksW + xB)
+          var i = 0
+          while (i < 64) { coef(i) = cf(i) * qt(i); i += 1 }
+          idctInto(yB * 8, xB * 8)
+          xB += 1
+        }
+        yB += 1
+      }
+    } else if (scanComps.length > 1) {
       // interleaved scan: MCU = one v×h block grid per component
       val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
       val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
@@ -1525,6 +1824,101 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** The PROGRESSIVE (SOF2) twin of [[jpegBytes]]: the same constant-block
+    * image, delivered as three real progressive scans —
+    *
+    *   1. DC first pass at Al=1 (diff-coded `dc >> 1`, shifted back on
+    *      decode),
+    *   2. DC refinement Ah=1→Al=0 (one raw bit per block; the fixture's
+    *      DC values are multiples of 8, so every bit is 0 but still
+    *      consumed from the stream),
+    *   3. one AC first scan covering band 1–63 whose ENTIRE block
+    *      sequence is a single EOB-run code (exercising the EOBn path),
+    *      with its DHT arriving BETWEEN scans (exercising inter-scan
+    *      table redefinition).
+    *
+    * The accumulated coefficients equal the baseline fixture's exactly,
+    * so decoded pixels follow the same `(id + br·wb + bc) mod 256`
+    * formula and the q95/q96 oracles replay progressive ids with the
+    * same SQL arithmetic as baseline ids.
+    */
+  def jpegProgressiveBytes(id: Long): Array[Byte] = {
+    val w = fixtureWidth(id); val h = fixtureHeight(id)
+    val wb = (w + 7) / 8; val hb = (h + 7) / 8
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    var bitBuf = 0; var nBits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        bitBuf = ((bitBuf << 1) | ((v >> i) & 1)) & 0xff; nBits += 1
+        if (nBits == 8) {
+          u8(bitBuf)
+          if (bitBuf == 0xff) u8(0x00)
+          bitBuf = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit =
+      if (nBits > 0) putBits((1 << (8 - nBits)) - 1, 8 - nBits)
+    def category(v: Int): Int = {
+      var a = math.abs(v); var s = 0
+      while (a != 0) { a >>= 1; s += 1 }
+      s
+    }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(67); u8(0x00) // DQT table 0, all ones
+    (0 until 64).foreach(_ => u8(1))
+    marker(0xc2); u16(11) // SOF2: 8-bit, 1 component, 1x1, quant 0
+    u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+    marker(0xc4); u16(2 + 1 + 16 + 12); u8(0x00) // DHT DC 0 (as baseline)
+    val dcBits = Array(0, 0, 0, 11, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(u8); (0 to 11).foreach(u8)
+    // ---- scan 1: DC first, Ah=0, Al=1
+    marker(0xda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(0); u8(0x01)
+    var pred = 0
+    var br = 0
+    while (br < hb) {
+      var bc = 0
+      while (bc < wb) {
+        val v = ((id + br.toLong * wb + bc) % 256).toInt
+        val dcShifted = ((v - 128) * 8) >> 1
+        val diff = dcShifted - pred; pred = dcShifted
+        val s = category(diff)
+        if (s <= 10) putBits(s, 4) else putBits(0x16, 5)
+        if (s > 0) putBits(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        bc += 1
+      }
+      br += 1
+    }
+    flushBits()
+    // ---- scan 2: DC refinement, Ah=1, Al=0 — one raw 0 bit per block
+    marker(0xda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(0); u8(0x10)
+    (0 until wb * hb).foreach(_ => putBits(0, 1))
+    flushBits()
+    // ---- inter-scan DHT: AC table 0 with the 15 EOBn symbols (r<<4)
+    marker(0xc4); u16(2 + 1 + 16 + 15); u8(0x10)
+    val acBits = Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(u8); (0 until 15).foreach(r => u8(r << 4))
+    // ---- scan 3: AC first, band 1..63, one EOB-run covering every block
+    marker(0xda); u16(8); u8(1); u8(1); u8(0x00); u8(1); u8(63); u8(0x00)
+    var n = wb * hb
+    while (n > 0) {
+      var r = 0
+      while (r < 14 && (1 << (r + 1)) <= n) r += 1
+      val extra = math.min(n - (1 << r), (1 << r) - 1)
+      putBits(r, 4) // the EOBn symbol's canonical 4-bit code is its index
+      if (r > 0) putBits(extra, r)
+      n -= (1 << r) + extra
+    }
+    flushBits()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Container for media `id`: ids cycle png / bmp / wav / mp4 by `id % 4`. */
   def fixturePayload(id: Long): Array[Byte] = (id % 4) match {
     case 0 => pngBytes(id)
@@ -1550,5 +1944,14 @@ object Multimodal {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, jpegBytes(id))))
+  }
+
+  /** [[syntheticJpegMedia]]'s progressive twin: every id gets a
+    * [[jpegProgressiveBytes]] payload — the SOF2 arm of q95/q96.
+    */
+  def syntheticProgressiveJpegMedia(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, jpegProgressiveBytes(id))))
   }
 }

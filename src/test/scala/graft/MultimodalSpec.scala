@@ -527,6 +527,102 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("jpegGray progressive: fixture bit-exact; ImageIO progressive encodes agree; fuzz") {
+    // 1. progressive fixture (3 scans: DC Al=1, DC refine, AC EOB-run)
+    // decodes to the SAME constant-block formula as the baseline fixture
+    for (id <- Seq(3L, 7L, 111L, 499L, 2L, 6L)) {
+      val w = Multimodal.fixtureWidth(id); val h = Multimodal.fixtureHeight(id)
+      val wb = (w + 7) / 8
+      val got = Multimodal.jpegGray(Multimodal.jpegProgressiveBytes(id))
+      assert(got.isDefined, s"id=$id progressive fixture failed to decode")
+      val (gw, gh, px) = got.get
+      assert(gw == w && gh == h)
+      for (r <- 0 until h; c <- 0 until w) {
+        val want = ((id + (r / 8).toLong * wb + (c / 8)) % 256).toInt
+        assert(px(r * w + c) == want, s"id=$id pixel ($r,$c): ${px(r * w + c)} != $want")
+      }
+      // and ImageIO reads the same fixture identically (it is a real SOF2)
+      val img = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(Multimodal.jpegProgressiveBytes(id)))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (r <- 0 until h by 5; c <- 0 until w by 5) {
+        val want = ((id + (r / 8).toLong * wb + (c / 8)) % 256).toInt
+        assert(img.getRaster.getSample(c, r, 0) == want,
+          s"id=$id ImageIO pixel ($r,$c)")
+      }
+    }
+    // 2. ImageIO's own progressive encoder (multi-scan successive
+    // approximation, real quant) → our decoder, gray and color
+    def progressiveBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    def isSof2(b: Array[Byte]): Boolean =
+      b.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val w = 19 + rnd.nextInt(70); val h = 11 + rnd.nextInt(40)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val bytes = progressiveBytes(img)
+      assert(isSof2(bytes), "ImageIO did not emit a progressive (SOF2) stream")
+      val dec = Multimodal.jpegGray(bytes)
+      assert(dec.isDefined, s"trial=$trial: failed to decode ImageIO progressive JPEG")
+      val (gw, gh, px) = dec.get
+      assert(gw == w && gh == h)
+      val ref = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxDiff = math.max(maxDiff,
+          math.abs(px(y * w + x) - ref.getRaster.getSample(x, y, 0)))
+      assert(maxDiff <= 1, s"trial=$trial: diverges from ImageIO by $maxDiff")
+    }
+    // color progressive (3-component: interleaved DC scan + skipped
+    // chroma AC scans), R=G=B so luma tracks the gray value
+    val wC = 37; val hC = 21
+    val cImg = new java.awt.image.BufferedImage(
+      wC, hC, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until hC; x <- 0 until wC) {
+      val v = (x * 7 + y * 13) % 256
+      cImg.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val cBytes = progressiveBytes(cImg)
+    assert(isSof2(cBytes))
+    val cDec = Multimodal.jpegGray(cBytes)
+    assert(cDec.isDefined, "failed to decode a color progressive JPEG")
+    val (cw, ch, cPx) = cDec.get
+    assert(cw == wC && ch == hC)
+    val cRef = javax.imageio.ImageIO.read(new ByteArrayInputStream(cBytes))
+    var cMax = 0
+    for (y <- 0 until hC; x <- 0 until wC)
+      cMax = math.max(cMax, math.abs(cPx(y * wC + x) - (cRef.getRGB(x, y) & 0xff)))
+    assert(cMax <= 2, s"progressive luma diverges from ImageIO's gray by $cMax")
+    // 3. never-throw fuzz on truncations and random corruption
+    val seed = Multimodal.jpegProgressiveBytes(7L)
+    (0 until 10).foreach(t => Multimodal.jpegGray(seed.take(seed.length * t / 10)))
+    (0 until 200).foreach { _ =>
+      val m = seed.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Multimodal.jpegGray(m)
+      Multimodal.ahashOf(7L, m)
+    }
+    val seedIo = progressiveBytes(cImg)
+    (0 until 200).foreach { _ =>
+      val m = seedIo.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Multimodal.jpegGray(m)
+    }
+  }
+
   test("bmpHash: row order matches ImageIO (bottom-up storage un-flipped); top-down BMPs too") {
     // ImageIO honors the BMP spec's bottom-up row order, so hashing ITS
     // pixels in logical (y,x) order must reproduce the engine's hash —
