@@ -82,6 +82,71 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** q119's streaming twin — the hour-over-hour event-mix drift monitor as
+    * an INCREMENTAL query: a watermarked hourly `(hour, event_type)` count
+    * aggregate runs in Append mode (each hour's rows emit exactly once,
+    * when the watermark closes the window), and a `foreachBatch` sink
+    * keeps the closed hours' distributions (bounded by hours × categories
+    * — metadata cardinality, never event volume) and emits one
+    * `(hour, tv_drift)` row per completed hour whose predecessor has also
+    * completed. TV is summed over the sorted category union, rounded to
+    * 6dp — the batch operator's arithmetic
+    * ([[graft.operators.Profiling.hourlyCategoryDrift]]).
+    *
+    * Unbounded-stream semantics carry over verbatim: state is the closed
+    * distributions only, emission is monotone (an hour's drift emits once
+    * and never revises), and the trailing hours inside the watermark
+    * horizon are still open when a bounded replay ends — exactly as they
+    * would be on a live stream.
+    */
+  def hourlyDriftStreaming(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val readSchema = graft.sources.Events.streamReadSchema(spark, eventsPath)
+    val tsIsLongNanos = readSchema("ts").dataType == LongType
+    val raw = spark.readStream.schema(readSchema).parquet(eventsPath)
+    val counts = (if (tsIsLongNanos)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", col("ts").cast("timestamp")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type").as("cat"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast("long").as("hsec"), col("cat"), col("cnt"))
+    val closed = scala.collection.mutable.TreeMap.empty[Long, scala.collection.mutable.Map[String, Long]]
+    val emitted = scala.collection.mutable.Set.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = counts.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        closed.synchronized {
+          b.collect().foreach { r =>
+            closed.getOrElseUpdate(r.getLong(0),
+              scala.collection.mutable.Map.empty[String, Long])(r.getString(1)) = r.getLong(2)
+          }
+          for (h <- closed.keys.toSeq if !emitted(h) && closed.contains(h - 3600)) {
+            val cur = closed(h); val prev = closed(h - 3600)
+            val tot = cur.values.sum.toDouble; val totPrev = prev.values.sum.toDouble
+            val cats = (cur.keySet ++ prev.keySet).toSeq.sorted
+            val tv = cats.map(c =>
+              math.abs(cur.getOrElse(c, 0L) / tot - prev.getOrElse(c, 0L) / totPrev)).sum / 2.0
+            out += ((h, BigDecimal(tv).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            emitted += h
+          }
+        }
+      }
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("hsec", "tv_drift")
+      .select(date_format(timestamp_seconds(col("hsec")), "yyyy-MM-dd HH:00").as("hour"),
+        col("tv_drift"))
+  }
+
   /** Batch-typed sessionization via `KeyValueGroupedDataset.mapGroups`:
     * per-user event sort, session break at gaps > `gapNs`. Typed
     * counterpart of the window/lag SQL formulation (q12) — same output.

@@ -28,6 +28,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming hourly drift equals the batch plan on sf0.001 events") {
+    val streamed = StreamingOps.hourlyDriftStreaming(
+      spark, "/root/testdata/sf0.001/{events}.parquet")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = graft.operators.Profiling.hourlyCategoryDrift(
+        graft.sources.Events.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet")),
+        col("ts"), col("event_type"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // every emitted hour matches the batch value exactly; only the
+    // trailing hours inside the 2h watermark horizon may still be open
+    // when the bounded replay ends (that is the live-stream semantic)
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (h, tv) =>
+      assert(batch.get(h).contains(tv), s"hour $h: streamed $tv vs batch ${batch.get(h)}")
+    }
+    val missing = batch.keySet -- streamed.keySet
+    assert(missing.size <= 3,
+      s"stream must cover all but the watermark-open tail, missing: $missing")
+  }
+
   test("sessionizeStream: state carries across micro-batches, sessions close on gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
