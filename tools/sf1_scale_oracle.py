@@ -35,6 +35,15 @@ sf1 ran >40 minutes and died):
        is unchanged by replication, and every odd replica doc prices
        exactly like its base twin: expected = base rows x10 under id
        shifts.
+  q81  group-first SemDeDup is replication-INVARIANT: replicas carry
+       bit-identical vectors, the exact-vector collapse maps every copy
+       onto its replica-0 twin, and the canonical (min id, component)
+       output equals the base result verbatim.
+  q103/q87/q91 (selection family): no derivation needed — the direct
+       oracle replay IS tractable here (window/threshold SQL, no O(n^2)
+       closure), so the expected result is the base oracle SQL run
+       verbatim over the replicated documents view, checking exact rank
+       cuts and quantized keep thresholds at 10x cardinality/mass.
 
 This is exactly the regime the bucket caps (maxBucketSize) were built
 for: LSH/chunk buckets are 10x hotter, and any silent cap-fire or
@@ -64,6 +73,7 @@ def main():
     report_path = sys.argv[4] if len(sys.argv) > 4 else "CORRECTNESS_sf1.json"
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf01_dir}/documents.parquet')")
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf01_dir}/embeddings.parquet')")
     oracle = json.load(open(f"{sf01_out}/oracle_sql.json"))
 
     # ---- base results: the DuckDB oracle replay by default (fully
@@ -74,7 +84,7 @@ def main():
     base_from_engine = os.environ.get("BASE_FROM_ENGINE") == "1"
     for q in ("q22_minhash_neardup", "q23_simhash_hamming", "q61_dedup_clusters",
               "q107_line_dedup", "q110_cdc_chunks", "q109_overlap_matrix",
-              "q117_chunk_store"):
+              "q117_chunk_store", "q81_semdedup"):
         short = q.split("_")[0]
         if base_from_engine:
             con.sql(f"CREATE TABLE base_{short} AS "
@@ -145,6 +155,27 @@ def main():
       FROM base_q110 b"""
 
     expected["q109_overlap_matrix"] = "SELECT * FROM base_q109"
+
+    # q81 (group-first SemDeDup) is replication-INVARIANT like q109:
+    # replicas carry bit-identical vectors, so the exact-vector collapse
+    # maps every copy onto its replica-0 twin, rep-level edges (cosine
+    # depends only on the vectors) and components are unchanged, and the
+    # canonical output — (min id, component) rows — is the base result
+    # verbatim (replica-0 ids sort below every shifted id).
+    expected["q81_semdedup"] = "SELECT * FROM base_q81"
+
+    # ---- selection family: the direct oracle replay IS tractable here
+    # (window/threshold SQL over the replicated 10x row set — no O(n^2)
+    # recursive closure), so the expected result is the base oracle SQL
+    # run verbatim against the replicated documents view: fully
+    # independent, and it checks the engine's rank cuts / quantized
+    # thresholds at 10x cardinality and 10x source mass.
+    con.sql(f"CREATE VIEW documents_x10 AS "
+            f"SELECT doc_id + r.r * {SHIFT} AS doc_id, "
+            f"COLUMNS(c -> c <> 'doc_id') FROM documents, reps r")
+    for q in ("q103_quantile_buckets", "q87_temperature_mix", "q91_budget_select"):
+        import re as _re
+        expected[q] = _re.sub(r"\bdocuments\b", "documents_x10", oracle[q])
 
     expected["q117_chunk_store"] = f"""
       SELECT b.doc_id + r.r * {SHIFT} AS doc_id, b.n_chunks, b.n_new_chunks,
