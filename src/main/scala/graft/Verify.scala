@@ -81,9 +81,35 @@ object Verify {
     val snapPath = Paths.get("PLAN_SNAPSHOT.json")
     val update = sys.env.get("PLAN_SNAPSHOT_UPDATE").contains("1")
     if (update) {
+      // Subset runs (SPARK_GRAFT_ONLY) must refresh ONLY the queries that
+      // ran — overwriting would silently drop the other ~119 signatures
+      // and disarm the tripwire for them. Merge into the existing
+      // snapshot when it records the same SF; a different SF means the
+      // old signatures aren't comparable anyway, so start fresh.
+      val existing: Map[String, String] =
+        if (!Files.exists(snapPath)) Map.empty
+        else {
+          import org.json4s.{JObject, JString}
+          org.json4s.jackson.JsonMethods.parse(Files.readString(snapPath)) match {
+            case JObject(fields) =>
+              val fm = fields.toMap
+              val sameSf = fm.get("sf_dir").collect { case JString(s) => s }.contains(sfDir)
+              if (!sameSf) Map.empty
+              else fm.get("signatures").collect {
+                case JObject(sigs) => sigs.collect { case (k, JString(v)) => k -> v }.toMap
+              }.getOrElse(Map.empty)
+            case _ => Map.empty
+          }
+        }
+      val merged = scala.collection.immutable.TreeMap.empty[String, String] ++
+        existing ++ signatures
+      val mergedJson = merged
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{\n", ",\n", "}\n")
       Files.writeString(snapPath,
-        s"""{"sf_dir": ${q(sfDir)}, "signatures": $sigJson}""")
-      println(s"[plan-audit] snapshot refreshed for $sfDir (${signatures.size} queries)")
+        s"""{"sf_dir": ${q(sfDir)}, "signatures": $mergedJson}""")
+      println(s"[plan-audit] snapshot refreshed for $sfDir " +
+        s"(${signatures.size} ran, ${merged.size} total)")
     } else if (Files.exists(snapPath)) {
       import org.json4s.{JObject, JString}
       org.json4s.jackson.JsonMethods.parse(Files.readString(snapPath)) match {

@@ -159,25 +159,33 @@ object Dedup {
       pointerHalving: Boolean = false,
       reliable: Boolean = false): (DataFrame, Array[Array[Double]]) = {
     val base = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
-    val keyed = base.withColumn("k", xxhash64(col("v").cast("string")))
-    val reps = keyed.groupBy("k").agg(min(col("id")).as("rep"))
-    // localCheckpoint (the CC lineage-cut precedent): the collapse feeds
-    // every Lloyd pass, the probe/verify joins, AND the final re-attach —
-    // without materialization each of those re-runs the hash+groupBy+join
-    val collapsed = keyed.join(reps, Seq("k"))
-      .select(col("id"), col("rep"), col("v")).localCheckpoint()
-    val idRep = collapsed.select(col("id"), col("rep"))
-    val repRows = collapsed.filter(col("id") === col("rep"))
-      .select(col("id"), col("v"))
+    val keyed = base.withColumn("k", xxhash64(col("v")))
+    // One partial-aggregated groupBy elects the representative AND carries
+    // its vector (min_by picks the min-id row's v — identical within a
+    // hash class), so no join-back is needed to build the rep table.
+    // localCheckpoint (the CC lineage-cut precedent) materializes ONLY
+    // the distinct-vector rows — the frame every Lloyd pass, the
+    // probe/verify joins, and the attach all re-read — never the full
+    // member list with its duplicate vector payloads.
+    val reps = keyed.groupBy("k")
+      .agg(min(col("id")).as("rep"), min_by(col("v"), col("id")).as("v"))
+      .localCheckpoint()
+    val repRows = reps.select(col("rep").as("id"), col("v"))
     val (pairs, centroids) = cosineNearDupAuto(
       repRows, col("id"), col("v"), threshold, nlist, nprobe, iters, maxBlockSize)
     val repComp = ConnectedComponents.runEdgeVertices(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       pointerHalving = pointerHalving, reliable = reliable)
-    val attached = idRep
+    // repComp holds PAIRED reps only (bounded by near-dup groups, usually
+    // tiny — AQE broadcasts it when it is), so it folds into the rep
+    // table BEFORE the single member-level shuffle join on the hash key.
+    val repsWithComp = reps.select(col("k"), col("rep"))
       .join(repComp.select(col("id").as("rid"), col("component")),
         col("rep") === col("rid"), "left")
-      .select(col("id"), coalesce(col("component"), col("rep")).as("component"))
+      .select(col("k"), coalesce(col("component"), col("rep")).as("component"))
+    val attached = keyed.select("id", "k")
+      .join(repsWithComp, Seq("k"))
+      .select(col("id"), col("component"))
       .withColumn("is_canonical", col("id") === col("component"))
     (attached, centroids)
   }
