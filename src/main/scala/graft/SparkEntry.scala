@@ -1543,6 +1543,45 @@ object SparkEntry {
       graft.operators.Similarity.sparseFilteredTopKPerQuery(qs, cands)
     }),
 
+    // BPE subword tokenizer, self-trained: ONE partial-agg corpus scan
+    // builds the word-frequency dict, merge learning runs driver-side
+    // over the capped dict (corpus-size-independent — the classic BPE
+    // decomposition), and encoding is a scan-local codegen replace
+    // chain. The oracle re-derives the ENTIRE training (24 unrolled
+    // argmax stages over the same dict) plus the encoding — nothing is
+    // rendered from the engine.
+    "q121_bpe_encode" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMerges(
+        graft.operators.Bpe.wordFrequencies(docs, col("text")),
+        numMerges = 24, capWords = 256)
+      docs
+        .select(col("doc_id").as("id"),
+          graft.operators.Bpe.encode(col("text"), merges).as("__graft_bpe_enc"),
+          length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+            .cast("long").as("base_chars"))
+        .select(col("id"),
+          graft.operators.Bpe.tokenCount(col("__graft_bpe_enc")).as("bpe_tokens"),
+          col("base_chars"),
+          substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
+    }),
+
+    // The persisted-tokenizer lifecycle: train+freeze the merge table on
+    // the even half (train-once / encode-forever — token counts are only
+    // comparable across batches under the SAME frozen merges), reopen
+    // from disk, encode the odd half. Encoding reads ≤24 merge rows,
+    // never the training corpus.
+    "q122_tokenizer_index" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q122-bpe-").toString
+      graft.operators.TokenizerIndex.save(
+        docs.filter(col("doc_id") % 2 === 0), col("text"), tmp,
+        numMerges = 24, capWords = 256)
+      val tok = graft.operators.TokenizerIndex.open(s, tmp)
+      tok.encodeDocs(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    }),
+
     // Deterministic epoch shuffle: 8 shards, seed 7 — the reproducible
     // training read order (same seed = same permutation on any engine;
     // the within-shard Window sorts corpus/shards rows, never the corpus).
@@ -1624,7 +1663,67 @@ object SparkEntry {
     ("q60_neardup_auto" -> q60OracleSql) +
     ("q64_pq_adc" -> q64OracleSql) +
     ("q47_ivfpq_adc" -> q47OracleSql) +
-    ("q83_ivfpq_refine" -> q83OracleSql)
+    ("q83_ivfpq_refine" -> q83OracleSql) +
+    ("q121_bpe_encode" -> bpeOracleSql("", "", 24, 256)) +
+    ("q122_tokenizer_index" ->
+      bpeOracleSql(" WHERE doc_id % 2 = 0", " WHERE doc_id % 2 = 1", 24, 256))
+
+  /** Fully independent BPE replay: DuckDB re-derives the word-frequency
+    * dict, re-runs every merge-learning iteration as an unrolled argmax
+    * CTE stage (pair counting over ALL adjacent token pairs weighted by
+    * word count, winner = count DESC then "l r" ASC, left-to-right
+    * non-overlapping replace — [[graft.operators.Bpe]]'s exact contract),
+    * and re-applies the merge chain to the document stream. No literal
+    * from the engine's training enters the oracle, so a divergence in
+    * EITHER the distributed word count, the driver-side learning, or the
+    * scan-side encoding fails the hash compare. */
+  private def bpeOracleSql(
+      trainFilter: String,
+      encodeFilter: String,
+      numMerges: Int,
+      capWords: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH wf AS MATERIALIZED (
+      |  SELECT w AS word, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |        FROM documents$trainFilter)
+      |  GROUP BY 1),
+      |dict0 AS MATERIALIZED (
+      |  SELECT regexp_replace(word, '(.)', '[\\1]', 'g') AS s, cnt
+      |  FROM (SELECT word, cnt FROM wf ORDER BY cnt DESC, word ASC LIMIT $capWords)),
+      |doc0 AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS base_chars,
+      |    regexp_replace(lower(text), '([a-z0-9])', '[\\1]', 'g') AS s
+      |  FROM documents$encodeFilter)""".stripMargin
+    for (k <- 1 to numMerges) {
+      sb ++= s""",
+        |best$k AS MATERIALIZED (
+        |  SELECT string_split(pr, ' ')[1] AS l, string_split(pr, ' ')[2] AS r
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i+1])) AS pr, cnt
+        |    FROM (SELECT regexp_extract_all(s, '\\[([^\\]]*)\\]', 1) AS toks, cnt
+        |          FROM dict${k - 1}))
+        |  GROUP BY pr ORDER BY SUM(cnt) DESC, pr ASC LIMIT 1),
+        |dict$k AS MATERIALIZED (
+        |  SELECT replace(s, '[' || b.l || '][' || b.r || ']',
+        |                 '[' || b.l || b.r || ']') AS s, cnt
+        |  FROM dict${k - 1}, best$k b),
+        |doc$k AS MATERIALIZED (
+        |  SELECT doc_id, base_chars,
+        |    replace(s, '[' || b.l || '][' || b.r || ']',
+        |            '[' || b.l || b.r || ']') AS s
+        |  FROM doc${k - 1}, best$k b)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT doc_id AS id,
+      |  CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS bpe_tokens,
+      |  base_chars,
+      |  substring(s, 1, 240) AS encoded_prefix
+      |FROM doc$numMerges""".stripMargin
+    sb.toString
+  }
 
   /** Shared by q61 (pair path + CC) and q99 (group-first path): the
     * transitive closure of the verified near-dup graph, replayed with
