@@ -1566,6 +1566,45 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // Contrastive perplexity selection (CCNet / DSIR's importance-ratio
+    // idea in LM form): score the general pool under an IN-DOMAIN frozen
+    // LM and a GENERAL frozen LM trained at the same caps, keep docs
+    // whose in-domain/general log-prob gap clears a threshold — "sounds
+    // more like the target domain than like the background". Both models
+    // train once (bounded-heap tables), scoring is two broadcast-map
+    // passes over the batch, and the contrastive join is doc-cardinality.
+    "q124_perplexity_ratio" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tIn = java.nio.file.Files.createTempDirectory("graft-q124-in-").toString
+      val tGen = java.nio.file.Files.createTempDirectory("graft-q124-gen-").toString
+      graft.operators.LmIndex.save(
+        docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
+        tIn, vocabSize = 30, bigramTable = 200)
+      graft.operators.LmIndex.save(
+        docs, col("doc_id"), col("text"),
+        tGen, vocabSize = 30, bigramTable = 200)
+      val batch = docs.filter(col("source") =!= "src0")
+      val si = graft.operators.LmIndex.open(s, tIn)
+        .score(batch, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_bigrams"), col("logprob").as("lp_in"))
+      val sg = graft.operators.LmIndex.open(s, tGen)
+        .score(batch, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("logprob").as("lp_gen"))
+      si.join(sg, Seq("doc_id"))
+        .select(col("doc_id"), col("n_bigrams"), col("lp_in"), col("lp_gen"),
+          (round(col("lp_in") - col("lp_gen"), 4) + lit(0.0)).as("lm_delta"))
+        .withColumn("keep", col("lm_delta") >= -0.05)
+    }),
+
+    // Per-source quality-funnel attrition: the pipeline-owner dashboard —
+    // cumulative survival counts through length -> Gopher -> repetition ->
+    // exact-canonical, grouped by provenance. Scan-local flags, one
+    // hash-keyed dup election, final agg bounded by source count.
+    "q123_quality_funnel" -> ((s, dir) =>
+      graft.operators.Profiling.qualityFunnel(
+        table(s, dir, "documents"), col("doc_id"), col("text"),
+        col("source"))),
+
     // The persisted-tokenizer lifecycle: train+freeze the merge table on
     // the even half (train-once / encode-forever — token counts are only
     // comparable across batches under the SAME frozen merges), reopen
@@ -3984,6 +4023,127 @@ object SparkEntry {
         |  FROM p GROUP BY doc_id)
         |SELECT f.doc_id, f.n_lines_kept, s.n_bigrams, s.logprob
         |FROM flat f JOIN scored s ON f.doc_id = s.doc_id
-        |WHERE f.n_lines_kept >= 1 AND s.logprob >= -6.5""".stripMargin
+        |WHERE f.n_lines_kept >= 1 AND s.logprob >= -6.5""".stripMargin,
+
+    // q76's Gopher arithmetic + q77's repetition signal + exact-canonical
+    // election, folded into cumulative per-source survival counts.
+    "q123_quality_funnel" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, text, ts,
+        |    list_transform(range(1, greatest(len(ts), 1)), i -> ts[i] || ' ' || ts[i+1]) AS grams
+        |  FROM toks),
+        |base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(ts) AS BIGINT) AS nw,
+        |    ROUND(CAST(len(array_to_string(ts, '')) AS DOUBLE)
+        |      / greatest(len(ts), 1), 4) AS mwl,
+        |    ROUND(CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+        |      / greatest(len(ts), 1), 4) AS af,
+        |    CAST(len(list_filter(ts, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','are','was',
+        |       'for','on','with','as','at','by','it','this','that'], t))) AS BIGINT) AS sh,
+        |    ROUND(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+        |      / greatest(len(grams), 1), 4) AS rep,
+        |    MIN(doc_id) OVER (PARTITION BY text) AS canon
+        |  FROM bg),
+        |f AS (
+        |  SELECT source, doc_id, canon,
+        |    (nw >= 30 AND nw <= 100000) AS s1,
+        |    (nw >= 30 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |     AND af >= 0.8 AND sh >= 2) AS s2,
+        |    (nw >= 30 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |     AND af >= 0.8 AND sh >= 2 AND rep <= 0.05) AS s3
+        |  FROM base)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+        |  CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_ok,
+        |  CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+        |  CAST(SUM(CASE WHEN s3 AND doc_id = canon THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN s3 AND doc_id = canon THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) + 0.0 AS kept_frac
+        |FROM f GROUP BY source""".stripMargin,
+
+    // Two q112-style frozen models — in-domain (src0) and general (all
+    // docs) — scored over the same non-src0 batch stream; the delta and
+    // keep gate replayed with the engine's exact rounding convention.
+    "q124_perplexity_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |toki AS (SELECT unnest(ts) AS term FROM toks WHERE source = 'src0'),
+        |cnti AS (SELECT term, COUNT(*) AS c FROM toki GROUP BY term),
+        |vocabi AS (
+        |  SELECT term, c FROM (
+        |    SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rn FROM cnti)
+        |  WHERE rn <= 30),
+        |toti AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cnti),
+        |bgtri AS (
+        |  SELECT ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+        |  WHERE source = 'src0'),
+        |bcnti AS (SELECT w1, w2, COUNT(*) AS c FROM bgtri GROUP BY w1, w2),
+        |btabi AS (
+        |  SELECT w1, w2, c FROM (
+        |    SELECT w1, w2, c,
+        |      ROW_NUMBER() OVER (ORDER BY c DESC, w1 || ' ' || w2 ASC) AS rn
+        |    FROM bcnti)
+        |  WHERE rn <= 200),
+        |tokg AS (SELECT unnest(ts) AS term FROM toks),
+        |cntg AS (SELECT term, COUNT(*) AS c FROM tokg GROUP BY term),
+        |vocabg AS (
+        |  SELECT term, c FROM (
+        |    SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rn FROM cntg)
+        |  WHERE rn <= 30),
+        |totg AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cntg),
+        |bgtrg AS (
+        |  SELECT ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+        |bcntg AS (SELECT w1, w2, COUNT(*) AS c FROM bgtrg GROUP BY w1, w2),
+        |btabg AS (
+        |  SELECT w1, w2, c FROM (
+        |    SELECT w1, w2, c,
+        |      ROW_NUMBER() OVER (ORDER BY c DESC, w1 || ' ' || w2 ASC) AS rn
+        |    FROM bcntg)
+        |  WHERE rn <= 200),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+        |  WHERE source <> 'src0'),
+        |pi AS (
+        |  SELECT bg.doc_id,
+        |    0.7 * least(1.0, COALESCE(CAST(bt.c AS DOUBLE), 0.0)
+        |        / COALESCE(CAST(v1.c AS DOUBLE), 0.5))
+        |    + (1.0 - 0.7) * (COALESCE(CAST(v2.c AS DOUBLE), 0.5) / n_total) AS prob
+        |  FROM bg
+        |  LEFT JOIN btabi bt ON bg.w1 = bt.w1 AND bg.w2 = bt.w2
+        |  LEFT JOIN vocabi v1 ON bg.w1 = v1.term
+        |  LEFT JOIN vocabi v2 ON bg.w2 = v2.term
+        |  CROSS JOIN toti),
+        |si AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    ROUND(AVG(ln(prob)), 4) + 0.0 AS logprob
+        |  FROM pi GROUP BY doc_id),
+        |pg AS (
+        |  SELECT bg.doc_id,
+        |    0.7 * least(1.0, COALESCE(CAST(bt.c AS DOUBLE), 0.0)
+        |        / COALESCE(CAST(v1.c AS DOUBLE), 0.5))
+        |    + (1.0 - 0.7) * (COALESCE(CAST(v2.c AS DOUBLE), 0.5) / n_total) AS prob
+        |  FROM bg
+        |  LEFT JOIN btabg bt ON bg.w1 = bt.w1 AND bg.w2 = bt.w2
+        |  LEFT JOIN vocabg v1 ON bg.w1 = v1.term
+        |  LEFT JOIN vocabg v2 ON bg.w2 = v2.term
+        |  CROSS JOIN totg),
+        |sg AS (
+        |  SELECT doc_id,
+        |    ROUND(AVG(ln(prob)), 4) + 0.0 AS logprob
+        |  FROM pg GROUP BY doc_id)
+        |SELECT si.doc_id, si.n_bigrams, si.logprob AS lp_in, sg.logprob AS lp_gen,
+        |  ROUND(si.logprob - sg.logprob, 4) + 0.0 AS lm_delta,
+        |  (ROUND(si.logprob - sg.logprob, 4) + 0.0) >= -0.05 AS keep
+        |FROM si JOIN sg ON si.doc_id = sg.doc_id""".stripMargin
   )
 }

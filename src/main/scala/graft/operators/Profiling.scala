@@ -229,4 +229,87 @@ object Profiling {
           (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))), 6)
           .as("jaccard"))
   }
+
+  /** Per-source quality-funnel attrition: how many documents survive each
+    * stage of the canonical cleaning chain, grouped by provenance. At
+    * 100 TB this is the FIRST dashboard a pipeline owner reads — a
+    * mis-tuned gate silently wiping one source (or one language) shows up
+    * here before it shows up in the trained model. Stages are cumulative
+    * conjunctions (a doc counted at stage k passed stages 1..k):
+    *
+    *  1. `n_len_ok` — word-count window (`minWords..maxWords`)
+    *  2. `n_gopher_ok` — + the Gopher heuristics ([[TextAnalysis
+    *     .gopherQualityStats]]'s exact arithmetic: mean word length,
+    *     alphabetic fraction, stopword hits)
+    *  3. `n_rep_ok` — + repeated-bigram fraction ≤ `repMax`
+    *     ([[TextAnalysis.repetitionStats]]'s signal)
+    *  4. `n_kept` — + exact-duplicate canonical (globally-first doc_id
+    *     per text; on a duplicate-free corpus this stage is free, and
+    *     under replication it is exactly where the funnel tightens —
+    *     the property the sf10x scale oracle checks)
+    *
+    * Scale shape: every per-doc flag is scan-local codegen (the same
+    * array expressions as the per-doc operators); the dup election is one
+    * partial-aggregated `groupBy(xxhash64(text))` whose join back ships
+    * the 8-byte hash, never text; the final agg is bounded by source
+    * count. Corpus bytes are read exactly once.
+    */
+  def qualityFunnel(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      srcCol: Column,
+      minWords: Int = 30,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2,
+      repMax: Double = 0.05,
+      stopwords: Seq[String] = TextAnalysis.defaultStopwords): DataFrame = {
+    val toks = filter(split(lower(textCol), " "), t => length(t) > 0)
+    val nWords = size(toks).cast("long")
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val meanLen =
+      round(charSum.cast("double") / greatest(nWords, lit(1L)).cast("double"), 4)
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+        greatest(nWords, lit(1L)).cast("double"), 4)
+    val stopHits = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val grams = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val total = size(grams).cast("long")
+    val uniq = size(array_distinct(grams)).cast("long")
+    val repFrac = round((total - uniq).cast("double") /
+      greatest(total, lit(1L)).cast("double"), 4)
+    val perDoc = df.select(
+      idCol.as("__qf_id"), srcCol.as("__qf_src"),
+      xxhash64(textCol).as("__qf_h"),
+      nWords.as("__qf_nw"), meanLen.as("__qf_mwl"),
+      alphaFrac.as("__qf_af"), stopHits.as("__qf_sh"),
+      repFrac.as("__qf_rep"))
+    val canon = perDoc.groupBy("__qf_h")
+      .agg(min(col("__qf_id")).as("__qf_canon"))
+    val flagged = perDoc.join(canon, Seq("__qf_h"))
+      .withColumn("__qf_s1",
+        col("__qf_nw") >= minWords && col("__qf_nw") <= maxWords)
+      .withColumn("__qf_s2",
+        col("__qf_s1") && col("__qf_mwl") >= minMeanLen &&
+          col("__qf_mwl") <= maxMeanLen &&
+          col("__qf_af") >= minAlphaFrac && col("__qf_sh") >= minStopHits)
+      .withColumn("__qf_s3", col("__qf_s2") && col("__qf_rep") <= repMax)
+      .withColumn("__qf_s4",
+        col("__qf_s3") && col("__qf_id") === col("__qf_canon"))
+    flagged.groupBy(col("__qf_src").as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__qf_s1"), 1L).otherwise(0L)).as("n_len_ok"),
+        sum(when(col("__qf_s2"), 1L).otherwise(0L)).as("n_gopher_ok"),
+        sum(when(col("__qf_s3"), 1L).otherwise(0L)).as("n_rep_ok"),
+        sum(when(col("__qf_s4"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_docs"), 4) + lit(0.0))
+  }
 }
