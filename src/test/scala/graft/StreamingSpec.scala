@@ -387,6 +387,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen tokenizer encodes an ingest stream statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // freeze a merge table on a reference corpus
+    val ref = Seq(
+      (1L, "low low low lower newest"),
+      (2L, "newest newest widest low")).toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-bpe-").toString
+    graft.operators.TokenizerIndex.save(ref, col("t"), dir,
+      numMerges = 6, capWords = 100)
+    val tok = graft.operators.TokenizerIndex.open(spark, dir)
+    // encodeDocs is a pure projection chain — no shuffle, no state store,
+    // no watermark: the ingest-time token-accounting gate at scan speed
+    val in = MemoryStream[(Long, String)]
+    val q = tok.encodeDocs(in.toDS().toDF("id", "t"), col("id"), col("t"))
+      .writeStream.format("memory").queryName("bpe_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((10L, "low lower lowest"), (11L, "unseen words here"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "encodeDocs must run without a stateful operator")
+      val streamed = spark.table("bpe_sink")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val batch = tok.encodeDocs(
+          Seq((10L, "low lower lowest"), (11L, "unseen words here"))
+            .toDF("id", "t"), col("id"), col("t"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(streamed == batch, s"$streamed\nvs\n$batch")
+      // in-vocabulary words compress below character count
+      assert(streamed(10L)._1 < streamed(10L)._2)
+    } finally q.stop()
+  }
+
   test("streaming chunk ingest: later batches dedup against earlier appends") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
