@@ -1566,6 +1566,39 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // Banded point-in-interval join: clicks attributed to the hour-long
+    // incident window opened by each error of the same user. The raw
+    // theta-join would plan as BroadcastNestedLoop (the 100 TB cliff);
+    // the 15-min banding turns it into an ordinary (user, band)
+    // equi-join with exact integer band arithmetic.
+    "q125_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+      val errors = ev.filter(col("event_type") === "error")
+        .withColumn("w_end", col("ts_ns") + lit(3600L * 1000000000L))
+      graft.operators.IntervalJoin.pointInInterval(
+          clicks, col("event_id"), col("user_id"), col("ts_ns"),
+          errors, col("event_id"), col("user_id"), col("ts_ns"),
+          col("w_end"), bandWidth = 900L * 1000000000L)
+        .select(col("iv_id").as("err_id"), col("pt_id").as("click_id"))
+    }),
+
+    // Banded interval-overlap join: error windows × purchase windows of
+    // the same user (both 30 min). Both sides explode onto 15-min bands;
+    // the attribution trick (emit only from the band of the later start)
+    // surfaces each overlapping pair exactly once — no dedup pass.
+    "q126_interval_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def win(t: String) = ev.filter(col("event_type") === t)
+        .withColumn("w_end", col("ts_ns") + lit(1800L * 1000000000L))
+      graft.operators.IntervalJoin.intervalOverlap(
+          win("error"), col("event_id"), col("user_id"), col("ts_ns"),
+          col("w_end"),
+          win("purchase"), col("event_id"), col("user_id"), col("ts_ns"),
+          col("w_end"), bandWidth = 900L * 1000000000L)
+        .select(col("l_id").as("err_id"), col("r_id").as("purchase_id"))
+    }),
+
     // Contrastive perplexity selection (CCNet / DSIR's importance-ratio
     // idea in LM form): score the general pool under an IN-DOMAIN frozen
     // LM and a GENERAL frozen LM trained at the same caps, keep docs
@@ -4144,6 +4177,24 @@ object SparkEntry {
         |SELECT si.doc_id, si.n_bigrams, si.logprob AS lp_in, sg.logprob AS lp_gen,
         |  ROUND(si.logprob - sg.logprob, 4) + 0.0 AS lm_delta,
         |  (ROUND(si.logprob - sg.logprob, 4) + 0.0) >= -0.05 AS keep
-        |FROM si JOIN sg ON si.doc_id = sg.doc_id""".stripMargin
+        |FROM si JOIN sg ON si.doc_id = sg.doc_id""".stripMargin,
+
+    // The theta-join the banded plan replaces, run literally: DuckDB can
+    // afford O(n^2) at this SF. INTERVAL arithmetic is precision-robust
+    // across parquet timestamp generations (micros and nanos).
+    "q125_interval_join" ->
+      """SELECT e.event_id AS err_id, c.event_id AS click_id
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id
+        | AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 60 MINUTE
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'""".stripMargin,
+
+    "q126_interval_overlap" ->
+      """SELECT e.event_id AS err_id, p.event_id AS purchase_id
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id
+        | AND greatest(e.ts, p.ts)
+        |     <= least(e.ts + INTERVAL 30 MINUTE, p.ts + INTERVAL 30 MINUTE)
+        |WHERE e.event_type = 'error' AND p.event_type = 'purchase'""".stripMargin
   )
 }

@@ -39,6 +39,17 @@ sf1 ran >40 minutes and died):
        bit-identical vectors, the exact-vector collapse maps every copy
        onto its replica-0 twin, and the canonical (min id, component)
        output equals the base result verbatim.
+  q121/q122 BPE: replication multiplies every word count and every
+       adjacent-pair count by exactly 10, so the capped dict order and
+       every argmax (count DESC, pair ASC) are UNCHANGED -> the learned
+       merges are identical and every replica encodes exactly like its
+       base twin: expected = base rows x10 under id shifts (q122's
+       even-train/odd-encode parity survives the even 10^8 shift).
+  q123 funnel: per-doc gate flags are text-deterministic (x10 counts),
+       but the exact-canonical stage keeps only replica-0 survivors:
+       n_kept is UNCHANGED while every other stage count scales x10 -
+       the funnel visibly tightens under duplication, which is the
+       operator's whole point.
   q103/q87/q91 (selection family): no derivation needed — the direct
        oracle replay IS tractable here (window/threshold SQL, no O(n^2)
        closure), so the expected result is the base oracle SQL run
@@ -84,7 +95,8 @@ def main():
     base_from_engine = os.environ.get("BASE_FROM_ENGINE") == "1"
     for q in ("q22_minhash_neardup", "q23_simhash_hamming", "q61_dedup_clusters",
               "q107_line_dedup", "q110_cdc_chunks", "q109_overlap_matrix",
-              "q117_chunk_store", "q81_semdedup"):
+              "q117_chunk_store", "q81_semdedup", "q121_bpe_encode",
+              "q122_tokenizer_index", "q123_quality_funnel"):
         short = q.split("_")[0]
         if base_from_engine:
             con.sql(f"CREATE TABLE base_{short} AS "
@@ -176,6 +188,24 @@ def main():
     for q in ("q103_quantile_buckets", "q87_temperature_mix", "q91_budget_select"):
         import re as _re
         expected[q] = _re.sub(r"\bdocuments\b", "documents_x10", oracle[q])
+
+    expected["q121_bpe_encode"] = f"""
+      SELECT b.id + r.r * {SHIFT} AS id, b.bpe_tokens, b.base_chars,
+        b.encoded_prefix
+      FROM base_q121 b, reps r"""
+
+    expected["q122_tokenizer_index"] = f"""
+      SELECT b.id + r.r * {SHIFT} AS id, b.bpe_tokens, b.base_chars,
+        b.encoded_prefix
+      FROM base_q122 b, reps r"""
+
+    expected["q123_quality_funnel"] = f"""
+      SELECT b.source, b.n_docs * {FACTOR} AS n_docs,
+        b.n_len_ok * {FACTOR} AS n_len_ok,
+        b.n_gopher_ok * {FACTOR} AS n_gopher_ok,
+        b.n_rep_ok * {FACTOR} AS n_rep_ok, b.n_kept,
+        ROUND(CAST(b.n_kept AS DOUBLE) / (b.n_docs * {FACTOR}), 4) + 0.0 AS kept_frac
+      FROM base_q123 b"""
 
     expected["q117_chunk_store"] = f"""
       SELECT b.doc_id + r.r * {SHIFT} AS doc_id, b.n_chunks, b.n_new_chunks,
