@@ -1566,6 +1566,17 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // Water-filling budget allocation: cap every source at the common
+    // waterline that makes total allocated char mass exactly meet the
+    // budget — small sources keep everything, dominant ones are capped.
+    // The waterline is found without iteration via the monotone
+    // cross-multiplied INTEGER condition, so every boundary decision is
+    // engine-exact; only display values divide.
+    "q127_waterfill" -> ((s, dir) =>
+      graft.operators.Sampling.waterfillAllocation(
+        table(s, dir, "documents"), col("source"), col("n_chars"),
+        budget = 143000L)),
+
     // Banded point-in-interval join: clicks attributed to the hour-long
     // incident window opened by each error of the same user. The raw
     // theta-join would plan as BroadcastNestedLoop (the 100 TB cliff);
@@ -4195,6 +4206,36 @@ object SparkEntry {
         |  ON e.user_id = p.user_id
         | AND greatest(e.ts, p.ts)
         |     <= least(e.ts + INTERVAL 30 MINUTE, p.ts + INTERVAL 30 MINUTE)
-        |WHERE e.event_type = 'error' AND p.event_type = 'purchase'""".stripMargin
+        |WHERE e.event_type = 'error' AND p.event_type = 'purchase'""".stripMargin,
+
+    // Same sorted-rank waterline derivation: the fully-served condition
+    // in cross-multiplied integer form, one fold for (k, P_k), division
+    // only at display. DuckDB's FULL is reserved, hence isfull.
+    "q127_waterfill" ->
+      """WITH s AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS supply
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, supply,
+        |    ROW_NUMBER() OVER (ORDER BY supply ASC, source ASC) AS rn,
+        |    COALESCE(SUM(supply) OVER (ORDER BY supply ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+        |  FROM s),
+        |nn AS (SELECT COUNT(*) AS n FROM s),
+        |f AS (SELECT r.*, nn.n,
+        |        (supply * (n - rn + 1) <= 143000 - pfx) AS isfull
+        |      FROM r, nn),
+        |kk AS (SELECT SUM(CASE WHEN isfull THEN 1 ELSE 0 END) AS k,
+        |              MAX(CASE WHEN isfull THEN pfx + supply END) AS pk
+        |       FROM f)
+        |SELECT source, supply,
+        |  CASE WHEN isfull THEN CAST(supply AS DOUBLE)
+        |       ELSE ROUND(CAST(143000 - COALESCE(pk, 0) AS DOUBLE) / (n - k), 4) + 0.0
+        |  END AS allocated,
+        |  NOT isfull AS saturated,
+        |  CASE WHEN k < n
+        |       THEN ROUND(CAST(143000 - COALESCE(pk, 0) AS DOUBLE) / (n - k), 4) + 0.0
+        |  END AS waterline
+        |FROM f, kk""".stripMargin
   )
 }

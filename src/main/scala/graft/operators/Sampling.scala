@@ -411,4 +411,71 @@ object Sampling {
         full.unionByName(edge)
     }
   }
+
+  /** Water-filling budget allocation across sources — the fair-cap step
+    * of mixture design: give every source its full supply up to a common
+    * waterline λ chosen so the total exactly meets `budget`
+    * (`alloc_i = min(supply_i, λ)`, `Σ alloc_i = budget`). Small sources
+    * keep everything; dominant sources are capped at λ — the standard
+    * remedy when one crawl snapshot would otherwise drown the mix.
+    *
+    * The waterline is found WITHOUT iteration: sort sources by supply
+    * ascending; source at rank r is fully served iff even granting
+    * everyone from r onward its supply fits the remaining budget —
+    * `supply_r · (n − r + 1) ≤ budget − prefix_{r−1}` — a condition
+    * that is MONOTONE in r, kept in cross-multiplied INTEGER form so
+    * both engines decide every boundary identically (no double division
+    * anywhere near a comparison). With k = count of fully-served,
+    * `λ = (budget − prefix_k) / (n − k)` — division happens once, only
+    * for display and the capped allocations.
+    *
+    * Scale shape: ONE partial-aggregated `groupBy(source)` bounds
+    * everything downstream by source count (metadata cardinality, not
+    * corpus rows); the rank/prefix Window and the one-row fold run on
+    * that tiny frame. Corpus bytes are read exactly once.
+    *
+    * Returns `(source, supply, allocated, saturated, waterline)`;
+    * `waterline` is NULL when the budget covers every source (no cap
+    * binds). Ties in supply break on source name — determinism the
+    * replicated-corpus oracle relies on.
+    */
+  def waterfillAllocation(
+      df: DataFrame,
+      srcCol: Column,
+      weightCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val stats = df.groupBy(srcCol.as("__wf_src"))
+      .agg(sum(weightCol.cast("long")).as("__wf_s"))
+    val w = Window.orderBy(col("__wf_s").asc, col("__wf_src").asc)
+    val ranked = stats
+      .withColumn("__wf_r", row_number().over(w).cast("long"))
+      .withColumn("__wf_p",
+        coalesce(sum(col("__wf_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val n = ranked.agg(count(lit(1)).cast("long").as("__wf_n"))
+    val flagged = ranked.crossJoin(n)
+      .withColumn("__wf_full",
+        col("__wf_s") * (col("__wf_n") - col("__wf_r") + 1L) <=
+          lit(budget) - col("__wf_p"))
+    val k = flagged.agg(
+      sum(when(col("__wf_full"), 1L).otherwise(0L)).as("__wf_k"),
+      max(when(col("__wf_full"), col("__wf_p") + col("__wf_s")))
+        .as("__wf_pk"))
+    flagged.crossJoin(k)
+      .select(
+        col("__wf_src").as("source"),
+        col("__wf_s").as("supply"),
+        when(col("__wf_full"), col("__wf_s").cast("double"))
+          .otherwise(round(
+            (lit(budget) - coalesce(col("__wf_pk"), lit(0L))).cast("double") /
+              (col("__wf_n") - col("__wf_k")), 4) + lit(0.0))
+          .as("allocated"),
+        (!col("__wf_full")).as("saturated"),
+        when(col("__wf_k") < col("__wf_n"),
+          round(
+            (lit(budget) - coalesce(col("__wf_pk"), lit(0L))).cast("double") /
+              (col("__wf_n") - col("__wf_k")), 4) + lit(0.0))
+          .as("waterline"))
+  }
 }

@@ -304,4 +304,39 @@ class MergeSamplingSpec extends SparkSpec {
       .drop(1).takeWhile(_._3 <= budget).map(_._1).toSet
     assert(got == expected)
   }
+
+  test("waterfillAllocation: hand-computed waterline, caps, and edge budgets") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 10L), ("b", 20L), ("c", 30L), ("d", 100L)
+    ).flatMap { case (s, w) => Seq((s, w)) }.toDF("src", "w")
+    def run(b: Long) = Sampling.waterfillAllocation(
+        docs, col("src"), col("w"), b)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getBoolean(3), Option(r.get(4))))).toMap
+    // budget 90: a,b,c fully served (10+20+30=60), d capped at 30
+    val g90 = run(90L)
+    assert(g90("a") == ((10.0, false, Some(30.0))))
+    assert(g90("c") == ((30.0, false, Some(30.0))))
+    assert(g90("d") == ((30.0, true, Some(30.0))))
+    assert(g90.values.map(_._1).sum == 90.0)
+    // budget covers the total: everyone full, no waterline
+    val gAll = run(200L)
+    assert(gAll.values.forall { case (_, sat, wl) => !sat && wl.isEmpty })
+    assert(gAll("d")._1 == 100.0)
+    // zero budget: waterline 0, everyone saturated
+    val g0 = run(0L)
+    assert(g0.values.forall { case (al, sat, wl) =>
+      al == 0.0 && sat && wl.contains(0.0) })
+  }
+
+  test("waterfillAllocation: fractional waterline splits remaining budget") {
+    import spark.implicits._
+    val docs = Seq(("a", 3L), ("b", 7L), ("c", 7L)).toDF("src", "w")
+    // budget 10: a full (3), waterline (10-3)/2 = 3.5 for b and c
+    val got = Sampling.waterfillAllocation(docs, col("src"), col("w"), 10L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("a" -> 3.0, "b" -> 3.5, "c" -> 3.5))
+  }
 }
