@@ -357,7 +357,7 @@ object SparkEntry {
     // as its final batch result — checked against the same SQL oracle.
     "q26_stream_hourly" -> ((s, dir) => {
       // brace-glob so the file-stream source resolves basePath to the dir
-      graft.streaming.StreamingOps.hourlyEventCountsStreaming(s, s"$dir/{events}.parquet")
+      graft.streaming.StreamingOps.hourlyEventCountsStreaming(s, s"$dir/events.parquet")
     }),
 
     // Typed sessionization (KeyValueGroupedDataset.mapGroups) — same

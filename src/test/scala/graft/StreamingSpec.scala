@@ -425,6 +425,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("banded interval join attributes a live point stream to static windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen incident windows (static side) — live points (stream side):
+    // the banded plan is a plain stream-static equi-join, so attribution
+    // runs stateless at ingest, no watermark, no state store
+    val windows = Seq(
+      (100L, "u1", 0L, 25L),
+      (200L, "u1", 40L, 60L),
+      (300L, "u2", 0L, 99L)).toDF("iid", "k", "s", "e")
+    val in = MemoryStream[(Long, String, Long)]
+    val joined = graft.operators.IntervalJoin.pointInInterval(
+      in.toDS().toDF("pid", "k", "t"), col("pid"), col("k"), col("t"),
+      windows, col("iid"), col("k"), col("s"), col("e"), bandWidth = 10L)
+    val q = joined.writeStream.format("memory").queryName("ij_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "u1", 10L), (2L, "u1", 30L), (3L, "u2", 50L))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static banded join must be stateless")
+      val got = spark.table("ij_sink").as[(Long, Long)].collect().toSet
+      // 10 in [0,25]; 30 in no u1 window; 50 in u2's [0,99]
+      assert(got == Set((100L, 1L), (300L, 3L)))
+      // a later micro-batch joins against the same frozen windows
+      in.addData((4L, "u1", 41L))
+      q.processAllAvailable()
+      val got2 = spark.table("ij_sink").as[(Long, Long)].collect().toSet
+      assert(got2 == Set((100L, 1L), (300L, 3L), (200L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming chunk ingest: later batches dedup against earlier appends") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
