@@ -1566,6 +1566,27 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // ANN recall harness: the recall@10 of the sign-hash IVF paths
+    // (q24's single probe, q40's multiprobe) measured against the exact
+    // brute-force reference on the same query batch — the continuous
+    // measurement that justifies every probe/cell parameter. Result
+    // tables are batch×k rows, so evaluation never touches the corpus.
+    "q128_ann_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cs = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val ref = graft.operators.Similarity.bruteForceTopK(qs, cs, k = 10)
+      val one = graft.operators.Evaluation.recallAtK(
+          ref, graft.operators.Similarity.ivfTopK(qs, cs, k = 10))
+        .withColumn("method", lit("ivf1"))
+      val multi = graft.operators.Evaluation.recallAtK(
+          ref, graft.operators.Similarity.ivfTopKMultiProbe(qs, cs, k = 10))
+        .withColumn("method", lit("ivf_multiprobe"))
+      one.unionByName(multi)
+    }),
+
     // Water-filling budget allocation: cap every source at the common
     // waterline that makes total allocated char mass exactly meet the
     // budget — small sources keep everything, dominant ones are capped.
@@ -4236,6 +4257,52 @@ object SparkEntry {
         |  CASE WHEN k < n
         |       THEN ROUND(CAST(143000 - COALESCE(pk, 0) AS DOUBLE) / (n - k), 4) + 0.0
         |  END AS waterline
-        |FROM f, kk""".stripMargin
+        |FROM f, kk""".stripMargin,
+
+    // q15's brute reference and q24/q40's cell-pruned result sets,
+    // joined per query for the hit count.
+    "q128_ann_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell0
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS nid, embedding::DOUBLE[] AS v,
+        |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
+        |  FROM embeddings WHERE vec_id >= 10),
+        |b AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+        |    FROM q CROSS JOIN c) WHERE rnk <= 10),
+        |i1 AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+        |    FROM q JOIN c ON c.cell = q.cell0) WHERE rnk <= 10),
+        |im AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+        |    FROM q JOIN c ON c.cell IN
+        |      (cell0, xor(cell0, 1), xor(cell0, 2), xor(cell0, 4), xor(cell0, 8)))
+        |  WHERE rnk <= 10)
+        |SELECT 'ivf1' AS method, b.qid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ref,
+        |  CAST(SUM(CASE WHEN i1.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(SUM(CASE WHEN i1.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) + 0.0 AS recall
+        |FROM b LEFT JOIN i1 ON b.qid = i1.qid AND b.nid = i1.nid
+        |GROUP BY b.qid
+        |UNION ALL
+        |SELECT 'ivf_multiprobe' AS method, b.qid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ref,
+        |  CAST(SUM(CASE WHEN im.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(SUM(CASE WHEN im.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) + 0.0 AS recall
+        |FROM b LEFT JOIN im ON b.qid = im.qid AND b.nid = im.nid
+        |GROUP BY b.qid""".stripMargin
   )
 }
