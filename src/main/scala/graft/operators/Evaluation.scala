@@ -29,8 +29,10 @@ object Evaluation {
     * penalized, not excused. */
   def recallAtK(reference: DataFrame, candidate: DataFrame): DataFrame = {
     val ref = reference.select(col("qid"), col("nid"))
-    val cand = candidate.select(col("qid"), col("nid"))
-      .withColumn("__ev_hit", lit(1L))
+    // batch×k rows by construction — always broadcast-sized, so the hit
+    // join never sorts or shuffles the (already tiny) result tables
+    val cand = broadcast(candidate.select(col("qid"), col("nid"))
+      .withColumn("__ev_hit", lit(1L)))
     ref.join(cand, Seq("qid", "nid"), "left")
       .groupBy("qid")
       .agg(
