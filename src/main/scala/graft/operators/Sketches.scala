@@ -42,4 +42,18 @@ object Sketches {
       groupCols: Seq[Column]): DataFrame =
     sketches.groupBy(groupCols: _*)
       .agg(hll_sketch_estimate(hll_union_agg(sketchCol)).as("distinct_estimate"))
+
+  /** Frequent items per group via Misra–Gries ([[graft.functions
+    * .HeavyHittersAgg]]): ≤ `k` counters per group per map task, merged
+    * sketch-wise — the shuffle carries O(k) per group no matter how many
+    * item instances the corpus holds. Guarantee (not exactness) is the
+    * contract: every item with frequency > n/(k+1) is reported, and
+    * estimates undercount by at most n/(k+1). Exact `groupBy(item)`
+    * counting shuffles every distinct item; at 100 TB the per-source
+    * "what dominates this crawl" question wants exactly this sketch. */
+  def heavyHitters(df: DataFrame, itemCol: Column, groupCols: Seq[Column],
+      k: Int): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(itemCol, k)
+        .as("heavy_hitters"))
 }
