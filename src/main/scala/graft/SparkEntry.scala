@@ -45,6 +45,7 @@ object SparkEntry {
     * deterministic: seeded init, fixed iteration count).
     */
   @volatile private[graft] var q53Centroids: Option[Array[Array[Double]]] = None
+  @volatile private[graft] var q128Centroids: Option[Array[Array[Double]]] = None
   @volatile private[graft] var q75Centroids: Option[Array[Array[Double]]] = None
   @volatile private[graft] var q81Centroids: Option[Array[Array[Double]]] = None
   @volatile private[graft] var q100Centroids: Option[Array[Array[Double]]] = None
@@ -1584,7 +1585,12 @@ object SparkEntry {
       val multi = graft.operators.Evaluation.recallAtK(
           ref, graft.operators.Similarity.ivfTopKMultiProbe(qs, cs, k = 10))
         .withColumn("method", lit("ivf_multiprobe"))
-      one.unionByName(multi)
+      val idx = graft.operators.IvfIndex.buildTrained(cs, nlist = 8, iters = 3)
+      q128Centroids = Some(idx.centroids)
+      val trained = graft.operators.Evaluation.recallAtK(
+          ref, idx.search(qs, k = 10, nprobe = 3))
+        .withColumn("method", lit("ivf_trained"))
+      one.unionByName(multi).unionByName(trained)
     }),
 
     // Water-filling budget allocation: cap every source at the common
@@ -1770,7 +1776,8 @@ object SparkEntry {
     ("q83_ivfpq_refine" -> q83OracleSql) +
     ("q121_bpe_encode" -> bpeOracleSql("", "", 24, 256)) +
     ("q122_tokenizer_index" ->
-      bpeOracleSql(" WHERE doc_id % 2 = 0", " WHERE doc_id % 2 = 1", 24, 256))
+      bpeOracleSql(" WHERE doc_id % 2 = 0", " WHERE doc_id % 2 = 1", 24, 256)) +
+    ("q128_ann_recall" -> q128OracleSql)
 
   /** Fully independent BPE replay: DuckDB re-derives the word-frequency
     * dict, re-runs every merge-learning iteration as an unrolled argmax
@@ -4259,10 +4266,17 @@ object SparkEntry {
         |  END AS waterline
         |FROM f, kk""".stripMargin,
 
-    // q15's brute reference and q24/q40's cell-pruned result sets,
-    // joined per query for the hit count.
-    "q128_ann_recall" ->
-      """WITH q AS (
+  )
+
+  /** q128's oracle: q15's brute reference and the three ANN result sets —
+    * q24's hash cell, q40's multiprobe, and the TRAINED index replayed
+    * from the captured-run centroids (q53's rationale: k-means sums are
+    * FP-order dependent, so a retrain is not guaranteed to bit-match) —
+    * each joined per query for the hit count. */
+  private def q128OracleSql: String = q128Centroids match {
+    case None => unavailableOracle
+    case Some(cb) =>
+      s"""WITH q AS (
         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
         |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
         |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell0
@@ -4288,7 +4302,25 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
         |    FROM q JOIN c ON c.cell IN
         |      (cell0, xor(cell0, 1), xor(cell0, 2), xor(cell0, 4), xor(cell0, 8)))
-        |  WHERE rnk <= 10)
+        |  WHERE rnk <= 10),
+        |cent(tcell, cvec) AS (VALUES ${centroidValues(cb)}),
+        |assigned AS (
+        |  SELECT nid, v,
+        |    (SELECT tcell FROM cent
+        |     ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
+        |       tcell ASC LIMIT 1) AS tcell
+        |  FROM c),
+        |probed AS (
+        |  SELECT qid, qv, tcell FROM (
+        |    SELECT qid, qv, tcell, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
+        |        tcell ASC) AS pr
+        |    FROM q CROSS JOIN cent) WHERE pr <= 3),
+        |it AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+        |    FROM probed JOIN assigned USING (tcell)) WHERE rnk <= 10)
         |SELECT 'ivf1' AS method, b.qid,
         |  CAST(COUNT(*) AS BIGINT) AS n_ref,
         |  CAST(SUM(CASE WHEN i1.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
@@ -4303,6 +4335,14 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN im.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*), 4) + 0.0 AS recall
         |FROM b LEFT JOIN im ON b.qid = im.qid AND b.nid = im.nid
+        |GROUP BY b.qid
+        |UNION ALL
+        |SELECT 'ivf_trained' AS method, b.qid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ref,
+        |  CAST(SUM(CASE WHEN it.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(SUM(CASE WHEN it.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) + 0.0 AS recall
+        |FROM b LEFT JOIN it ON b.qid = it.qid AND b.nid = it.nid
         |GROUP BY b.qid""".stripMargin
-  )
+  }
 }
