@@ -358,7 +358,11 @@ object SparkEntry {
     // as its final batch result — checked against the same SQL oracle.
     "q26_stream_hourly" -> ((s, dir) => {
       // brace-glob so the file-stream source resolves basePath to the dir
-      graft.streaming.StreamingOps.hourlyEventCountsStreaming(s, s"$dir/events.parquet")
+      // the braces are a deliberate single-member glob: a bare file path
+      // makes the file-stream source take the FILE as basePath and fail
+      // with "'basePath' must be a directory"; a glob anchors basePath at
+      // the parent directory while matching exactly this file
+      graft.streaming.StreamingOps.hourlyEventCountsStreaming(s, s"$dir/{events}.parquet")
     }),
 
     // Typed sessionization (KeyValueGroupedDataset.mapGroups) — same

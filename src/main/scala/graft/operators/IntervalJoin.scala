@@ -32,6 +32,8 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  private val guardSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Exact integer floor(t / w) for any sign of `t`. `t - pmod(t, w)` is
     * exactly `w * floor(t/w)`, so the integral divide (`div`, exact on
     * longs — never a double, whose 53-bit mantissa corrupts nanosecond
@@ -44,6 +46,22 @@ object IntervalJoin {
     * descending `sequence` would silently generate the WRONG bands). */
   private def bandsOf(s: Column, e: Column, w: Long): Column =
     sequence(bandOf(s, w), bandOf(e, w))
+
+  /** The repo's cap discipline for the explode side: an interval covering
+    * more than `maxBands` bands (pathological length vs the chosen
+    * `bandWidth` — at 15-min bands, 4096 ≈ 42 days — almost always a data
+    * error, and the row that would OOM the generate) is DROPPED and
+    * counted on a named observe metric, never silently amplified. The
+    * frame must already carry `${p}s`/`${p}e`. */
+  private def capBands(df: org.apache.spark.sql.DataFrame, p: String,
+      w: Long, maxBands: Int): org.apache.spark.sql.DataFrame = {
+    val nb = bandOf(col(s"${p}e"), w) - bandOf(col(s"${p}s"), w) + lit(1L)
+    df.observe(s"interval_bands_guard_${guardSeq.incrementAndGet()}",
+        coalesce(sum(when(nb > maxBands, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_intervals"),
+        lit(maxBands).as("max_allowed"))
+      .filter(nb <= maxBands)
+  }
 
   /** Point-in-interval join: every `(interval, point)` pair with the
     * same key and `start <= pt <= end`, as `(iv_id, pt_id)` — payloads
@@ -62,16 +80,19 @@ object IntervalJoin {
       ivKey: Column,
       ivStart: Column,
       ivEnd: Column,
-      bandWidth: Long): DataFrame = {
+      bandWidth: Long,
+      maxBands: Int = 4096): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(maxBands > 0, s"maxBands must be positive, got $maxBands")
     val p = points.select(
       ptId.cast("long").as("__ij_pid"), ptKey.as("__ij_k"),
       pt.cast("long").as("__ij_t"),
       bandOf(pt.cast("long"), bandWidth).as("__ij_b"))
-    val iv = intervals
+    val iv0 = intervals
       .select(ivId.cast("long").as("__ij_iid"), ivKey.as("__ij_ik"),
         ivStart.cast("long").as("__ij_s"), ivEnd.cast("long").as("__ij_e"))
       .filter(col("__ij_e") >= col("__ij_s"))
+    val iv = capBands(iv0, "__ij_", bandWidth, maxBands)
       .select(col("__ij_iid"), col("__ij_ik"), col("__ij_s"), col("__ij_e"),
         explode(bandsOf(col("__ij_s"), col("__ij_e"), bandWidth)).as("__ij_b"))
     p.join(iv,
@@ -100,13 +121,17 @@ object IntervalJoin {
       rKey: Column,
       rStart: Column,
       rEnd: Column,
-      bandWidth: Long): DataFrame = {
+      bandWidth: Long,
+      maxBands: Int = 4096): DataFrame = {
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(maxBands > 0, s"maxBands must be positive, got $maxBands")
     def side(df: DataFrame, id: Column, k: Column, s: Column, e: Column,
         p: String): DataFrame =
-      df.select(id.cast("long").as(s"${p}id"), k.as(s"${p}k"),
-          s.cast("long").as(s"${p}s"), e.cast("long").as(s"${p}e"))
-        .filter(col(s"${p}e") >= col(s"${p}s"))
+      capBands(
+          df.select(id.cast("long").as(s"${p}id"), k.as(s"${p}k"),
+              s.cast("long").as(s"${p}s"), e.cast("long").as(s"${p}e"))
+            .filter(col(s"${p}e") >= col(s"${p}s")),
+          p, bandWidth, maxBands)
         .select(col(s"${p}id"), col(s"${p}k"), col(s"${p}s"), col(s"${p}e"),
           explode(bandsOf(col(s"${p}s"), col(s"${p}e"), bandWidth))
             .as(s"${p}b"))

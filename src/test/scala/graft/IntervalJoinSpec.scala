@@ -40,6 +40,20 @@ class IntervalJoinSpec extends SparkSpec {
     assert(pii(Seq((1L, "a", 10L)), Seq((9L, "a", 20L, 5L)), 10L).isEmpty)
   }
 
+  test("pathological interval is dropped by the band cap, not exploded") {
+    val p = Seq((1L, "a", 50L), (2L, "a", 15L)).toDF("pid", "k", "t")
+    // [0, 1e9] would cover 1e8 bands at w=10; [10, 19] is fine
+    val iv = Seq((7L, "a", 0L, 1000000000L), (8L, "a", 10L, 19L))
+      .toDF("iid", "k", "s", "e")
+    val got = IntervalJoin.pointInInterval(
+        p, col("pid"), col("k"), col("t"),
+        iv, col("iid"), col("k"), col("s"), col("e"),
+        bandWidth = 10L, maxBands = 100)
+      .as[(Long, Long)].collect().toSet
+    // the oversized window contributes nothing; the sane one still joins
+    assert(got == Set((8L, 2L)))
+  }
+
   test("point never double-matches an interval spanning many bands") {
     val got = pii(
       points = Seq((1L, "a", 50L)),
