@@ -1571,6 +1571,23 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // Tokenizer-aware sequence packing: q84's pack plan under the token
+    // accounting the training run will actually see — the corpus-trained
+    // BPE tokenizer's units, not whitespace words. Composition of the
+    // frozen tokenizer (q121) and the packer (q84); the encode stays a
+    // scan-local projection feeding the per-shard pack window.
+    "q129_bpe_pack" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainMerges(
+        graft.operators.Bpe.wordFrequencies(docs, col("text")),
+        numMerges = 24, capWords = 256)
+      val toks = regexp_extract_all(
+        graft.operators.Bpe.encode(col("text"), merges),
+        lit("\\[([^\\]]*)\\]"), lit(1))
+      graft.operators.Chunking.packTokenArrays(
+        docs, col("doc_id"), toks, col("lang"), capacity = 96)
+    }),
+
     // ANN recall harness: the recall@10 of the sign-hash IVF paths
     // (q24's single probe, q40's multiprobe) measured against the exact
     // brute-force reference on the same query batch — the continuous
@@ -1781,7 +1798,43 @@ object SparkEntry {
     ("q121_bpe_encode" -> bpeOracleSql("", "", 24, 256)) +
     ("q122_tokenizer_index" ->
       bpeOracleSql(" WHERE doc_id % 2 = 0", " WHERE doc_id % 2 = 1", 24, 256)) +
-    ("q128_ann_recall" -> q128OracleSql)
+    ("q128_ann_recall" -> q128OracleSql) +
+    ("q129_bpe_pack" -> q129OracleSql)
+
+  /** q129: the BPE CTE chain (training + encode, q121's oracle prefix)
+    * feeding q84's pack-plan replay — tokens are the bracketed units of
+    * the encoded stream instead of whitespace words. */
+  private def q129OracleSql: String =
+    bpeOracleCtes("", "", 24, 256) +
+      """,
+      |t AS (
+      |  SELECT lang AS shard, doc_id,
+      |    regexp_extract_all(s, '\[([^\]]*)\]', 1) AS toks,
+      |    CAST(len(regexp_extract_all(s, '\[([^\]]*)\]', 1)) AS BIGINT) AS tok
+      |  FROM doc24),
+      |tw AS (
+      |  SELECT shard, doc_id, toks, tok,
+      |    CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM t WHERE tok > 0),
+      |tb AS (
+      |  SELECT shard, doc_id, toks, tok, cum - tok AS strt,
+      |    (cum - tok) // 96 AS bin_first, (cum - 1) // 96 AS bin_last
+      |  FROM tw),
+      |te AS (
+      |  SELECT shard, doc_id, toks, tok, strt,
+      |    unnest(range(bin_first, bin_last + 1)) AS bin
+      |  FROM tb),
+      |ts AS (
+      |  SELECT shard, doc_id, bin, strt, toks,
+      |    GREATEST(0, bin * 96 - strt) AS seg_start,
+      |    LEAST(tok, (bin + 1) * 96 - strt) - GREATEST(0, bin * 96 - strt) AS seg_len
+      |  FROM te)
+      |SELECT shard, CAST(bin AS BIGINT) AS bin, doc_id,
+      |  CAST(seg_start AS BIGINT) AS seg_start,
+      |  CAST(seg_len AS BIGINT) AS seg_len,
+      |  CAST(strt + seg_start - bin * 96 AS BIGINT) AS bin_offset,
+      |  array_to_string(list_slice(toks, seg_start + 1, seg_start + seg_len), ' ') AS seg_text
+      |FROM ts""".stripMargin
 
   /** Fully independent BPE replay: DuckDB re-derives the word-frequency
     * dict, re-runs every merge-learning iteration as an unrolled argmax
@@ -1796,6 +1849,23 @@ object SparkEntry {
       trainFilter: String,
       encodeFilter: String,
       numMerges: Int,
+      capWords: Int): String =
+    bpeOracleCtes(trainFilter, encodeFilter, numMerges, capWords) +
+      s"""
+      |SELECT doc_id AS id,
+      |  CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS bpe_tokens,
+      |  base_chars,
+      |  substring(s, 1, 240) AS encoded_prefix
+      |FROM doc$numMerges""".stripMargin
+
+  /** The shared CTE chain of the BPE replays (q121/q122/q129): word-freq
+    * dict, `numMerges` unrolled argmax stages, and the encoded document
+    * stream `doc$numMerges(doc_id, lang, base_chars, s)`. Callers append
+    * their own final SELECT. */
+  private def bpeOracleCtes(
+      trainFilter: String,
+      encodeFilter: String,
+      numMerges: Int,
       capWords: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH wf AS MATERIALIZED (
@@ -1807,7 +1877,7 @@ object SparkEntry {
       |  SELECT regexp_replace(word, '(.)', '[\\1]', 'g') AS s, cnt
       |  FROM (SELECT word, cnt FROM wf ORDER BY cnt DESC, word ASC LIMIT $capWords)),
       |doc0 AS MATERIALIZED (
-      |  SELECT doc_id,
+      |  SELECT doc_id, lang,
       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS base_chars,
       |    regexp_replace(lower(text), '([a-z0-9])', '[\\1]', 'g') AS s
       |  FROM documents$encodeFilter)""".stripMargin
@@ -1826,17 +1896,11 @@ object SparkEntry {
         |                 '[' || b.l || b.r || ']') AS s, cnt
         |  FROM dict${k - 1}, best$k b),
         |doc$k AS MATERIALIZED (
-        |  SELECT doc_id, base_chars,
+        |  SELECT doc_id, lang, base_chars,
         |    replace(s, '[' || b.l || '][' || b.r || ']',
         |            '[' || b.l || b.r || ']') AS s
         |  FROM doc${k - 1}, best$k b)""".stripMargin
     }
-    sb ++= s"""
-      |SELECT doc_id AS id,
-      |  CAST(length(s) - length(replace(s, '[', '')) AS BIGINT) AS bpe_tokens,
-      |  base_chars,
-      |  substring(s, 1, 240) AS encoded_prefix
-      |FROM doc$numMerges""".stripMargin
     sb.toString
   }
 

@@ -114,14 +114,35 @@ object Chunking {
       textCol: Column,
       shardCol: Column,
       capacity: Int,
+      orderCol: Option[Column] = None): DataFrame =
+    packTokenArrays(df, idCol, split(textCol, " "), shardCol, capacity,
+      orderCol)
+
+  /** [[packSequences]] over a caller-supplied token ARRAY column — the
+    * tokenizer-aware form: pack under the same token accounting the
+    * training run will see (e.g. a frozen BPE tokenizer's units,
+    * [[TokenizerIndex]]), not whitespace words. Same plan, same output
+    * contract; `seg_text` rejoins the caller's tokens with spaces.
+    */
+  def packTokenArrays(
+      df: DataFrame,
+      idCol: Column,
+      toksCol: Column,
+      shardCol: Column,
+      capacity: Int,
       orderCol: Option[Column] = None): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     val c = lit(capacity.toLong)
     val ord = orderCol.getOrElse(idCol)
     val w = Window.partitionBy(col("shard")).orderBy(col("ord"))
     df.select(shardCol.as("shard"), idCol.as("doc_id"), ord.as("ord"),
-        split(textCol, " ").as("toks"))
+        toksCol.as("toks"))
       .withColumn("tok", size(col("toks")).cast("long"))
+      // zero-token docs contribute nothing to the stream and would turn
+      // the bin `sequence` descending (Spark infers step -1); they are
+      // excluded from the plan. packSequences never produces one
+      // (split("", " ") = [""] counts as one empty token).
+      .filter(col("tok") > 0)
       .withColumn("cum", sum(col("tok")).over(w))
       .withColumn("start", col("cum") - col("tok"))
       // first/last bin this document touches: its tokens occupy stream
