@@ -1571,6 +1571,24 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // Forward as-of join: the first purchase AFTER each error of the
+    // same user — backward's (q44) time-mirrored twin, same one-shuffle
+    // union-window plan run down a descending time order.
+    "q130_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts_ns").as("err_ns"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_ns"))
+      graft.operators.AsOfJoin.forward(errors, purchases,
+          key = "user_id", leftTs = "err_ns", rightTs = "ts_ns",
+          rightId = "purchase_id", payload = Seq("purchase_id"))
+        .select(col("err_id"), col("user_id"),
+          col("asof.purchase_id").as("next_purchase_id"))
+    }),
+
     // Tokenizer-aware sequence packing: q84's pack plan under the token
     // accounting the training run will actually see — the corpus-trained
     // BPE tokenizer's units, not whitespace words. Composition of the
@@ -3443,6 +3461,19 @@ object SparkEntry {
         |   WHERE c.user_id = p.user_id AND c.ts_ns <= p.ts_ns
         |   ORDER BY c.ts_ns DESC, c.click_id DESC LIMIT 1) AS last_click_id
         |FROM p""".stripMargin,
+
+    // q44's scalar-subquery replay, time-mirrored: smallest ts >= with
+    // the smallest-id tiebreak at the exact timestamp.
+    "q130_asof_forward" ->
+      """WITH e AS (SELECT event_id AS err_id, user_id, epoch_ns(ts) AS ts_ns
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS ts_ns
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.err_id, e.user_id,
+        |  (SELECT p.purchase_id FROM p
+        |   WHERE p.user_id = e.user_id AND p.ts_ns >= e.ts_ns
+        |   ORDER BY p.ts_ns ASC, p.purchase_id ASC LIMIT 1) AS next_purchase_id
+        |FROM e""".stripMargin,
 
     "q45_range_join" ->
       """SELECT band, COUNT(*) AS n,

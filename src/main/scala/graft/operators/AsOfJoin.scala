@@ -78,4 +78,56 @@ object AsOfJoin {
       .filter(col("_side") === 1)
       .select(leftCols.map(c => col("_lrow").getField(c).as(c)) :+ col("asof"): _*)
   }
+
+  /** Forward as-of join: for every left row, the single right row with
+    * the SMALLEST timestamp `>=` the left row's timestamp within the same
+    * key — "the next event after". Same one-shuffle union-window
+    * formulation as [[backward]], run down a DESCENDING time order so the
+    * running `last(_, ignoreNulls)` holds the nearest at-or-after right
+    * row. Tiebreak mirrors backward symmetrically: among right rows at
+    * the exact left timestamp the SMALLEST `rightId` wins (the "first"
+    * upcoming event).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightId: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadType =
+      right.select(struct(payload.map(col): _*).as("_p")).schema("_p").dataType
+    val lrowType =
+      left.select(struct(leftCols.map(col): _*).as("_l")).schema("_l").dataType
+
+    val r = right.select(
+      col(key).as("_k"),
+      col(rightTs).as("_ts"),
+      lit(0).as("_side"),
+      col(rightId).cast("long").as("_tb"),
+      struct(payload.map(col): _*).as("_payload"),
+      lit(null).cast(lrowType).as("_lrow"))
+
+    val l = left.select(
+      col(key).as("_k"),
+      col(leftTs).as("_ts"),
+      lit(1).as("_side"),
+      lit(null).cast("long").as("_tb"),
+      lit(null).cast(payloadType).as("_payload"),
+      struct(leftCols.map(col): _*).as("_lrow"))
+
+    // Descending time: right rows still sort before left rows at equal
+    // _ts (inclusive at-or-after), and _tb DESC makes the smallest right
+    // id the last right row seen — the winner of the running last().
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_ts").desc, col("_side").asc, col("_tb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r.unionByName(l)
+      .withColumn("asof", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(c => col("_lrow").getField(c).as(c)) :+ col("asof"): _*)
+  }
 }

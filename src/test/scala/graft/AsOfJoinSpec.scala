@@ -31,6 +31,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("t3") == (None, None))
   }
 
+  test("forward as-of picks the earliest right row at-or-after") {
+    val trades = Seq(
+      (1L, 100L, "t1"),
+      (1L, 205L, "t2"),
+      (2L, 70L, "t3")
+    ).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 100L, 11L, 2.0), // equal-ts: inclusive, wins for t1
+      (1L, 200L, 12L, 3.0), // before t2: no match for t2
+      (1L, 90L, 10L, 1.0),
+      (2L, 60L, 13L, 9.0)   // before t3: no match for k=2
+    ).toDF("k", "ts", "qid", "px")
+
+    val out = AsOfJoin.forward(trades, quotes, "k", "ts", "ts", "qid",
+        Seq("qid", "px"))
+      .select($"trade", $"asof.qid".as("qid"), $"asof.px".as("px"))
+      .collect().map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)))))
+      .toMap
+
+    assert(out("t1") == (Some(11L), Some(2.0)))
+    assert(out("t2") == (None, None))
+    assert(out("t3") == (None, None))
+  }
+
+  test("forward equal-timestamp right rows: smallest tiebreaker id wins") {
+    val l = Seq((1L, 100L, "x")).toDF("k", "ts", "name")
+    val r = Seq((1L, 100L, 7L, "a"), (1L, 100L, 1L, "b"), (1L, 100L, 3L, "c"))
+      .toDF("k", "ts", "rid", "v")
+    val got = AsOfJoin.forward(l, r, "k", "ts", "ts", "rid", Seq("rid", "v"))
+      .select($"asof.rid", $"asof.v").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "b")))
+  }
+
   test("equal-timestamp right rows: greatest tiebreaker id wins") {
     val l = Seq((1L, 100L, "x")).toDF("k", "ts", "name")
     val r = Seq((1L, 100L, 1L, "a"), (1L, 100L, 7L, "b"), (1L, 100L, 3L, "c"))
