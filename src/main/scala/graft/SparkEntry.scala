@@ -1571,6 +1571,44 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // Conversion funnel as CHAINED forward as-of joins: per user, the
+    // first view, the first click after that view, the first purchase
+    // after that click. Each stage is one keyed union-window pass — the
+    // ordered-sequence analytics that usually gets hand-rolled with
+    // per-user collect_list sorts, built instead from the as-of
+    // primitive (no per-user arrays ever materialize).
+    "q131_conversion_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def typed(t: String, idName: String, tsName: String) =
+        ev.filter(col("event_type") === t)
+          .select(col("event_id").as(idName), col("user_id"),
+            col("ts_ns").as(tsName))
+      val firstView = typed("view", "view_id", "view_ns")
+        .groupBy(col("user_id"))
+        .agg(min_by(col("view_id"), struct(col("view_ns"), col("view_id")))
+          .as("view_id"),
+          min(col("view_ns")).as("view_ns"))
+      val withClick = graft.operators.AsOfJoin.forward(
+          firstView, typed("click", "click_id", "click_ns"),
+          key = "user_id", leftTs = "view_ns", rightTs = "click_ns",
+          rightId = "click_id", payload = Seq("click_id", "click_ns"))
+        .select(col("user_id"), col("view_id"),
+          col("asof.click_id").as("click_id"),
+          col("asof.click_ns").as("click_ns"))
+      val withPurchase = graft.operators.AsOfJoin.forward(
+          withClick.filter(col("click_id").isNotNull),
+          typed("purchase", "purchase_id", "purchase_ns"),
+          key = "user_id", leftTs = "click_ns", rightTs = "purchase_ns",
+          rightId = "purchase_id", payload = Seq("purchase_id"))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("asof.purchase_id").as("purchase_id"))
+      withClick.filter(col("click_id").isNull)
+        .select(col("user_id"), col("view_id"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("long").as("purchase_id"))
+        .unionByName(withPurchase)
+    }),
+
     // Forward as-of join: the first purchase AFTER each error of the
     // same user — backward's (q44) time-mirrored twin, same one-shuffle
     // union-window plan run down a descending time order.
@@ -3461,6 +3499,39 @@ object SparkEntry {
         |   WHERE c.user_id = p.user_id AND c.ts_ns <= p.ts_ns
         |   ORDER BY c.ts_ns DESC, c.click_id DESC LIMIT 1) AS last_click_id
         |FROM p""".stripMargin,
+
+    // Three chained earliest-at-or-after scalar subqueries — the literal
+    // per-user replay of the funnel's as-of chain.
+    "q131_conversion_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns
+        |           FROM events),
+        |fv AS (SELECT user_id, MIN(ts_ns) AS view_ns
+        |       FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |v AS (
+        |  SELECT fv.user_id, fv.view_ns,
+        |    (SELECT e.event_id FROM e
+        |     WHERE e.user_id = fv.user_id AND e.event_type = 'view'
+        |       AND e.ts_ns = fv.view_ns
+        |     ORDER BY e.event_id ASC LIMIT 1) AS view_id
+        |  FROM fv),
+        |c AS (
+        |  SELECT v.user_id, v.view_id,
+        |    (SELECT e.event_id FROM e
+        |     WHERE e.user_id = v.user_id AND e.event_type = 'click'
+        |       AND e.ts_ns >= v.view_ns
+        |     ORDER BY e.ts_ns ASC, e.event_id ASC LIMIT 1) AS click_id,
+        |    (SELECT e.ts_ns FROM e
+        |     WHERE e.user_id = v.user_id AND e.event_type = 'click'
+        |       AND e.ts_ns >= v.view_ns
+        |     ORDER BY e.ts_ns ASC, e.event_id ASC LIMIT 1) AS click_ns
+        |  FROM v)
+        |SELECT user_id, view_id, click_id,
+        |  CASE WHEN click_id IS NULL THEN NULL ELSE
+        |    (SELECT e.event_id FROM e
+        |     WHERE e.user_id = c.user_id AND e.event_type = 'purchase'
+        |       AND e.ts_ns >= c.click_ns
+        |     ORDER BY e.ts_ns ASC, e.event_id ASC LIMIT 1) END AS purchase_id
+        |FROM c""".stripMargin,
 
     // q44's scalar-subquery replay, time-mirrored: smallest ts >= with
     // the smallest-id tiebreak at the exact timestamp.
