@@ -1571,6 +1571,25 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // Cohort retention: users grouped by first-seen day; for each
+    // (cohort, day-offset) cell, how many of the cohort were active
+    // again. Two partial-aggregated passes (per-user first day, then
+    // distinct (user, day)) meeting in a user-cardinality join — the
+    // classic retention matrix with nothing corpus-scale in any shuffle.
+    "q132_cohort_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val day = to_date(col("ts"))
+      val firstDay = ev.select(col("user_id"), day.as("d"))
+        .groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      val active = ev.select(col("user_id"), day.as("d")).distinct()
+      active.join(firstDay, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+    }),
+
     // Conversion funnel as CHAINED forward as-of joins: per user, the
     // first view, the first click after that view, the first purchase
     // after that click. Each stage is one keyed union-window pass — the
@@ -3499,6 +3518,19 @@ object SparkEntry {
         |   WHERE c.user_id = p.user_id AND c.ts_ns <= p.ts_ns
         |   ORDER BY c.ts_ns DESC, c.click_id DESC LIMIT 1) AS last_click_id
         |FROM p""".stripMargin,
+
+    // First-day election + distinct (user, day) activity + offset
+    // aggregation; dates rendered as strings (tz-awareness differs
+    // between engines on raw DATE output).
+    "q132_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(a.d - f.cohort_day AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY f.cohort_day, a.d - f.cohort_day""".stripMargin,
 
     // Three chained earliest-at-or-after scalar subqueries — the literal
     // per-user replay of the funnel's as-of chain.
