@@ -89,5 +89,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("sparse_dot"),
       new ExpressionInfo("graft.functions.GraftFunctions", "sparse_dot"),
       (args: Seq[Expression]) => SparseDotProduct(args(0), args(1), args(2), args(3))))
+    // literal json_filter_match over in-plan to_json(struct(...)) →
+    // compiled column predicates (parquet-pushable); see the rule's
+    // scaladoc for its deliberately conservative firing conditions
+    ext.injectResolutionRule(_ => graft.plans.JsonFilterPushdown)
   }
 }
