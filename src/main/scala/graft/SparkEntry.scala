@@ -1571,6 +1571,39 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // Robust outlier detection per event type: median/MAD modified
+    // z-score (Iglewicz–Hoaglin |0.6745·(x−med)/mad| > 3.5) — the
+    // outlier gate that, unlike mean/stddev, is not dragged by the very
+    // outliers it hunts. Discrete percentiles keep it engine-exact; at
+    // 100 TB the two per-group sorts swap for the KLL sketch
+    // (Sketches.approxQuantiles), same plan otherwise.
+    "q133_robust_outliers" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("__ro_ad", abs(col("value") - col("med")))
+      dev.groupBy(col("event_type"))
+        .agg(
+          first(col("med")).as("__ro_med"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __ro_ad)")
+            .as("__ro_mad"),
+          count(lit(1)).as("n"))
+        .join(dev, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          first(col("__ro_med")).as("med"),
+          first(col("__ro_mad")).as("mad"),
+          first(col("n")).as("n"),
+          sum(when(
+            abs(lit(0.6745) * (col("value") - col("__ro_med")) /
+              col("__ro_mad")) > 3.5, 1L).otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"),
+          (round(col("med"), 4) + lit(0.0)).as("med"),
+          (round(col("mad"), 4) + lit(0.0)).as("mad"),
+          col("n"), col("n_outliers"))
+    }),
+
     // Cohort retention: users grouped by first-seen day; for each
     // (cohort, day-offset) cell, how many of the cohort were active
     // again. Two partial-aggregated passes (per-user first day, then
@@ -3518,6 +3551,26 @@ object SparkEntry {
         |   WHERE c.user_id = p.user_id AND c.ts_ns <= p.ts_ns
         |   ORDER BY c.ts_ns DESC, c.click_id DESC LIMIT 1) AS last_click_id
         |FROM p""".stripMargin,
+
+    // Same two-pass discrete-percentile derivation; per-row modified
+    // z-scores are identical double arithmetic on both engines.
+    "q133_robust_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS ad
+        |  FROM events e JOIN m ON e.event_type = m.event_type),
+        |s AS (
+        |  SELECT event_type, MIN(med) AS med, quantile_disc(ad, 0.5) AS mad,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM d GROUP BY event_type)
+        |SELECT s.event_type,
+        |  ROUND(s.med, 4) + 0.0 AS med, ROUND(s.mad, 4) + 0.0 AS mad, s.n,
+        |  CAST(SUM(CASE WHEN ABS(0.6745 * (d.value - s.med) / s.mad) > 3.5
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM s JOIN d ON d.event_type = s.event_type
+        |GROUP BY s.event_type, s.med, s.mad, s.n""".stripMargin,
 
     // First-day election + distinct (user, day) activity + offset
     // aggregation; dates rendered as strings (tz-awareness differs
