@@ -131,9 +131,14 @@ object JsonFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def atomicVal(v: JValue): Boolean = v match {
-    case _: JString | _: JInt | _: JLong | _: JDouble | _: JDecimal |
-        _: JBool => true
+  /** A JSON literal is compatible with a field only within its type
+    * class: the runtime compares a JSON string against a JSON number as
+    * UNEQUAL (strict), while Catalyst coercion would CAST and possibly
+    * match — so a cross-class comparison must not be rewritten. */
+  private def compatVal(v: JValue, t: DataType): Boolean = (v, t) match {
+    case (_: JString, StringType) => true
+    case (_: JInt | _: JLong | _: JDouble | _: JDecimal, _: NumericType) => true
+    case (_: JBool, BooleanType) => true
     case _ => false
   }
 
@@ -145,11 +150,13 @@ object JsonFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
         xs.forall { case x: JObject => safeDoc(x, fields); case _ => false }
       case (name, cond: JObject) if cond.obj.exists(_._1.startsWith("$")) =>
         fields.contains(name) && cond.obj.forall {
-          case (op, v) if safeOps(op) => atomicVal(v)
-          case ("$in", JArray(xs)) => xs.nonEmpty && xs.forall(atomicVal)
+          case (op, v) if safeOps(op) => compatVal(v, fields(name).dataType)
+          case ("$in", JArray(xs)) =>
+            xs.nonEmpty && xs.forall(compatVal(_, fields(name).dataType))
           case _ => false
         }
-      case (name, bare) => fields.contains(name) && atomicVal(bare)
+      case (name, bare) =>
+        fields.contains(name) && compatVal(bare, fields(name).dataType)
     }
 
   /** Build the Catalyst predicate directly over the struct's value

@@ -80,6 +80,15 @@ class JsonFilterPushdownSpec extends SparkSpec {
       assert(hasJsonFilterMatch(ne))
       assert(ne.select("id").collect().map(_.getLong(0)).toSet ==
         Set(1L, 2L, 4L, 5L))
+      // cross-type-class literal: the runtime compares a string operand
+      // against the metadata value's JSON RENDERING ("1.0" != "1",
+      // ordering is lexicographic), while Catalyst coercion would compare
+      // numerically — divergent in general, so it must stay interpreted
+      // (here the rendering happens to match: "400" == render(400))
+      val crossType = query(s2, dir, """{"n_chars": {"$eq": "400"}}""")
+      assert(hasJsonFilterMatch(crossType))
+      assert(crossType.select("id").collect().map(_.getLong(0)).toSet ==
+        Set(1L))
       // a non-literal (per-row) filter can never be rewritten
       val perRow = s2.read.parquet(dir).filter(GraftFunctions.jsonFilterMatch(
         concat(lit("{\"n_chars\": {\"$gt\": "), col("id").cast("string"),
