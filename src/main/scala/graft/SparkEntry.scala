@@ -1571,6 +1571,17 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // Exact-size stratified sample: 100 documents, allocated across
+    // sources proportionally with largest-remainder rounding (pure
+    // integer arithmetic) and selected per group by md5-hash order —
+    // evaluation sets and labeling budgets need the COUNT exact, which
+    // the threshold samplers (q52/q87) cannot promise.
+    "q134_stratified_exact" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedExactSample(
+          table(s, dir, "documents"), col("doc_id"), col("source"),
+          sampleSize = 100L)
+        .select(col("doc_id"), col("source"))),
+
     // Robust outlier detection per event type: median/MAD modified
     // z-score (Iglewicz–Hoaglin |0.6745·(x−med)/mad| > 3.5) — the
     // outlier gate that, unlike mean/stddev, is not dragged by the very
@@ -3551,6 +3562,28 @@ object SparkEntry {
         |   WHERE c.user_id = p.user_id AND c.ts_ns <= p.ts_ns
         |   ORDER BY c.ts_ns DESC, c.click_id DESC LIMIT 1) AS last_click_id
         |FROM p""".stripMargin,
+
+    // Hamilton allocation in integer arithmetic + per-group md5-order
+    // selection — the engine's exact derivation replayed.
+    "q134_stratified_exact" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY source),
+        |t AS (SELECT SUM(n) AS tot FROM c),
+        |q AS (SELECT source, n, (n * 100) // tot AS base, (n * 100) % tot AS rem
+        |      FROM c, t),
+        |l AS (SELECT 100 - SUM(base) AS leftover FROM q),
+        |a AS (SELECT source,
+        |        base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+        |                         <= leftover THEN 1 ELSE 0 END AS alloc
+        |      FROM q, l),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY h ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+        |      FROM k)
+        |SELECT r.doc_id, r.source FROM r JOIN a ON r.source = a.source
+        |WHERE r.rn <= a.alloc""".stripMargin,
 
     // Same two-pass discrete-percentile derivation; per-row modified
     // z-scores are identical double arithmetic on both engines.

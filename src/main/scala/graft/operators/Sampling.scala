@@ -439,6 +439,61 @@ object Sampling {
     * binds). Ties in supply break on source name — determinism the
     * replicated-corpus oracle relies on.
     */
+  /** Exact-size stratified sample: `sampleSize` rows total, allocated
+    * across groups PROPORTIONALLY with largest-remainder (Hamilton)
+    * rounding — `alloc_g = floor(n_g·S/N)` plus one for the groups with
+    * the largest remainders until the allocations sum to exactly S.
+    * [[stratifiedHashSample]] keeps a deterministic *fraction* per group
+    * (threshold filter, no sort) but its realized size wobbles with the
+    * hash; evaluation sets and fixed labeling budgets need the COUNT
+    * exact, which requires ranking inside each group.
+    *
+    * Determinism: the allocation is pure INTEGER arithmetic
+    * (`(n_g·S) div N` / `mod N`, remainder ties broken by group name),
+    * and selection takes each group's first `alloc_g` rows ordered by
+    * `(md5(key), key)` — the corpus-invariant hash order every sampler
+    * in this file uses. Any engine replays both exactly.
+    *
+    * Scale shape: group counts partial-aggregate; the quota arithmetic
+    * runs on the group-cardinality frame (one broadcast back); selection
+    * is ONE per-group Window over the hash order — the sort unit is the
+    * group, which is the price of an exact count (callers who can live
+    * with ±hash-wobble should stay with the threshold samplers).
+    */
+  def stratifiedExactSample(
+      df: DataFrame,
+      key: Column,
+      groupCol: Column,
+      sampleSize: Long): DataFrame = {
+    require(sampleSize >= 0, s"sampleSize must be non-negative, got $sampleSize")
+    val keyed = df.withColumn("__se_g", groupCol)
+      .withColumn("__se_k", key.cast("string"))
+      .withColumn("__se_h", md5(col("__se_k")))
+    val counts = keyed.groupBy("__se_g").agg(count(lit(1)).as("__se_n"))
+    val tot = counts.agg(sum(col("__se_n")).as("__se_tot"))
+    val quota = counts.crossJoin(tot)
+      .withColumn("__se_base",
+        call_function("div", col("__se_n") * sampleSize, col("__se_tot")))
+      .withColumn("__se_rem",
+        pmod(col("__se_n") * sampleSize, col("__se_tot")))
+    val leftover = quota
+      .agg((lit(sampleSize) - sum(col("__se_base"))).as("__se_left"))
+    val alloc = quota.crossJoin(leftover)
+      .withColumn("__se_rr", row_number().over(
+        Window.orderBy(col("__se_rem").desc, col("__se_g").asc)).cast("long"))
+      .withColumn("__se_alloc",
+        col("__se_base") +
+          when(col("__se_rr") <= col("__se_left"), 1L).otherwise(0L))
+      .select(col("__se_g"), col("__se_alloc"))
+    val w = Window.partitionBy(col("__se_g"))
+      .orderBy(col("__se_h").asc, col("__se_k").asc)
+    keyed
+      .withColumn("__se_rn", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), Seq("__se_g"))
+      .filter(col("__se_rn") <= col("__se_alloc"))
+      .drop("__se_g", "__se_k", "__se_h", "__se_rn", "__se_alloc")
+  }
+
   def waterfillAllocation(
       df: DataFrame,
       srcCol: Column,

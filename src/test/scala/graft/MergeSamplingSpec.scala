@@ -331,6 +331,29 @@ class MergeSamplingSpec extends SparkSpec {
       al == 0.0 && sat && wl.contains(0.0) })
   }
 
+  test("stratifiedExactSample: Hamilton allocation, exact total, determinism") {
+    import spark.implicits._
+    // groups: a=5, b=3, c=2 rows; S=6 -> quotas 3.0/1.8/1.2 ->
+    // base 3/1/1, leftover 1 goes to b (largest remainder 8/10)
+    val df = ((1 to 5).map(i => (i.toLong, "a")) ++
+      (6 to 8).map(i => (i.toLong, "b")) ++
+      (9 to 10).map(i => (i.toLong, "c"))).toDF("id", "g")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedExactSample(d, col("id"), col("g"), 6L)
+        .as[(Long, String)].collect().toSet
+    val got = run(df)
+    val byGroup = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byGroup == Map("a" -> 3, "b" -> 2, "c" -> 1))
+    assert(got.size == 6)
+    // pure function of keys: any partitioning selects the same rows
+    assert(run(df.repartition(7)) == got)
+    // degenerate budgets
+    assert(Sampling.stratifiedExactSample(df, col("id"), col("g"), 0L)
+      .count() == 0L)
+    assert(Sampling.stratifiedExactSample(df, col("id"), col("g"), 10L)
+      .count() == 10L)
+  }
+
   test("waterfillAllocation: fractional waterline splits remaining budget") {
     import spark.implicits._
     val docs = Seq(("a", 3L), ("b", 7L), ("c", 7L)).toDF("src", "w")
