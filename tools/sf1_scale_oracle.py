@@ -45,6 +45,11 @@ sf1 ran >40 minutes and died):
        merges are identical and every replica encodes exactly like its
        base twin: expected = base rows x10 under id shifts (q122's
        even-train/odd-encode parity survives the even 10^8 shift).
+  q134 stratified-exact: the Hamilton allocation is replication-
+       invariant ((10n*S) div (10N) = (n*S) div N, remainder order
+       unchanged) and the direct oracle replay over the replicated view
+       is tractable (selection-family), so the expected result checks
+       both the allocation algebra and the hash-order selection at 10x.
   q123 funnel: per-doc gate flags are text-deterministic (x10 counts),
        but the exact-canonical stage keeps only replica-0 survivors:
        n_kept is UNCHANGED while every other stage count scales x10 -
@@ -185,7 +190,8 @@ def main():
     con.sql(f"CREATE VIEW documents_x10 AS "
             f"SELECT doc_id + r.r * {SHIFT} AS doc_id, "
             f"COLUMNS(c -> c <> 'doc_id') FROM documents, reps r")
-    for q in ("q103_quantile_buckets", "q87_temperature_mix", "q91_budget_select"):
+    for q in ("q103_quantile_buckets", "q87_temperature_mix", "q91_budget_select",
+              "q134_stratified_exact"):
         import re as _re
         expected[q] = _re.sub(r"\bdocuments\b", "documents_x10", oracle[q])
 
