@@ -403,4 +403,34 @@ object StreamingOps {
           closed.result().iterator
       }
   }
+
+  /** Frozen robust-outlier gate ([[graft.operators.Profiling]]'s q133
+    * family at ingest): score every arriving row's modified z-score
+    * (`0.6745·(x − med)/mad`, Iglewicz–Hoaglin) against per-key
+    * median/MAD stats FROZEN from a reference window. Freezing is the
+    * point — recomputing the stats per micro-batch would let a drifting
+    * stream move its own goalposts, exactly what an ingest guard must
+    * not do (the frozen-LM gate's reasoning, numeric edition).
+    *
+    * `stats` is a static `(key, med, mad)` frame, so the join is
+    * stream-static broadcast: stateless, no watermark, scan-speed.
+    * Returns the batch columns plus `mz` (4dp) and `is_outlier`
+    * (`|mz| > zMax`; a zero MAD makes any deviation infinite — the
+    * degenerate-reference behavior both engines share).
+    */
+  def robustOutlierGateStream(
+      batch: DataFrame,
+      stats: DataFrame,
+      keyCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      zMax: Double = 3.5): DataFrame = {
+    val st = broadcast(stats.select(col("key").as("__ro_k"),
+      col("med").as("__ro_med"), col("mad").as("__ro_mad")))
+    batch.join(st, keyCol === col("__ro_k"))
+      .withColumn("mz",
+        round(lit(0.6745) * (valueCol - col("__ro_med")) / col("__ro_mad"), 4)
+          + lit(0.0))
+      .withColumn("is_outlier", abs(col("mz")) > zMax)
+      .drop("__ro_k", "__ro_med", "__ro_mad")
+  }
 }

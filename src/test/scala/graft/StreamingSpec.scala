@@ -457,6 +457,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen robust-outlier gate scores a stream statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference-window stats frozen batch-side: med=10, mad=2 for key A
+    val stats = Seq(("A", 10.0, 2.0), ("B", 0.0, 1.0)).toDF("key", "med", "mad")
+    val in = MemoryStream[(String, Double)]
+    val gated = graft.streaming.StreamingOps.robustOutlierGateStream(
+      in.toDS().toDF("k", "v"), stats, col("k"), col("v"))
+    val q = gated.writeStream.format("memory").queryName("ro_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // |0.6745*(v-10)/2| > 3.5  <=>  |v-10| > 10.378...
+      in.addData(("A", 10.5), ("A", 30.0), ("B", -6.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static gate must be stateless")
+      val got = spark.table("ro_sink")
+        .select("k", "v", "is_outlier")
+        .as[(String, Double, Boolean)].collect().toSet
+      assert(got == Set(("A", 10.5, false), ("A", 30.0, true),
+        ("B", -6.0, true)))
+      // identical to the batch path under the same frozen stats
+      val batch = graft.streaming.StreamingOps.robustOutlierGateStream(
+          Seq(("A", 10.5), ("A", 30.0), ("B", -6.0)).toDF("k", "v"),
+          stats, col("k"), col("v"))
+        .select("k", "v", "is_outlier")
+        .as[(String, Double, Boolean)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming chunk ingest: later batches dedup against earlier appends") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
