@@ -1571,6 +1571,24 @@ object SparkEntry {
           substring(col("__graft_bpe_enc"), 1, 240).as("encoded_prefix"))
     }),
 
+    // Triangle counting over the cosine near-dup graph (degree-ordered
+    // node-iterator, the O(E^1.5) classic): a vertex with many neighbors
+    // but few triangles sits in a hub-spoke (template contamination);
+    // dense triangles mark genuinely cohesive duplicate clusters.
+    "q135_triangles" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val edges = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+          col("label"))
+        .join(e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+          col("label")), Seq("label"))
+        .filter(col("ida") < col("idb"))
+        .filter(graft.functions.GraftFunctions.vecCosine(
+          col("va").cast("array<double>"), col("vb").cast("array<double>"))
+          > 0.15)
+        .select(col("ida").as("u"), col("idb").as("v"))
+      graft.operators.Graph.triangleCounts(edges)
+    }),
+
     // Exact-size stratified sample: 100 documents, allocated across
     // sources proportionally with largest-remainder rounding (pure
     // integer arithmetic) and selected per group by md5-hash order —
@@ -3562,6 +3580,24 @@ object SparkEntry {
         |   WHERE c.user_id = p.user_id AND c.ts_ns <= p.ts_ns
         |   ORDER BY c.ts_ns DESC, c.click_id DESC LIMIT 1) AS last_click_id
         |FROM p""".stripMargin,
+
+    // Plain a<b<c triple enumeration — the orientation-free reference
+    // the degree-ordered engine plan must exactly reproduce.
+    "q135_triangles" ->
+      """WITH e AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.15),
+        |t AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT x AS id FROM t UNION ALL
+        |  SELECT y AS id FROM t UNION ALL
+        |  SELECT z AS id FROM t)
+        |GROUP BY id""".stripMargin,
 
     // Hamilton allocation in integer arithmetic + per-group md5-order
     // selection — the engine's exact derivation replayed.

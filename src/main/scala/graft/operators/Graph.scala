@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over derived relationship tables (near-dup pairs,
+  * co-occurrence edges). [[ConnectedComponents]] answers "which rows are
+  * the same thing"; triangle counting answers the next question a
+  * similarity graph raises — how CLIQUEY each neighborhood is. A vertex
+  * with many neighbors but few triangles sits in a hub-spoke (template
+  * contamination, one boilerplate page linking everything); dense
+  * triangles mark genuinely cohesive duplicate clusters. Local
+  * clustering coefficient = triangles / C(degree, 2).
+  */
+object Graph {
+
+  /** Per-vertex triangle participation via the degree-ordered
+    * node-iterator — the MapReduce-classic O(E^1.5) decomposition:
+    *
+    *  1. dedup/canonicalize the undirected edge list;
+    *  2. orient every edge along the TOTAL order `(degree, id)` — each
+    *     triangle then has exactly one source vertex with two outgoing
+    *     edges, so it is found exactly once, and wedge fan-out is bounded
+    *     by out-degree under the orientation, which the degree ordering
+    *     caps at O(√E) (the hub's edges all point AWAY from it — a
+    *     million-follower vertex generates no million² wedge explosion);
+    *  3. wedges (two out-edges of one source, ordered) equi-join the
+    *     closing edge — which the orientation guarantees runs from the
+    *     smaller-ordered to the larger-ordered endpoint, so the closing
+    *     probe is ONE directed lookup, no symmetric union.
+    *
+    * Everything is equi-joins and partial-aggregated counts; nothing is
+    * ever collected. Returns `(id, n_tri)` for vertices in ≥1 triangle —
+    * the orientation is an internal detail, so the result matches any
+    * engine's plain a<b<c triple enumeration.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    // orient along (degree, id); carry the destination's order key for
+    // the wedge comparison
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("src"), col("b").as("dst"),
+          struct(col("db").as("od"), col("b").as("oid")).as("dord")))
+        .otherwise(
+          struct(col("b").as("src"), col("a").as("dst"),
+            struct(col("da").as("od"), col("a").as("oid")).as("dord")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dord").as("dord"))
+    val o1 = oriented.select(col("src"), col("dst").as("y"),
+      col("dord").as("yord"))
+    val o2 = oriented.select(col("src"), col("dst").as("z"),
+      col("dord").as("zord"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("yord") < col("zord"))
+    val closing = oriented.select(col("src").as("y"), col("dst").as("z"))
+    val tris = wedges.join(closing, Seq("y", "z"))
+      .select(col("src").as("x"), col("y"), col("z"))
+    tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+}
