@@ -1589,6 +1589,24 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(edges)
     }),
 
+    // Local clustering coefficients over the same graph: coefficient ≈ 1
+    // marks a true duplicate clique, low coefficient at high degree the
+    // hub-spoke/template signature — the per-vertex diagnostic q135's
+    // raw counts feed.
+    "q136_clustering_coeff" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val edges = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+          col("label"))
+        .join(e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+          col("label")), Seq("label"))
+        .filter(col("ida") < col("idb"))
+        .filter(graft.functions.GraftFunctions.vecCosine(
+          col("va").cast("array<double>"), col("vb").cast("array<double>"))
+          > 0.15)
+        .select(col("ida").as("u"), col("idb").as("v"))
+      graft.operators.Graph.clusteringCoefficients(edges)
+    }),
+
     // Exact-size stratified sample: 100 documents, allocated across
     // sources proportionally with largest-remainder rounding (pure
     // integer arithmetic) and selected per group by md5-hash order —
@@ -3580,6 +3598,33 @@ object SparkEntry {
         |   WHERE c.user_id = p.user_id AND c.ts_ns <= p.ts_ns
         |   ORDER BY c.ts_ns DESC, c.click_id DESC LIMIT 1) AS last_click_id
         |FROM p""".stripMargin,
+
+    // Same triple enumeration joined onto the degree table; C(d,2) in
+    // integer arithmetic, coefficient rounded 6dp.
+    "q136_clustering_coeff" ->
+      """WITH e AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.15),
+        |deg AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+        |  GROUP BY id),
+        |t AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT x AS id FROM t UNION ALL
+        |    SELECT y AS id FROM t UNION ALL
+        |    SELECT z AS id FROM t)
+        |  GROUP BY id)
+        |SELECT deg.id, deg.degree, COALESCE(tc.n_tri, 0) AS n_tri,
+        |  ROUND(CAST(COALESCE(tc.n_tri, 0) AS DOUBLE)
+        |    / GREATEST((deg.degree * (deg.degree - 1)) // 2, 1), 6) + 0.0 AS coeff
+        |FROM deg LEFT JOIN tc ON deg.id = tc.id""".stripMargin,
 
     // Plain a<b<c triple enumeration — the orientation-free reference
     // the degree-ordered engine plan must exactly reproduce.

@@ -71,4 +71,36 @@ object Graph {
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Local clustering coefficient per vertex:
+    * `n_tri / C(degree, 2)` — the fraction of a vertex's neighbor pairs
+    * that are themselves connected. Near 1 = cohesive clique (a true
+    * duplicate cluster); near 0 at high degree = hub-spoke (the
+    * template/boilerplate signature). Degree-1 vertices have no neighbor
+    * pair and are reported with coefficient 0.
+    *
+    * Shape: [[triangleCounts]] plus the degree table it already
+    * computes, joined back at vertex cardinality. Returns
+    * `(id, degree, n_tri, coeff)`, coefficient rounded to 6dp.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(und.select(col("a").as("u"), col("b").as("v"))),
+        Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        (round(
+          coalesce(col("n_tri"), lit(0L)).cast("double") /
+            greatest(call_function("div",
+              col("degree") * (col("degree") - 1L), lit(2L)), lit(1L))
+              .cast("double"),
+          6) + lit(0.0)).as("coeff"))
+  }
 }

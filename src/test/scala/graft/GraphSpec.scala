@@ -35,6 +35,19 @@ class GraphSpec extends SparkSpec {
     assert(tri(g) == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("clustering coefficients: clique 1.0, hub 0.0, degree-1 reported") {
+    // triangle {1,2,3} plus a pendant 4-1: 1 has degree 3 (C(3,2)=3,
+    // one triangle -> 1/3); 2,3 are clique-perfect; 4 has no pair
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val got = Graph.clusteringCoefficients(g.toDF("u", "v"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
+
   test("exhaustive small-domain equivalence with triple enumeration") {
     // every graph on 6 vertices from a deterministic edge subset
     val all = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
