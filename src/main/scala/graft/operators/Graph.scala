@@ -35,11 +35,19 @@ object Graph {
     * engine's plain a<b<c triple enumeration.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    // localCheckpoint (the ConnectedComponents lineage-cut precedent):
+    // the canonical edge list feeds the degree agg, the orientation, and
+    // — via o1/o2/closing — three sides of the wedge machinery; without
+    // the cut every branch re-runs the caller's EDGE-BUILDING plan
+    // (typically a scored similarity self-join, the expensive part).
+    // The materialized artifact is the edge list itself — O(E), the
+    // operator's own input size.
     val und = edges
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und
       .select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -58,6 +66,7 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.dord").as("dord"))
+      .localCheckpoint() // three consumers (o1/o2/closing), one compute
     val o1 = oriented.select(col("src"), col("dst").as("y"),
       col("dord").as("yord"))
     val o2 = oriented.select(col("src"), col("dst").as("z"),
@@ -84,11 +93,15 @@ object Graph {
     * `(id, degree, n_tri, coeff)`, coefficient rounded to 6dp.
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    // one canonicalization+cut here; triangleCounts re-canonicalizes the
+    // SNAPSHOT (already canonical — a cheap identity pass over O(E)
+    // rows), so the caller's edge-building plan still runs exactly once
     val und = edges
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val deg = und
       .select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
