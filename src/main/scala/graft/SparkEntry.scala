@@ -1589,6 +1589,25 @@ object SparkEntry {
       graft.operators.Graph.triangleCounts(edges)
     }),
 
+    // Fixed-point integer PageRank over the same graph: which near-dup
+    // representative to keep, which boilerplate hub dominates — with
+    // every step in integer arithmetic so the 5 rounds replay to the
+    // exact unit in any engine (float PageRank is summation-order
+    // dependent and cross-engine unverifiable).
+    "q137_pagerank" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val edges = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+          col("label"))
+        .join(e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+          col("label")), Seq("label"))
+        .filter(col("ida") < col("idb"))
+        .filter(graft.functions.GraftFunctions.vecCosine(
+          col("va").cast("array<double>"), col("vb").cast("array<double>"))
+          > 0.15)
+        .select(col("ida").as("u"), col("idb").as("v"))
+      graft.operators.Graph.pageRank(edges, iters = 5)
+    }),
+
     // Local clustering coefficients over the same graph: coefficient ≈ 1
     // marks a true duplicate clique, low coefficient at high degree the
     // hub-spoke/template signature — the per-vertex diagnostic q135's
@@ -1954,7 +1973,43 @@ object SparkEntry {
     ("q122_tokenizer_index" ->
       bpeOracleSql(" WHERE doc_id % 2 = 0", " WHERE doc_id % 2 = 1", 24, 256)) +
     ("q128_ann_recall" -> q128OracleSql) +
-    ("q129_bpe_pack" -> q129OracleSql)
+    ("q129_bpe_pack" -> q129OracleSql) +
+    ("q137_pagerank" -> q137OracleSql)
+
+  /** q137: the five fixed-point rounds unrolled — pure integer
+    * arithmetic, so DuckDB replays the engine's ranks to the exact unit
+    * regardless of summation order. */
+  private def q137OracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS MATERIALIZED (
+      |  SELECT a.vec_id AS u, b.vec_id AS v
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.15),
+      |d AS MATERIALIZED (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS src FROM e UNION ALL SELECT v AS src FROM e)
+      |  GROUP BY src),
+      |dd AS MATERIALIZED (
+      |  SELECT x.src, x.dst, d.deg FROM (
+      |    SELECT u AS src, v AS dst FROM e UNION ALL
+      |    SELECT v AS src, u AS dst FROM e) x
+      |  JOIN d ON d.src = x.src),
+      |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM d),
+      |r0 AS MATERIALIZED (
+      |  SELECT src AS id, 1000000000000 // (SELECT n FROM nn) AS r FROM d)""".stripMargin
+    for (k <- 1 to 5) {
+      sb ++= s""",
+        |r$k AS MATERIALIZED (
+        |  SELECT dd.dst AS id,
+        |    (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+        |      + (85 * SUM(r.r // dd.deg)) // 100 AS r
+        |  FROM dd JOIN r${k - 1} r ON dd.src = r.id
+        |  GROUP BY dd.dst)""".stripMargin
+    }
+    sb ++= "\nSELECT id, CAST(r AS BIGINT) AS rank_fp FROM r5"
+    sb.toString
+  }
 
   /** q129: the BPE CTE chain (training + encode, q121's oracle prefix)
     * feeding q84's pack-plan replay — tokens are the bracketed units of

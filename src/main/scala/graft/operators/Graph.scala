@@ -81,6 +81,65 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Fixed-point integer PageRank — centrality over the similarity /
+    * co-occurrence graph (which near-dup cluster REPRESENTATIVE to keep,
+    * which boilerplate hub dominates a crawl) with every arithmetic step
+    * engine-exact by construction:
+    *
+    * Ranks live in integer fixed-point units (`scale = 1e12`), each
+    * vertex divides its rank among neighbors by INTEGER division, and
+    * the damping blend is integer too
+    * (`r' = (15·(scale div n)) div 100 + (85·Σ contrib) div 100`).
+    * Integer addition is exactly associative, so the result is
+    * independent of partitioning and summation order — the property that
+    * lets an independent SQL engine replay all `iters` rounds to the
+    * exact unit (a float formulation would be FP-summation-order
+    * dependent, unverifiable across engines). The floor losses bleed a
+    * bounded ~`n·iters` units of probability mass (relative error
+    * ~1e-9 here) — the standard fixed-point trade.
+    *
+    * Scale shape: each round is one partial-aggregated contribution
+    * shuffle + a vertex-cardinality join, `localCheckpoint`ed (the
+    * [[ConnectedComponents]] lineage-cut precedent: without it round k
+    * replays rounds 1..k−1 and the driver's plan work goes
+    * super-linear). Edges are undirected (both directions contribute).
+    * Isolated vertices never appear in an edge list; dangling vertices
+    * cannot exist in an undirected graph, so no dangling-mass term.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    val und = edges
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dirDeg = dir.join(deg, Seq("src")).localCheckpoint()
+    val n = deg.count()
+    val base = lit(scale / n)
+    var ranks = deg.select(col("src").as("id"), base.as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = dirDeg
+        .join(ranks, dirDeg("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          call_function("div", col("r"), col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("cs"))
+      ranks = contrib
+        .select(col("id"),
+          (call_function("div", lit(15L) * base, lit(100L)) +
+            call_function("div", lit(85L) * col("cs"), lit(100L))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("r").as("rank_fp"))
+  }
+
   /** Local clustering coefficient per vertex:
     * `n_tri / C(degree, 2)` — the fraction of a vertex's neighbor pairs
     * that are themselves connected. Near 1 = cohesive clique (a true

@@ -48,6 +48,40 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, 0.0)))
   }
 
+  test("fixed-point pagerank: symmetric graphs get equal ranks, hubs rank higher") {
+    // two-node graph: perfectly symmetric ranks, mass ~ scale
+    val pair = Graph.pageRank(Seq((1L, 2L)).toDF("u", "v"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pair(1L) == pair(2L))
+    assert(math.abs(pair.values.sum - 1000000000000L) < 100L)
+    // star: the hub accumulates every spoke's full rank each round
+    val star = Graph.pageRank((2L to 5L).map(s => (1L, s)).toDF("u", "v"),
+      iters = 5).as[(Long, Long)].collect().toMap
+    assert(star(1L) > star(2L))
+    assert(star(2L) == star(3L) && star(3L) == star(4L) && star(4L) == star(5L))
+  }
+
+  test("fixed-point pagerank matches a hand-rolled integer reference") {
+    // triangle {1,2,3} plus pendant 4-1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val got = Graph.pageRank(edges.toDF("u", "v"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val adj = Map(1L -> Seq(2L, 3L, 4L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L, 2L), 4L -> Seq(1L))
+    val scale = 1000000000000L
+    val base = scale / 4
+    var r = adj.keys.map(_ -> base).toMap
+    for (_ <- 1 to 4) {
+      r = adj.keys.map { i =>
+        val cs = adj.toSeq.collect {
+          case (j, ns) if ns.contains(i) => r(j) / ns.size
+        }.sum
+        i -> ((15L * base) / 100L + (85L * cs) / 100L)
+      }.toMap
+    }
+    assert(got == r)
+  }
+
   test("exhaustive small-domain equivalence with triple enumeration") {
     // every graph on 6 vertices from a deterministic edge subset
     val all = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
