@@ -122,6 +122,10 @@ object Graph {
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val dirDeg = dir.join(deg, Seq("src")).localCheckpoint()
     val n = deg.count()
+    // an empty edge list has no vertices to rank (and no base share to
+    // divide); return the empty frame instead of dividing by zero
+    if (n == 0)
+      return deg.select(col("src").as("id"), lit(0L).as("rank_fp"))
     val base = lit(scale / n)
     var ranks = deg.select(col("src").as("id"), base.as("r"))
       .localCheckpoint()

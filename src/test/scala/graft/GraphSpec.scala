@@ -61,6 +61,11 @@ class GraphSpec extends SparkSpec {
     assert(star(2L) == star(3L) && star(3L) == star(4L) && star(4L) == star(5L))
   }
 
+  test("pagerank on an empty or self-loop-only edge list is empty") {
+    assert(Graph.pageRank(Seq.empty[(Long, Long)].toDF("u", "v")).count() == 0L)
+    assert(Graph.pageRank(Seq((3L, 3L)).toDF("u", "v")).count() == 0L)
+  }
+
   test("fixed-point pagerank matches a hand-rolled integer reference") {
     // triangle {1,2,3} plus pendant 4-1
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
