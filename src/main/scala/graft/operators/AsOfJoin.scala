@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  // Internal column names carry the same __graft_ prefix discipline as the
+  // other operators so they can never shadow a user column; the appended
+  // output column is guarded explicitly below.
+  private val K = "__graft_asof_k"
+  private val Ts = "__graft_asof_ts"
+  private val Side = "__graft_asof_side"
+  private val Tb = "__graft_asof_tb"
+  private val Payload = "__graft_asof_payload"
+  private val Lrow = "__graft_asof_lrow"
+
   /** Backward as-of join.
     *
     * @param left      probe side; all its columns survive
@@ -43,41 +53,8 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightId: String,
-      payload: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val payloadType =
-      right.select(struct(payload.map(col): _*).as("_p")).schema("_p").dataType
-    val lrowType =
-      left.select(struct(leftCols.map(col): _*).as("_l")).schema("_l").dataType
-
-    val r = right.select(
-      col(key).as("_k"),
-      col(rightTs).as("_ts"),
-      lit(0).as("_side"),
-      col(rightId).cast("long").as("_tb"),
-      struct(payload.map(col): _*).as("_payload"),
-      lit(null).cast(lrowType).as("_lrow"))
-
-    val l = left.select(
-      col(key).as("_k"),
-      col(leftTs).as("_ts"),
-      lit(1).as("_side"),
-      lit(null).cast("long").as("_tb"),
-      lit(null).cast(payloadType).as("_payload"),
-      struct(leftCols.map(col): _*).as("_lrow"))
-
-    // Right rows sort before left rows at equal _ts (inclusive at-or-
-    // before); among equal-(ts) right rows the greatest _tb is last and
-    // therefore wins the running last().
-    val w = Window.partitionBy("_k")
-      .orderBy(col("_ts").asc, col("_side").asc, col("_tb").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    r.unionByName(l)
-      .withColumn("asof", last(col("_payload"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(leftCols.map(c => col("_lrow").getField(c).as(c)) :+ col("asof"): _*)
-  }
+      payload: Seq[String]): DataFrame =
+    joined(left, right, key, leftTs, rightTs, rightId, payload, fwd = false)
 
   /** Forward as-of join: for every left row, the single right row with
     * the SMALLEST timestamp `>=` the left row's timestamp within the same
@@ -95,7 +72,24 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightId: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    joined(left, right, key, leftTs, rightTs, rightId, payload, fwd = true)
+
+  private def joined(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightId: String,
+      payload: Seq[String],
+      fwd: Boolean): DataFrame = {
+    // The output APPENDS `asof` to the left columns — a left frame that
+    // already carries one would yield duplicate names and silently break
+    // downstream resolution (the reserved-name hazard Ranking.epochShuffle
+    // guards identically).
+    require(!left.columns.contains("asof"),
+      "left frame already has a column named 'asof' — rename it before AsOfJoin")
     val leftCols = left.columns.toSeq
     val payloadType =
       right.select(struct(payload.map(col): _*).as("_p")).schema("_p").dataType
@@ -103,31 +97,36 @@ object AsOfJoin {
       left.select(struct(leftCols.map(col): _*).as("_l")).schema("_l").dataType
 
     val r = right.select(
-      col(key).as("_k"),
-      col(rightTs).as("_ts"),
-      lit(0).as("_side"),
-      col(rightId).cast("long").as("_tb"),
-      struct(payload.map(col): _*).as("_payload"),
-      lit(null).cast(lrowType).as("_lrow"))
+      col(key).as(K),
+      col(rightTs).as(Ts),
+      lit(0).as(Side),
+      col(rightId).cast("long").as(Tb),
+      struct(payload.map(col): _*).as(Payload),
+      lit(null).cast(lrowType).as(Lrow))
 
     val l = left.select(
-      col(key).as("_k"),
-      col(leftTs).as("_ts"),
-      lit(1).as("_side"),
-      lit(null).cast("long").as("_tb"),
-      lit(null).cast(payloadType).as("_payload"),
-      struct(leftCols.map(col): _*).as("_lrow"))
+      col(key).as(K),
+      col(leftTs).as(Ts),
+      lit(1).as(Side),
+      lit(null).cast("long").as(Tb),
+      lit(null).cast(payloadType).as(Payload),
+      struct(leftCols.map(col): _*).as(Lrow))
 
-    // Descending time: right rows still sort before left rows at equal
-    // _ts (inclusive at-or-after), and _tb DESC makes the smallest right
-    // id the last right row seen — the winner of the running last().
-    val w = Window.partitionBy("_k")
-      .orderBy(col("_ts").desc, col("_side").asc, col("_tb").desc)
+    // Right rows sort before left rows at equal ts in BOTH directions
+    // (at-or-before / at-or-after are inclusive). Backward runs time
+    // ascending with the greatest right id last (it wins the running
+    // last()); forward runs time descending with the smallest right id
+    // last — the symmetric tiebreak.
+    val w = Window.partitionBy(K)
+      .orderBy(
+        (if (fwd) col(Ts).desc else col(Ts).asc),
+        col(Side).asc,
+        (if (fwd) col(Tb).desc else col(Tb).asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     r.unionByName(l)
-      .withColumn("asof", last(col("_payload"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .select(leftCols.map(c => col("_lrow").getField(c).as(c)) :+ col("asof"): _*)
+      .withColumn("asof", last(col(Payload), ignoreNulls = true).over(w))
+      .filter(col(Side) === 1)
+      .select(leftCols.map(c => col(Lrow).getField(c).as(c)) :+ col("asof"): _*)
   }
 }

@@ -50,6 +50,13 @@ object ChunkStore {
 
   private val MetaFile = "metadata.json"
 
+  /** On-disk layout version. v2 = `(h, clen, c)` chunks table + `vtype`
+    * metadata; v1 (no `format` field) stored `(c, clen)` without the hash
+    * column, so opening it would not fail until an admit/append hit a
+    * confusing missing-column AnalysisException on `h` — version the
+    * format and fail `open` up front instead. */
+  private val FormatVersion = 2
+
   private[graft] def valueType(df: DataFrame, c: Column): String =
     df.select(c).schema.head.dataType match {
       case StringType => "string"
@@ -81,7 +88,8 @@ object ChunkStore {
     new DiskChunkStore(spark, dir, readMeta(spark, dir))
 
   private def writeMeta(spark: SparkSession, dir: String, p: Params): Unit = {
-    val json = s"""{"window": ${p.window}, "divisor": ${p.divisor}, "vtype": "${p.vtype}"}"""
+    val json = s"""{"format": $FormatVersion, "window": ${p.window}, """ +
+      s""""divisor": ${p.divisor}, "vtype": "${p.vtype}"}"""
     val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
@@ -101,8 +109,12 @@ object ChunkStore {
     import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val v = JsonMethods.parse(json)
+    val format = (v \ "format").extractOrElse[Int](1)
+    require(format == FormatVersion,
+      s"chunk store at $dir has layout format $format but this build reads " +
+        s"format $FormatVersion — rebuild the store with ChunkStore.save()")
     Params((v \ "window").extract[Int], (v \ "divisor").extract[Int],
-      (v \ "vtype").extractOrElse[String]("string"))
+      (v \ "vtype").extract[String])
   }
 }
 

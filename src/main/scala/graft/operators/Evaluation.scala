@@ -28,10 +28,16 @@ object Evaluation {
     * candidate that returns fewer than k rows (a sparse IVF cell) is
     * penalized, not excused. */
   def recallAtK(reference: DataFrame, candidate: DataFrame): DataFrame = {
-    val ref = reference.select(col("qid"), col("nid"))
+    // A duplicate-emitting result table is precisely the bug class this
+    // harness exists to surface — dedup both sides so a malformed ANN
+    // path distorts recall visibly (missing hits) rather than
+    // arithmetically (a doubled (qid, nid) row would multiply the join
+    // and inflate n_ref AND n_hit).
+    val ref = reference.select(col("qid"), col("nid")).dropDuplicates("qid", "nid")
     // batch×k rows by construction — always broadcast-sized, so the hit
     // join never sorts or shuffles the (already tiny) result tables
     val cand = broadcast(candidate.select(col("qid"), col("nid"))
+      .dropDuplicates("qid", "nid")
       .withColumn("__ev_hit", lit(1L)))
     ref.join(cand, Seq("qid", "nid"), "left")
       .groupBy("qid")

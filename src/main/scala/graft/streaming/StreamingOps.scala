@@ -147,6 +147,43 @@ object StreamingOps {
         col("tv_drift"))
   }
 
+  /** q112's streaming twin run to completion — the frozen-LM ingest
+    * quality gate as a bounded replay: `readStream(documents) →
+    * scoreStream (stateless in-row projection under the persisted model)
+    * → filter(logprob ≥ threshold) → memory sink`. No stateful operator,
+    * no watermark — the gate is a scan-speed projection, so the streamed
+    * result is deterministically identical to the batch score + filter,
+    * which is what lets the DuckDB oracle check the STREAM output row
+    * for row (the spec-only stream≡batch trust made first-class).
+    * Scores only odd-id documents (the q112 train/score split).
+    */
+  def lmGateStreaming(
+      spark: SparkSession,
+      docsPath: String,
+      lmDir: String,
+      threshold: Double): DataFrame = {
+    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"stream_lm_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val schema = spark.read.parquet(docsPath).schema
+    val idx = graft.operators.LmIndex.open(spark, lmDir)
+    val stream = spark.readStream.schema(schema).parquet(docsPath)
+      .filter(col("doc_id") % 2 === 1)
+    val gated = idx.scoreStream(stream, col("doc_id"), col("text"))
+      .filter(col("logprob") >= threshold)
+    val q = gated.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append)
+      .start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
+    }
+    spark.table(name)
+  }
+
   /** Batch-typed sessionization via `KeyValueGroupedDataset.mapGroups`:
     * per-user event sort, session break at gaps > `gapNs`. Typed
     * counterpart of the window/lag SQL formulation (q12) — same output.
@@ -224,8 +261,15 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              // close automatically when the watermark passes last + gap
-              state.setTimeoutTimestamp((s.lastNs + gapNs) / 1000000L)
+              // close automatically when the watermark passes last + gap.
+              // flatMapGroupsWithState does NOT drop late rows, so a group
+              // fed only events already gap-behind the watermark would
+              // compute a timeout in the past — Spark rejects that with
+              // "timeout timestamp cannot be earlier than watermark";
+              // clamp to just past the watermark (= close at the next
+              // trigger) instead of failing the whole query.
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1, (s.lastNs + gapNs) / 1000000L))
             }
             closed.result().iterator
           }
@@ -291,7 +335,11 @@ object StreamingOps {
             // the TTL window even though the bucket itself stays live
             val pruned = sims.filter { case (_, seenMs) => seenMs > lastMs - ttlMs }
             state.update(BucketSketches(pruned, lastMs))
-            state.setTimeoutTimestamp(lastMs + ttlMs)
+            // same late-group clamp as sessionizeStreamWithTimeout: a
+            // bucket whose newest event is already ttl behind the
+            // watermark must close at the next trigger, not throw
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, lastMs + ttlMs))
             admitted.iterator
           }
       }

@@ -107,4 +107,21 @@ class AsOfJoinSpec extends SparkSpec {
     }.toMap
     assert(got == expected)
   }
+
+  test("a left frame already carrying 'asof' is rejected, not silently duplicated") {
+    val l = Seq((1L, 100L, "pre-existing")).toDF("k", "ts", "asof")
+    val r = Seq((1L, 90L, 1L, "a")).toDF("k", "ts", "rid", "v")
+    val eb = intercept[IllegalArgumentException](
+      AsOfJoin.backward(l, r, "k", "ts", "ts", "rid", Seq("v")))
+    assert(eb.getMessage.contains("asof"))
+    val ef = intercept[IllegalArgumentException](
+      AsOfJoin.forward(l, r, "k", "ts", "ts", "rid", Seq("v")))
+    assert(ef.getMessage.contains("asof"))
+    // internal names are prefixed: a user column named like the old
+    // internals (_k/_ts/...) must pass through untouched
+    val lOdd = Seq((1L, 100L, "x")).toDF("k", "ts", "_k")
+    val out = AsOfJoin.backward(lOdd, r, "k", "ts", "ts", "rid", Seq("v"))
+    assert(out.columns.toSeq == Seq("k", "ts", "_k", "asof"))
+    assert(out.head().getString(2) == "x")
+  }
 }

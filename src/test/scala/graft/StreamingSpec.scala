@@ -142,6 +142,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an event gap-behind the watermark cannot fail the query (late-row drop + timeout clamp)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.StampedEvent]
+    def ev(id: Long, uid: Long, minute: Long) = {
+      val sec = 86400L + minute * 60L
+      StreamingOps.StampedEvent(id, uid, new java.sql.Timestamp(sec * 1000L), sec * 1000000000L)
+    }
+    val q = StreamingOps.sessionizeStreamWithTimeout(
+      mem.toDS().withWatermark("ts", "10 minutes").as[StreamingOps.StampedEvent])
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // advance the watermark to ~minute 110 with user 2
+      mem.addData(ev(1, 2, 120))
+      q.processAllAvailable()
+      // user 3 arrives ONLY with an event from minute 0 — far gap-behind
+      // the watermark. On this Spark version the exec drops the late row
+      // before the state function (verified: no session ever forms); the
+      // setTimeoutTimestamp clamp to watermark+1 is the second line of
+      // defense for paths/versions where a late row DOES reach the
+      // function and last+gap would land before the watermark (Spark
+      // rejects such a timeout by failing the whole query).
+      mem.addData(ev(2, 3, 0))
+      q.processAllAvailable()
+      mem.addData(ev(3, 2, 121))
+      q.processAllAvailable()
+      mem.addData(ev(4, 2, 122))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+      val out = spark.table("sess_late").as[StreamingOps.SessionOut].collect()
+      assert(!out.exists(_.user_id == 3),
+        s"the late row must have been dropped, got ${out.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases attributed to in-horizon clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
