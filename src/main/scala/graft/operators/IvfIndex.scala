@@ -145,7 +145,7 @@ final class DiskIvfIndex(
       .select(col("qid"), col("qvec").cast("array<double>").as("qv"))
       .select(col("qid"), col("qv"),
         explode(KMeans.probeCells(col("qv"), centroids, nprobe)).as("cell"))
-    val probedRows = probedPlan.collect()
+    val probedRows = Similarity.collectProbeBatch(probedPlan, "DiskIvfIndex.search")
     val probeSet = probedRows.map(_.getAs[Int]("cell")).distinct
     val probed = spark.createDataFrame(
       java.util.Arrays.asList(probedRows: _*), probedPlan.schema)
@@ -201,7 +201,8 @@ final class DiskIvfIndex(
         col("filter"), col("top_k").cast("int").as("top_k"))
       .select(col("qid"), col("qv"), col("filter"), col("top_k"),
         explode(KMeans.probeCells(col("qv"), centroids, nprobe)).as("cell"))
-    val probedRows = probedPlan.collect()
+    val probedRows =
+      Similarity.collectProbeBatch(probedPlan, "DiskIvfIndex.searchFiltered")
     val probeSet = probedRows.map(_.getAs[Int]("cell")).distinct
     val probed = spark.createDataFrame(
       java.util.Arrays.asList(probedRows: _*), probedPlan.schema)

@@ -120,7 +120,8 @@ final class DiskIvfPqIndex(
       .select(col("qid"), col("qvec").cast("array<double>").as("qv"))
       .select(col("qid"), col("qv"),
         explode(KMeans.probeCells(col("qv"), codebooks.centroids, nprobe)).as("cell"))
-    val probedRows = probedPlan.collect()
+    val probedRows =
+      Similarity.collectProbeBatch(probedPlan, "DiskIvfPqIndex.search")
     val probeSet = probedRows.map(_.getAs[Int]("cell")).distinct
     val centLit = typedlit(codebooks.centroids.map(_.toSeq).toSeq)
     // ADC lookup tables ride the broadcast side: per (query, cell) the
@@ -213,7 +214,8 @@ final class DiskIvfPqIndex(
         col("filter"), col("top_k").cast("int").as("top_k"))
       .select(col("qid"), col("qv"), col("filter"), col("top_k"),
         explode(KMeans.probeCells(col("qv"), codebooks.centroids, nprobe)).as("cell"))
-    val probedRows = probedPlan.collect()
+    val probedRows =
+      Similarity.collectProbeBatch(probedPlan, "DiskIvfPqIndex.searchFiltered")
     val probeSet = probedRows.map(_.getAs[Int]("cell")).distinct
     val centLit = typedlit(codebooks.centroids.map(_.toSeq).toSeq)
     // same ADC-LUT broadcast shape as [[search]]: coarse term + m×k table

@@ -65,6 +65,30 @@ object Similarity {
     k.intValue()
   }
 
+  /** Spark-conf key bounding how many probed query rows a disk-index
+    * search may collect to the driver (default 2^22 ≈ 4M rows). */
+  val MaxProbeRowsConf = "graft.search.maxProbeRows"
+  private val MaxProbeRowsDefault = 1 << 22
+
+  /** Driver-bounded collect of a probed query batch. The disk-index
+    * searches fold `queries × nprobe` rows into the plan (partition
+    * filter + broadcast side) — driver-sized for every sane serving
+    * batch, but an accidental corpus-as-queries call must fail LOUDLY at
+    * the cap instead of OOMing the driver. `take(cap + 1)` never fetches
+    * more than the cap needs to prove the violation.
+    */
+  private[operators] def collectProbeBatch(
+      probedPlan: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+    val cap = probedPlan.sparkSession.conf
+      .get(MaxProbeRowsConf, MaxProbeRowsDefault.toString).toInt
+    val rows = probedPlan.take(cap + 1)
+    require(rows.length <= cap,
+      s"$what produced more than $cap probed rows (queries × nprobe) — " +
+        s"the query batch must be driver-sized; split the batch or raise " +
+        s"$MaxProbeRowsConf")
+    rows
+  }
+
   /** Expects `queries(qid, qvec)` and `candidates(nid, nvec)`.
     * Returns `(qid, nid, score, rnk)`, `rnk <= k`, deterministic tiebreak
     * on `nid`. Window formulation — the spec cross-check for the heap
@@ -80,6 +104,23 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), round(col("score_raw"), 4).as("score"), col("rnk"))
+  }
+
+  /** Exact inner-product (MIPS) top-k — the brute-force reference for the
+    * IVF-PQ family, whose ADC scores approximate the INNER product (the
+    * Jégou et al. formulation), not the cosine: measuring PQ recall
+    * against a cosine reference would conflate metric choice with index
+    * error. Same plan shape as [[bruteForceTopKHeap]] (broadcast queries ×
+    * codegen dot × bounded-heap selection).
+    */
+  def bruteForceTopKDot(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("qvec").cast("array<double>").as("qv")))
+    val scored = candidates
+      .select(col("nid"), col("nvec").cast("array<double>").as("v"))
+      .crossJoin(q)
+      .select(col("qid"), col("nid"),
+        GraftFunctions.vecDot(col("qv"), col("v")).as("score_raw"))
+    heapSelect(scored, k)
   }
 
   /** Same contract as [[bruteForceTopK]], selected by the bounded heap. */

@@ -283,6 +283,27 @@ class SearchSelectionSpec extends SparkSpec {
       (0L until 3L).forall(r => comp3(id + r * shift) == c) })
   }
 
+  test("semDeDupGroups: the distinct-ratio probe skips the collapse without changing results") {
+    // emb is all-distinct, so the default ratio (0.95) takes the skip path;
+    // collapseSkipRatio = 2.0 forces the collapse. Same corpus, same
+    // clusters, same captured centroids — the skip is a pure cost cut.
+    val (skipped, cbSkip) = Dedup.semDeDupGroups(emb, col("vec_id"), col("embedding"),
+      threshold = 0.3, nlist = 8, nprobe = 2, iters = 3, pointerHalving = true)
+    val (collapsed, cbColl) = Dedup.semDeDupGroups(emb, col("vec_id"), col("embedding"),
+      threshold = 0.3, nlist = 8, nprobe = 2, iters = 3, pointerHalving = true,
+      collapseSkipRatio = 2.0)
+    assert(cbSkip.flatten.toSeq == cbColl.flatten.toSeq,
+      "reps == corpus on distinct vectors, so both paths train identically")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(rows(skipped) == rows(collapsed))
+    // the skip path's plan has no member-collapse aggregate: exactly one
+    // xxhash64 site (the ratio probe), not the groupBy(k) + re-attach join
+    val skipPlan = skipped.queryExecution.optimizedPlan.toString
+    assert(!skipPlan.contains("min_by"),
+      s"skip path must not elect representatives:\n$skipPlan")
+  }
+
   test("cosine near-dup block guard drops oversized blocks, keeps the rest") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>

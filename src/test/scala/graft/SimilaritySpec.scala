@@ -161,4 +161,44 @@ class SimilaritySpec extends SparkSpec {
       qs.withColumn("top_k", lit(1000)), meta)).map(t => (t._1, t._2))
     assert(sub.subsetOf(bruteAll), "narrowed probe returned a filtered-out candidate")
   }
+
+  test("disk-index probe collect fails loudly above the configured cap") {
+    val idx = graft.operators.IvfIndex.buildTrained(cands, nlist = 4, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-capivf").toString
+    val disk = idx.save(spark, tmp)
+    idx.unpersist()
+    spark.conf.set(Similarity.MaxProbeRowsConf, "3")
+    try {
+      // 5 queries × nprobe 2 = 10 probed rows > cap 3: must fail with the
+      // guard's message, never OOM-collect silently
+      val e = intercept[IllegalArgumentException] {
+        disk.search(queries, k = 3, nprobe = 2).collect()
+      }
+      assert(e.getMessage.contains("graft.search.maxProbeRows"))
+    } finally spark.conf.unset(Similarity.MaxProbeRowsConf)
+    // below the cap: identical results with or without a (large) cap set
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val unguarded = rows(disk.search(queries, k = 3, nprobe = 2))
+    spark.conf.set(Similarity.MaxProbeRowsConf, "100")
+    try assert(rows(disk.search(queries, k = 3, nprobe = 2)) == unguarded)
+    finally spark.conf.unset(Similarity.MaxProbeRowsConf)
+  }
+
+  test("recallAtK: duplicate rows in either input cannot inflate the figure") {
+    import spark.implicits._
+    val ref = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("qid", "nid")
+    val cand = Seq((1L, 10L), (1L, 99L), (2L, 20L)).toDF("qid", "nid")
+    def recalls(r: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      graft.operators.Evaluation.recallAtK(r, c)
+        .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3))))
+        .toMap
+    val clean = recalls(ref, cand)
+    assert(clean(1L) == ((3L, 1L, 0.3333)) && clean(2L) == ((1L, 1L, 1.0)))
+    // a duplicate-emitting candidate (the ANN bug class this harness
+    // exists to catch) must not multiply the hit join: same figures
+    assert(recalls(ref, cand.unionAll(cand)) == clean)
+    // and a duplicated reference must not double n_ref
+    assert(recalls(ref.unionAll(ref), cand) == clean)
+  }
 }
