@@ -67,6 +67,17 @@ object SparkEntry {
     */
   @volatile private[graft] var q83Codebooks: Option[graft.operators.IvfPq.Codebooks] = None
 
+  /** IVF-PQ codebooks trained by the last q128 run (the recall harness's
+    * own PQ arms replay from these). */
+  @volatile private[graft] var q128Pq: Option[graft.operators.IvfPq.Codebooks] = None
+
+  /** Centroids of q128's chosen OPERATING-POINT index (nlist=32) —
+    * captured separately from the nlist=8 sweep index. */
+  @volatile private[graft] var q128CentroidsOp: Option[Array[Array[Double]]] = None
+
+  /** Centroids trained by the last q138 (filtered-recall) run. */
+  @volatile private[graft] var q138Centroids: Option[Array[Array[Double]]] = None
+
   private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     lastRunCtx = Some((spark, dir))
     spark.read.parquet(s"$dir/$name.parquet")
@@ -1524,6 +1535,32 @@ object SparkEntry {
       graft.operators.Profiling.hourlyCategoryDrift(
         events(s, dir), col("ts"), col("event_type"))),
 
+    // q119's STREAMING twin run to completion and oracle-checked — the
+    // spec-only stream≡batch trust converted into a CORRECTNESS row. The
+    // incremental drift monitor emits one row per CLOSED hour pair
+    // (Append-mode watermark semantics), so the expected frame is q119's
+    // result restricted to hours the final watermark (max ts − 2 h) has
+    // passed — trailing in-horizon hours are still open, exactly as on a
+    // live stream. Brace-glob: see q26.
+    "q139_stream_drift" -> ((s, dir) =>
+      graft.streaming.StreamingOps.hourlyDriftStreaming(
+        s, s"$dir/{events}.parquet")),
+
+    // q112's STREAMING twin: the frozen-LM ingest gate (train once on
+    // even ids, stream-score odd ids under the persisted model, keep
+    // docs with logprob ≥ −4.3) run to completion against a file stream
+    // and oracle-checked row for row — stateless projection, so stream
+    // output ≡ batch score + filter deterministically.
+    "q140_stream_lm_gate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q140-lm-").toString
+      graft.operators.LmIndex.save(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"),
+        tmp, vocabSize = 30, bigramTable = 200)
+      graft.streaming.StreamingOps.lmGateStreaming(
+        s, s"$dir/{documents}.parquet", tmp, threshold = -4.3)
+    }),
+
     // Filter-aware posting-list sparse search: the reference query row's
     // complete sparse surface (sparse_vector + filter + top_k together,
     // cfg.py:30-36) through the inverted-index plan — each query's JSON
@@ -1762,11 +1799,18 @@ object SparkEntry {
         docs, col("doc_id"), toks, col("lang"), capacity = 96)
     }),
 
-    // ANN recall harness: the recall@10 of the sign-hash IVF paths
-    // (q24's single probe, q40's multiprobe) measured against the exact
-    // brute-force reference on the same query batch — the continuous
-    // measurement that justifies every probe/cell parameter. Result
-    // tables are batch×k rows, so evaluation never touches the corpus.
+    // ANN recall harness — the recall/cost CURVE, not a single default:
+    // recall@10 of every approximate family measured against the exact
+    // reference on the same query batch. The trained-IVF arms sweep
+    // nprobe 1→8 (np8 = full probe = the recall-1.0 sanity anchor), so
+    // the serving operating point is CHOSEN from the curve (recall vs
+    // scanned fraction ~ nprobe/nlist) rather than defaulted. The IVF-PQ
+    // arms (ADC and exact-refined) measure against the exact INNER-
+    // PRODUCT reference — ADC approximates the dot, and measuring it
+    // against a cosine reference would conflate metric choice with index
+    // error; their gap to the same-nprobe trained-IVF arm isolates the
+    // quantization loss that residual-refine then repairs. Result tables
+    // are batch×k rows, so evaluation never touches the corpus.
     "q128_ann_recall" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 10)
@@ -1774,18 +1818,67 @@ object SparkEntry {
       val cs = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
       val ref = graft.operators.Similarity.bruteForceTopK(qs, cs, k = 10)
-      val one = graft.operators.Evaluation.recallAtK(
-          ref, graft.operators.Similarity.ivfTopK(qs, cs, k = 10))
-        .withColumn("method", lit("ivf1"))
-      val multi = graft.operators.Evaluation.recallAtK(
-          ref, graft.operators.Similarity.ivfTopKMultiProbe(qs, cs, k = 10))
-        .withColumn("method", lit("ivf_multiprobe"))
+      def arm(name: String, reference: DataFrame, cand: DataFrame) =
+        graft.operators.Evaluation.recallAtK(reference, cand)
+          .withColumn("method", lit(name))
+      val one = arm("ivf1", ref,
+        graft.operators.Similarity.ivfTopK(qs, cs, k = 10))
+      val multi = arm("ivf_multiprobe", ref,
+        graft.operators.Similarity.ivfTopKMultiProbe(qs, cs, k = 10))
       val idx = graft.operators.IvfIndex.buildTrained(cs, nlist = 8, iters = 3)
       q128Centroids = Some(idx.centroids)
-      val trained = graft.operators.Evaluation.recallAtK(
-          ref, idx.search(qs, k = 10, nprobe = 3))
-        .withColumn("method", lit("ivf_trained"))
-      one.unionByName(multi).unionByName(trained)
+      val trained = arm("ivf_trained", ref, idx.search(qs, k = 10, nprobe = 3))
+      val sweep = Seq(1, 2, 5, 8).map(np =>
+        arm(s"ivf_trained_np$np", ref, idx.search(qs, k = 10, nprobe = np)))
+      // The CHOSEN operating point from the recorded recall/cost sweep
+      // (tools/RecallProbe over (nlist, nprobe) grids; table in
+      // BASELINE.md): nlist=32 / nprobe=16 — recall@10 0.84 at 0.53×
+      // brute-force scan cost on this corpus. These embeddings are
+      // weakly clustered (recall ≈ scan fraction + ~0.2), which bounds
+      // every IVF family here; clustered production embeddings sit far
+      // above this curve at the same scan fraction.
+      val idxOp = graft.operators.IvfIndex.buildTrained(cs, nlist = 32, iters = 3)
+      q128CentroidsOp = Some(idxOp.centroids)
+      val op = arm("ivf_trained_op", ref, idxOp.search(qs, k = 10, nprobe = 16))
+      val refDot = graft.operators.Similarity.bruteForceTopKDot(qs, cs, k = 10)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q128-pq-").toString
+      val pq = graft.operators.IvfPq.buildTrained(
+        s, cs, tmp, dim = dim, nlist = 8, m = 4, k = 16, iters = 3)
+      q128Pq = Some(pq.codebooks)
+      val adc = arm("ivfpq_adc", refDot, pq.search(qs, k = 10, nprobe = 3))
+      val refined = arm("ivfpq_refine", refDot,
+        pq.searchRefined(qs, k = 10, nprobe = 3, rerank = 50))
+      (Seq(one, multi, trained) ++ sweep ++ Seq(op, adc, refined))
+        .reduce(_ unionByName _)
+    }),
+
+    // Filter-aware recall measurement: q128's discipline applied to the
+    // FILTERED search path (q100's semantic) — a metadata filter changes
+    // per-cell selectivity, so unfiltered recall curves do not transfer;
+    // this measures recall@10 of DiskIvfIndex.searchFiltered per nprobe
+    // against the exact filtered brute force on the same query batch.
+    "q138_filtered_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+          to_json(struct(col("label"))).as("metadata"))
+      val idx = graft.operators.IvfIndex.buildTrained(cands, nlist = 8, iters = 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q138-ivf-").toString
+      val disk = idx.save(s, tmp)
+      idx.unpersist()
+      q138Centroids = Some(disk.centroids)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .withColumn("filter",
+          when(col("qid") % 2 === 0, lit("""{"label": {"$lt": 5}}"""))
+            .otherwise(lit("""{"label": {"$gte": 5}}""")))
+        .withColumn("top_k", lit(10).cast("int"))
+      val ref = graft.operators.Similarity.filteredTopKPerQuery(qs, cands)
+      Seq(1, 2, 3, 5, 8).map(np =>
+          graft.operators.Evaluation.recallAtK(ref, disk.searchFiltered(qs, nprobe = np))
+            .withColumn("nprobe", lit(np)))
+        .reduce(_ unionByName _)
     }),
 
     // Water-filling budget allocation: cap every source at the common
@@ -1843,12 +1936,16 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val tIn = java.nio.file.Files.createTempDirectory("graft-q124-in-").toString
       val tGen = java.nio.file.Files.createTempDirectory("graft-q124-gen-").toString
-      graft.operators.LmIndex.save(
+      // Sampled training is the DEFAULT posture: both LMs read a
+      // deterministic 1/4 md5-sample of their training corpora (at 100 TB
+      // the models train on reference samples; scoring is the full pass),
+      // and the oracle replays the same WHERE filter in its training CTEs.
+      graft.operators.LmIndex.saveSampled(
         docs.filter(col("source") === "src0"), col("doc_id"), col("text"),
-        tIn, vocabSize = 30, bigramTable = 200)
-      graft.operators.LmIndex.save(
+        tIn, sampleSixteenths = 4, vocabSize = 30, bigramTable = 200)
+      graft.operators.LmIndex.saveSampled(
         docs, col("doc_id"), col("text"),
-        tGen, vocabSize = 30, bigramTable = 200)
+        tGen, sampleSixteenths = 4, vocabSize = 30, bigramTable = 200)
       val batch = docs.filter(col("source") =!= "src0")
       val si = graft.operators.LmIndex.open(s, tIn)
         .score(batch, col("doc_id"), col("text"))
@@ -1973,6 +2070,7 @@ object SparkEntry {
     ("q122_tokenizer_index" ->
       bpeOracleSql(" WHERE doc_id % 2 = 0", " WHERE doc_id % 2 = 1", 24, 256)) +
     ("q128_ann_recall" -> q128OracleSql) +
+    ("q138_filtered_recall" -> q138OracleSql) +
     ("q129_bpe_pack" -> q129OracleSql) +
     ("q137_pagerank" -> q137OracleSql)
 
@@ -4365,6 +4463,81 @@ object SparkEntry {
         |FROM j JOIN ok ON j.h = ok.h
         |GROUP BY j.h""".stripMargin,
 
+    // q119's drift replay restricted to CLOSED hours: Append mode emits
+    // an hour's window once the watermark (max event time at millisecond
+    // resolution − 2 h) passes the window END, so the expected stream
+    // output is exactly the batch result for hours with
+    // end_ms <= max_ms − 2h; the predecessor hour is then closed too.
+    "q139_stream_drift" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS h, event_type AS cat, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |wm AS (SELECT epoch_ms(MAX(ts)) - 7200000 AS wm_ms FROM events),
+        |tot AS (SELECT h, SUM(cnt) AS tot FROM c GROUP BY h),
+        |p AS (
+        |  SELECT c.h, c.cat, CAST(c.cnt AS DOUBLE) / tot.tot AS p
+        |  FROM c JOIN tot ON c.h = tot.h),
+        |prev AS (
+        |  SELECT h + INTERVAL 1 HOUR AS h, cat, p AS p_prev FROM p),
+        |j AS (
+        |  SELECT COALESCE(p.h, prev.h) AS h,
+        |    COALESCE(p.p, 0.0) AS p, COALESCE(prev.p_prev, 0.0) AS p_prev
+        |  FROM p FULL OUTER JOIN prev ON p.h = prev.h AND p.cat = prev.cat),
+        |ok AS (
+        |  SELECT t1.h FROM tot t1
+        |  JOIN tot t0 ON t0.h + INTERVAL 1 HOUR = t1.h
+        |  CROSS JOIN wm
+        |  WHERE epoch_ms(t1.h + INTERVAL 1 HOUR) <= wm.wm_ms)
+        |SELECT strftime(j.h, '%Y-%m-%d %H:00') AS hour,
+        |  ROUND(SUM(ABS(p - p_prev)) / 2.0, 6) + 0.0 AS tv_drift
+        |FROM j JOIN ok ON j.h = ok.h
+        |GROUP BY j.h""".stripMargin,
+
+    // q112's scoring replay gated at logprob >= -4.3 (the stream twin
+    // filters under the frozen model; rounding applied before the gate
+    // on both sides).
+    "q140_stream_lm_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks WHERE doc_id % 2 = 0),
+        |cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        |vocab AS (
+        |  SELECT term, c FROM (
+        |    SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rn FROM cnt)
+        |  WHERE rn <= 30),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cnt),
+        |bgtr AS (
+        |  SELECT ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+        |  WHERE doc_id % 2 = 0),
+        |bcnt AS (SELECT w1, w2, COUNT(*) AS c FROM bgtr GROUP BY w1, w2),
+        |btab AS (
+        |  SELECT w1, w2, c FROM (
+        |    SELECT w1, w2, c,
+        |      ROW_NUMBER() OVER (ORDER BY c DESC, w1 || ' ' || w2 ASC) AS rn
+        |    FROM bcnt)
+        |  WHERE rn <= 200),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+        |  WHERE doc_id % 2 = 1),
+        |p AS (
+        |  SELECT bg.doc_id,
+        |    0.7 * least(1.0, COALESCE(CAST(bt.c AS DOUBLE), 0.0)
+        |        / COALESCE(CAST(v1.c AS DOUBLE), 0.5))
+        |    + (1.0 - 0.7) * (COALESCE(CAST(v2.c AS DOUBLE), 0.5) / n_total) AS prob
+        |  FROM bg
+        |  LEFT JOIN btab bt ON bg.w1 = bt.w1 AND bg.w2 = bt.w2
+        |  LEFT JOIN vocab v1 ON bg.w1 = v1.term
+        |  LEFT JOIN vocab v2 ON bg.w2 = v2.term
+        |  CROSS JOIN tot)
+        |SELECT doc_id, n_bigrams, logprob FROM (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    ROUND(AVG(ln(prob)), 4) + 0.0 AS logprob
+        |  FROM p GROUP BY doc_id)
+        |WHERE logprob >= -4.3""".stripMargin,
+
     // Same md5 digit split: shard from digits 1-3 mod 8, rank by digits
     // 4-15 within the shard.
     "q118_epoch_shuffle" ->
@@ -4568,9 +4741,10 @@ object SparkEntry {
     // keep gate replayed with the engine's exact rounding convention.
     "q124_perplexity_ratio" ->
       """WITH toks AS (
-        |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts
+        |  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS ts,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS in_sample
         |  FROM documents),
-        |toki AS (SELECT unnest(ts) AS term FROM toks WHERE source = 'src0'),
+        |toki AS (SELECT unnest(ts) AS term FROM toks WHERE source = 'src0' AND in_sample),
         |cnti AS (SELECT term, COUNT(*) AS c FROM toki GROUP BY term),
         |vocabi AS (
         |  SELECT term, c FROM (
@@ -4580,7 +4754,7 @@ object SparkEntry {
         |bgtri AS (
         |  SELECT ts[i] AS w1, ts[i+1] AS w2
         |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
-        |  WHERE source = 'src0'),
+        |  WHERE source = 'src0' AND in_sample),
         |bcnti AS (SELECT w1, w2, COUNT(*) AS c FROM bgtri GROUP BY w1, w2),
         |btabi AS (
         |  SELECT w1, w2, c FROM (
@@ -4588,7 +4762,7 @@ object SparkEntry {
         |      ROW_NUMBER() OVER (ORDER BY c DESC, w1 || ' ' || w2 ASC) AS rn
         |    FROM bcnti)
         |  WHERE rn <= 200),
-        |tokg AS (SELECT unnest(ts) AS term FROM toks),
+        |tokg AS (SELECT unnest(ts) AS term FROM toks WHERE in_sample),
         |cntg AS (SELECT term, COUNT(*) AS c FROM tokg GROUP BY term),
         |vocabg AS (
         |  SELECT term, c FROM (
@@ -4597,7 +4771,8 @@ object SparkEntry {
         |totg AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cntg),
         |bgtrg AS (
         |  SELECT ts[i] AS w1, ts[i+1] AS w2
-        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)),
+        |  FROM toks, unnest(range(1, greatest(len(ts), 1))) AS u(i)
+        |  WHERE in_sample),
         |bcntg AS (SELECT w1, w2, COUNT(*) AS c FROM bgtrg GROUP BY w1, w2),
         |btabg AS (
         |  SELECT w1, w2, c FROM (
@@ -4692,28 +4867,67 @@ object SparkEntry {
 
   )
 
-  /** q128's oracle: q15's brute reference and the three ANN result sets —
-    * q24's hash cell, q40's multiprobe, and the TRAINED index replayed
-    * from the captured-run centroids (q53's rationale: k-means sums are
-    * FP-order dependent, so a retrain is not guaranteed to bit-match) —
-    * each joined per query for the hit count. */
-  private def q128OracleSql: String = q128Centroids match {
-    case None => unavailableOracle
-    case Some(cb) =>
-      s"""WITH q AS (
+  /** q128's oracle: exact cosine AND exact dot references, then every ANN
+    * result set replayed independently — q24's hash cell, q40's
+    * multiprobe, the TRAINED index at each swept nprobe (captured-run
+    * centroids; q53's rationale: k-means sums are FP-order dependent, so
+    * a retrain is not guaranteed to bit-match), and the IVF-PQ ADC /
+    * refined arms from the captured coarse+PQ codebooks (q47/q83's replay
+    * chain) — each joined per query for the hit count. Heavy stages are
+    * MATERIALIZED: the arm unions reference them repeatedly and DuckDB
+    * would otherwise inline (and re-run) each use. */
+  private def q128OracleSql: String = (q128Centroids, q128Pq, q128CentroidsOp) match {
+    case (Some(cb), Some(cbs), Some(cbOp)) =>
+      val pq = cbs.pq
+      val sd = pq.subDim
+      val dim = sd * pq.m
+      val pqVals = (for {
+        s <- pq.codebooks.indices
+        c <- pq.codebooks(s).indices
+      } yield s"($s, $c, [${pq.codebooks(s)(c).mkString(", ")}]::DOUBLE[])")
+        .mkString(", ")
+      def recallArm(method: String, cte: String, ref: String): String =
+        s"""SELECT '$method' AS method, $ref.qid,
+           |  CAST(COUNT(*) AS BIGINT) AS n_ref,
+           |  CAST(SUM(CASE WHEN $cte.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  ROUND(CAST(SUM(CASE WHEN $cte.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*), 4) + 0.0 AS recall
+           |FROM $ref LEFT JOIN $cte ON $ref.qid = $cte.qid AND $ref.nid = $cte.nid
+           |GROUP BY $ref.qid""".stripMargin
+      val sweepCtes = Seq(1, 2, 3, 5, 8).map(np =>
+        s"""it_np$np AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+           |    FROM probedall JOIN assigned USING (tcell) WHERE pr <= $np)
+           |  WHERE rnk <= 10)""".stripMargin).mkString(",\n")
+      val arms = (Seq(
+        ("ivf1", "i1", "b"), ("ivf_multiprobe", "im", "b"),
+        ("ivf_trained", "it_np3", "b"), ("ivf_trained_np1", "it_np1", "b"),
+        ("ivf_trained_np2", "it_np2", "b"), ("ivf_trained_np5", "it_np5", "b"),
+        ("ivf_trained_np8", "it_np8", "b"), ("ivf_trained_op", "it_op", "b"),
+        ("ivfpq_adc", "padc", "bdot"), ("ivfpq_refine", "pref", "bdot")))
+        .map { case (m, cte, ref) => recallArm(m, cte, ref) }
+        .mkString("\nUNION ALL\n")
+      s"""WITH q AS MATERIALIZED (
         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
         |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
         |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell0
         |  FROM embeddings WHERE vec_id < 10),
-        |c AS (
+        |c AS MATERIALIZED (
         |  SELECT vec_id AS nid, embedding::DOUBLE[] AS v,
         |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
         |     + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS cell
         |  FROM embeddings WHERE vec_id >= 10),
-        |b AS (
+        |b AS MATERIALIZED (
         |  SELECT qid, nid FROM (
         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+        |    FROM q CROSS JOIN c) WHERE rnk <= 10),
+        |bdot AS MATERIALIZED (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY list_dot_product(qv, v) DESC, nid ASC) AS rnk
         |    FROM q CROSS JOIN c) WHERE rnk <= 10),
         |i1 AS (
         |  SELECT qid, nid FROM (
@@ -4728,45 +4942,144 @@ object SparkEntry {
         |      (cell0, xor(cell0, 1), xor(cell0, 2), xor(cell0, 4), xor(cell0, 8)))
         |  WHERE rnk <= 10),
         |cent(tcell, cvec) AS (VALUES ${centroidValues(cb)}),
-        |assigned AS (
+        |assigned AS MATERIALIZED (
         |  SELECT nid, v,
         |    (SELECT tcell FROM cent
         |     ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
         |       tcell ASC LIMIT 1) AS tcell
         |  FROM c),
-        |probed AS (
-        |  SELECT qid, qv, tcell FROM (
+        |probedall AS MATERIALIZED (
+        |  SELECT qid, qv, tcell, pr FROM (
         |    SELECT qid, qv, tcell, ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
         |        tcell ASC) AS pr
-        |    FROM q CROSS JOIN cent) WHERE pr <= 3),
-        |it AS (
+        |    FROM q CROSS JOIN cent)),
+        |$sweepCtes,
+        |copc(ocell, ocvec) AS (VALUES ${centroidValues(cbOp)}),
+        |oassigned AS MATERIALIZED (
+        |  SELECT nid, v,
+        |    (SELECT ocell FROM copc
+        |     ORDER BY list_dot_product(ocvec, ocvec) - 2 * list_dot_product(v, ocvec) ASC,
+        |       ocell ASC LIMIT 1) AS ocell
+        |  FROM c),
+        |oprobed AS MATERIALIZED (
+        |  SELECT qid, qv, ocell FROM (
+        |    SELECT qid, qv, ocell, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY list_dot_product(ocvec, ocvec) - 2 * list_dot_product(qv, ocvec) ASC,
+        |        ocell ASC) AS opr
+        |    FROM q CROSS JOIN copc) WHERE opr <= 16),
+        |it_op AS (
         |  SELECT qid, nid FROM (
         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
         |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
-        |    FROM probed JOIN assigned USING (tcell)) WHERE rnk <= 10)
-        |SELECT 'ivf1' AS method, b.qid,
-        |  CAST(COUNT(*) AS BIGINT) AS n_ref,
-        |  CAST(SUM(CASE WHEN i1.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        |  ROUND(CAST(SUM(CASE WHEN i1.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / COUNT(*), 4) + 0.0 AS recall
-        |FROM b LEFT JOIN i1 ON b.qid = i1.qid AND b.nid = i1.nid
-        |GROUP BY b.qid
-        |UNION ALL
-        |SELECT 'ivf_multiprobe' AS method, b.qid,
-        |  CAST(COUNT(*) AS BIGINT) AS n_ref,
-        |  CAST(SUM(CASE WHEN im.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        |  ROUND(CAST(SUM(CASE WHEN im.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / COUNT(*), 4) + 0.0 AS recall
-        |FROM b LEFT JOIN im ON b.qid = im.qid AND b.nid = im.nid
-        |GROUP BY b.qid
-        |UNION ALL
-        |SELECT 'ivf_trained' AS method, b.qid,
-        |  CAST(COUNT(*) AS BIGINT) AS n_ref,
-        |  CAST(SUM(CASE WHEN it.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        |  ROUND(CAST(SUM(CASE WHEN it.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / COUNT(*), 4) + 0.0 AS recall
-        |FROM b LEFT JOIN it ON b.qid = it.qid AND b.nid = it.nid
-        |GROUP BY b.qid""".stripMargin
+        |    FROM oprobed JOIN oassigned USING (ocell)) WHERE rnk <= 10),
+        |pcent(pcell, pcvec) AS (VALUES ${centroidValues(cbs.centroids)}),
+        |pqcb(sub, pcode, pvec) AS (VALUES $pqVals),
+        |passigned AS MATERIALIZED (
+        |  SELECT nid, v,
+        |    (SELECT pcell FROM pcent
+        |     ORDER BY list_dot_product(pcvec, pcvec) - 2 * list_dot_product(v, pcvec) ASC,
+        |       pcell ASC LIMIT 1) AS pcell
+        |  FROM c),
+        |presid AS (
+        |  SELECT a.nid, a.pcell, [a.v[i] - ct.pcvec[i] FOR i IN range(1, ${dim + 1})] AS rv0
+        |  FROM passigned a JOIN pcent ct USING (pcell)),
+        |psubv AS (
+        |  SELECT nid, pcell, s.sub, rv0[s.sub*$sd + 1 : s.sub*$sd + $sd] AS sv
+        |  FROM presid CROSS JOIN (SELECT unnest(range(${pq.m})) AS sub) s),
+        |pcodes AS (
+        |  SELECT nid, pcell, sub,
+        |    (SELECT pcode FROM pqcb WHERE pqcb.sub = psubv.sub
+        |     ORDER BY list_dot_product(pvec, pvec) - 2 * list_dot_product(sv, pvec) ASC,
+        |       pcode ASC LIMIT 1) AS code
+        |  FROM psubv),
+        |precon AS MATERIALIZED (
+        |  SELECT nid, ANY_VALUE(pcell) AS pcell,
+        |    flatten(list(pvec ORDER BY pcodes.sub ASC)) AS rv
+        |  FROM pcodes JOIN pqcb ON pqcb.sub = pcodes.sub AND pqcb.pcode = pcodes.code
+        |  GROUP BY nid),
+        |pprobed AS (
+        |  SELECT qid, qv, pcell FROM (
+        |    SELECT qid, qv, pcell, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY list_dot_product(pcvec, pcvec) - 2 * list_dot_product(qv, pcvec) ASC,
+        |        pcell ASC) AS ppr
+        |    FROM q CROSS JOIN pcent) WHERE ppr <= 3),
+        |padcscore AS MATERIALIZED (
+        |  SELECT p.qid, r.nid,
+        |    list_dot_product(p.qv, ct.pcvec) + ${adcFineTerms("p.qv", "r.rv", pq.m, sd)} AS score
+        |  FROM pprobed p JOIN precon r USING (pcell) JOIN pcent ct ON ct.pcell = p.pcell),
+        |padc AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, nid ASC) AS rnk FROM padcscore)
+        |  WHERE rnk <= 10),
+        |psurv AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, nid ASC) AS ar FROM padcscore)
+        |  WHERE ar <= 50),
+        |pref AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT sv.qid, sv.nid, ROW_NUMBER() OVER (PARTITION BY sv.qid
+        |      ORDER BY list_dot_product(q.qv, c.v) DESC, sv.nid ASC) AS rnk
+        |    FROM psurv sv JOIN q USING (qid) JOIN c ON c.nid = sv.nid)
+        |  WHERE rnk <= 10)
+        |$arms""".stripMargin
+    case _ => unavailableOracle
+  }
+
+  /** q138's oracle: the filtered brute-force reference (per-query label
+    * predicate replayed as a CASE, q100's pattern) against the
+    * searchFiltered result replayed per swept nprobe from the captured
+    * centroids — filter applied inside the probed candidate set, exactly
+    * where the engine applies it. */
+  private def q138OracleSql: String = q138Centroids match {
+    case None => unavailableOracle
+    case Some(cb) =>
+      def armSql(np: Int): String =
+        s"""SELECT $np AS nprobe, bf.qid,
+           |  CAST(COUNT(*) AS BIGINT) AS n_ref,
+           |  CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  ROUND(CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*), 4) + 0.0 AS recall
+           |FROM bf LEFT JOIN arm_np$np a ON bf.qid = a.qid AND bf.nid = a.nid
+           |GROUP BY bf.qid""".stripMargin
+      val armCtes = Seq(1, 2, 3, 5, 8).map(np =>
+        s"""arm_np$np AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+           |    FROM probedall JOIN assigned USING (tcell)
+           |    WHERE pr <= $np
+           |      AND CASE WHEN qid % 2 = 0 THEN label < 5 ELSE label >= 5 END)
+           |  WHERE rnk <= 10)""".stripMargin).mkString(",\n")
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS MATERIALIZED (
+         |  SELECT vec_id AS nid, embedding::DOUBLE[] AS v, label
+         |  FROM embeddings WHERE vec_id >= 10),
+         |bf AS MATERIALIZED (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+         |    FROM q CROSS JOIN c
+         |    WHERE CASE WHEN qid % 2 = 0 THEN label < 5 ELSE label >= 5 END)
+         |  WHERE rnk <= 10),
+         |cent(tcell, cvec) AS (VALUES ${centroidValues(cb)}),
+         |assigned AS MATERIALIZED (
+         |  SELECT nid, v, label,
+         |    (SELECT tcell FROM cent
+         |     ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
+         |       tcell ASC LIMIT 1) AS tcell
+         |  FROM c),
+         |probedall AS MATERIALIZED (
+         |  SELECT qid, qv, tcell, pr FROM (
+         |    SELECT qid, qv, tcell, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
+         |        tcell ASC) AS pr
+         |    FROM q CROSS JOIN cent)),
+         |$armCtes
+         |${Seq(1, 2, 3, 5, 8).map(armSql).mkString("\nUNION ALL\n")}""".stripMargin
   }
 }

@@ -90,6 +90,29 @@ object LmIndex {
     new DiskLmIndex(spark, dir, p)
   }
 
+  /** [[save]] over a hash-deterministic SAMPLE of the training corpus —
+    * the default posture at scale: an LM for perplexity filtering needs
+    * distributional counts, not the whole corpus, and training on 100 TB
+    * to score 100 TB doubles the pipeline for no quality gain. The
+    * sample is [[Sampling.md5Sample]] on the id (a pure scan filter:
+    * reproducible across engines/reruns/partitionings, and replayable by
+    * the DuckDB oracle as a WHERE clause), so "train on a 1/4 sample" is
+    * one argument, not a separate pipeline stage. `sampleSixteenths = 16`
+    * degenerates to full-corpus [[save]].
+    */
+  def saveSampled(
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      dir: String,
+      sampleSixteenths: Int,
+      vocabSize: Int = 50000,
+      bigramTable: Int = 200000,
+      lambda: Double = 0.7,
+      oovCount: Double = 0.5): DiskLmIndex =
+    save(Sampling.md5Sample(docs, idCol, sampleSixteenths), idCol, textCol,
+      dir, vocabSize, bigramTable, lambda, oovCount)
+
   def open(spark: SparkSession, dir: String): DiskLmIndex =
     new DiskLmIndex(spark, dir, readMeta(spark, dir))
 

@@ -469,6 +469,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(idx.params == LmIndex.open(spark, dir).params)
   }
 
+  test("LmIndex.saveSampled: frozen scores identical to training on the equivalent explicit sample") {
+    import graft.operators.{LmIndex, Sampling}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dirS = java.nio.file.Files.createTempDirectory("graft-lms").toString
+    val dirE = java.nio.file.Files.createTempDirectory("graft-lme").toString
+    LmIndex.saveSampled(docs, col("doc_id"), col("text"), dirS,
+      sampleSixteenths = 4, vocabSize = 30, bigramTable = 200)
+    LmIndex.save(Sampling.md5Sample(docs, col("doc_id"), 4),
+      col("doc_id"), col("text"), dirE, vocabSize = 30, bigramTable = 200)
+    assert(LmIndex.open(spark, dirS).params == LmIndex.open(spark, dirE).params)
+    def scores(d: String) = LmIndex.open(spark, d)
+      .score(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val s = scores(dirS)
+    assert(s == scores(dirE) && s.nonEmpty)
+    // the sample genuinely bound: a full-corpus model scores differently
+    val dirF = java.nio.file.Files.createTempDirectory("graft-lmf").toString
+    LmIndex.save(docs, col("doc_id"), col("text"), dirF,
+      vocabSize = 30, bigramTable = 200)
+    assert(scores(dirF) != s)
+    // sixteenths = 16 degenerates to full-corpus training
+    val dir16 = java.nio.file.Files.createTempDirectory("graft-lm16").toString
+    LmIndex.saveSampled(docs, col("doc_id"), col("text"), dir16,
+      sampleSixteenths = 16, vocabSize = 30, bigramTable = 200)
+    assert(scores(dir16) == scores(dirF))
+  }
+
   test("hourlyCategoryDrift: exact TV between consecutive hours, gaps and first hour excluded") {
     import java.sql.Timestamp
     def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-03-01 $h%02d:$m%02d:00")
@@ -584,6 +611,23 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("id", "b"), col("id"), col("b"))
       .collect().map(r => (r.getLong(2), r.getLong(4))).head
     assert(stats == ((0L, 64L)), s"got $stats")
+  }
+
+  test("ChunkStore: a pre-hash-key (v1) layout fails open() with a rebuild message") {
+    import graft.operators.ChunkStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-v1").toString
+    // simulate a store persisted by the old format: (c, clen) chunks table,
+    // metadata without a format field
+    Seq(("old chunk", 9L)).toDF("c", "clen")
+      .write.mode("overwrite").parquet(s"$dir/chunks")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "metadata.json"),
+      """{"window": 8, "divisor": 32}""".getBytes("UTF-8"))
+    // without the version gate this would open fine and then blow up at
+    // admit/append with a confusing missing-column error on `h`
+    val e = intercept[IllegalArgumentException](ChunkStore.open(spark, dir))
+    assert(e.getMessage.contains("format") && e.getMessage.contains("rebuild"),
+      s"got: ${e.getMessage}")
   }
 
   test("cdcChunks: rolling-hash boundaries, reconstruction, edit-survival, edge docs") {
