@@ -74,13 +74,20 @@ object Bench {
     }
     val probeAfter = schedProbeMs()
 
+    // Compact emission: the driver parses this line from a bounded capture
+    // tail, so per-query seconds are rounded to 3 decimals (raw doubles'
+    // 15-digit reprs overflowed the round-8 capture window → parsed:null)
+    // and the line is the only stdout this main produces.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val failed = results.collect { case (k, _, false) => k }
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) r3(v) else "-1") }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
       s""""failed":$failedJson,"sched_probe_ms":[$probeBefore,$probeAfter],"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -60,6 +60,26 @@ sf1 ran >40 minutes and died):
        closure), so the expected result is the base oracle SQL run
        verbatim over the replicated documents view, checking exact rank
        cuts and quantized keep thresholds at 10x cardinality/mass.
+  q135/q136/q137 (graph family over the label-blocked cosine graph):
+       replicas carry bit-identical vectors, so every replica PAIR of a
+       vertex is itself an edge (cosine(v,v)=1) — the sf1 graph is the
+       10x BLOW-UP of the base graph (each vertex becomes a 10-clique,
+       each base edge a complete bipartite K_{10,10}), NOT ten disjoint
+       copies. Closed forms per base vertex x with base degree d and
+       base triangle count t, for every replica x_r:
+         degree'(x_r) = 10d + 9
+         tri'(x_r)    = 100t + 135d + 36
+           (100 per base triangle; 45d same-neighbor replica pairs;
+            90d neighbor-replica x own-replica pairs; C(9,2)=36 own)
+         coeff'       = tri' / C(degree', 2)
+       PageRank is replica-symmetric, so the integer fixed-point
+       recursion closes over BASE vertices with replica multiplicities:
+         n' = 10 |V|,  base' = scale // n'
+         S(x) = sum_{y~x} 10*(r(y) // degp(y)) + 9*(r(x) // degp(x))
+         r'(x) = (15 base') // 100 + (85 S(x)) // 100
+       — every step integer, replayed 5 unrolled rounds, exact units.
+       Isolated base vertices join the graph at sf1 through their own
+       replica clique (d=0 rows: degree' 9, tri' 36).
 
 This is exactly the regime the bucket caps (maxBucketSize) were built
 for: LSH/chunk buckets are 10x hotter, and any silent cap-fire or
@@ -101,7 +121,8 @@ def main():
     for q in ("q22_minhash_neardup", "q23_simhash_hamming", "q61_dedup_clusters",
               "q107_line_dedup", "q110_cdc_chunks", "q109_overlap_matrix",
               "q117_chunk_store", "q81_semdedup", "q121_bpe_encode",
-              "q122_tokenizer_index", "q123_quality_funnel"):
+              "q122_tokenizer_index", "q123_quality_funnel",
+              "q136_clustering_coeff"):
         short = q.split("_")[0]
         if base_from_engine:
             con.sql(f"CREATE TABLE base_{short} AS "
@@ -217,6 +238,66 @@ def main():
       SELECT b.doc_id + r.r * {SHIFT} AS doc_id, b.n_chunks, b.n_new_chunks,
         b.new_bytes, b.dup_bytes
       FROM base_q117 b, reps r"""
+
+    # ---- graph family: the sf1 graph is the 10x BLOW-UP of the base
+    # label-blocked cosine graph (see module docstring). `gaug` carries
+    # every base vertex that self-connects (nonzero norm -> replica-clique
+    # edges exist) with its base degree/triangles (0 for base-isolated).
+    con.sql("""CREATE TABLE gverts AS
+      SELECT vec_id AS id FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0""")
+    con.sql("""CREATE TABLE gaug AS
+      SELECT v.id, COALESCE(b.degree, 0) AS deg, COALESCE(b.n_tri, 0) AS tri
+      FROM gverts v LEFT JOIN base_q136 b ON b.id = v.id""")
+
+    expected["q135_triangles"] = f"""
+      SELECT a.id + r.r * {SHIFT} AS id,
+        CAST(100 * a.tri + 135 * a.deg + 36 AS BIGINT) AS n_tri
+      FROM gaug a, reps r"""
+
+    expected["q136_clustering_coeff"] = f"""
+      SELECT a.id + r.r * {SHIFT} AS id,
+        CAST(10 * a.deg + 9 AS BIGINT) AS degree,
+        CAST(100 * a.tri + 135 * a.deg + 36 AS BIGINT) AS n_tri,
+        ROUND(CAST(100 * a.tri + 135 * a.deg + 36 AS DOUBLE)
+          / GREATEST(((10 * a.deg + 9) * (10 * a.deg + 8)) // 2, 1), 6)
+          + 0.0 AS coeff
+      FROM gaug a, reps r"""
+
+    # PageRank: replica-symmetric integer recursion over base vertices.
+    # Base edges re-derived independently in DuckDB (same construction as
+    # the q137 small-SF oracle); 5 rounds unrolled, all integer ops.
+    con.sql("""CREATE TABLE gedges AS
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.15""")
+    con.sql("""CREATE TABLE gadj AS
+      SELECT u, v AS w FROM gedges UNION ALL SELECT v, u FROM gedges""")
+    con.sql("""CREATE TABLE gdegp AS
+      SELECT a.id, CAST(10 * COALESCE(d.bd, 0) + 9 AS BIGINT) AS degp
+      FROM gaug a LEFT JOIN (
+        SELECT u AS id, COUNT(*) AS bd FROM gadj GROUP BY u) d ON d.id = a.id""")
+    scale_fp = 1000000000000
+    nprime = FACTOR * con.sql("SELECT COUNT(*) FROM gverts").fetchone()[0]
+    basep = scale_fp // nprime if nprime else 0
+    pr_ctes = [f"pr0 AS MATERIALIZED (SELECT id, CAST({basep} AS BIGINT) AS r FROM gdegp)"]
+    for t in range(1, 6):
+        pr_ctes.append(f"""c{t} AS (
+          SELECT j.u AS id, SUM(10 * (rp.r // dp.degp)) AS s
+          FROM gadj j JOIN pr{t - 1} rp ON rp.id = j.w
+          JOIN gdegp dp ON dp.id = j.w GROUP BY j.u)""")
+        pr_ctes.append(f"""pr{t} AS MATERIALIZED (
+          SELECT a.id,
+            CAST((15 * {basep}) // 100
+              + (85 * (COALESCE(c.s, 0) + 9 * (rp.r // a.degp))) // 100
+              AS BIGINT) AS r
+          FROM gdegp a JOIN pr{t - 1} rp ON rp.id = a.id
+          LEFT JOIN c{t} c ON c.id = a.id)""")
+    expected["q137_pagerank"] = (
+        "WITH " + ",\n".join(pr_ctes) + f"""
+      SELECT p.id + r.r * {SHIFT} AS id, p.r AS rank_fp
+      FROM pr5 p, reps r""")
 
     report = {}
     n_pass = n_fail = 0
