@@ -289,7 +289,7 @@ def main():
           JOIN gdegp dp ON dp.id = j.w GROUP BY j.u)""")
         pr_ctes.append(f"""pr{t} AS MATERIALIZED (
           SELECT a.id,
-            CAST((15 * {basep}) // 100
+            CAST((15 * CAST({basep} AS BIGINT)) // 100
               + (85 * (COALESCE(c.s, 0) + 9 * (rp.r // a.degp))) // 100
               AS BIGINT) AS r
           FROM gdegp a JOIN pr{t - 1} rp ON rp.id = a.id
