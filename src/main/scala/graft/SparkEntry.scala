@@ -78,6 +78,13 @@ object SparkEntry {
   /** Centroids trained by the last q138 (filtered-recall) run. */
   @volatile private[graft] var q138Centroids: Option[Array[Array[Double]]] = None
 
+  /** The (plain-PQ baseline, OPQ) model pair trained by the last q141 run
+    * — the controlled comparison replays BOTH from literals (the plain
+    * model is an [[graft.operators.Opq.OpqModel]] with R = identity, so
+    * the only delta between the arms is the learned rotation). */
+  @volatile private[graft] var q141Models: Option[(graft.operators.Opq.OpqModel,
+    graft.operators.Opq.OpqModel)] = None
+
   private def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     lastRunCtx = Some((spark, dir))
     spark.read.parquet(s"$dir/$name.parquet")
@@ -1881,6 +1888,43 @@ object SparkEntry {
         .reduce(_ unionByName _)
     }),
 
+    // OPQ vs plain PQ, controlled: both codebooks train on the SAME
+    // driver-sized sample with the SAME local Lloyd budget — the only
+    // difference between the arms is the learned orthogonal rotation
+    // (Procrustes-alternated, Ge et al. CVPR 2013), so the recall delta
+    // IS the rotation's contribution. On this corpus the embeddings are
+    // near-isotropic (per-dim variance 0.014-0.018, ~0 cross-correlation),
+    // where OPQ provably has nothing to align — expect parity here, and
+    // the lift on anisotropic data is proven by OpqSpec's constructed
+    // corpus instead. Honest both ways; recorded in BASELINE.md.
+    "q141_opq_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cs = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val refDot = graft.operators.Similarity.bruteForceTopKDot(qs, cs, k = 10)
+      val sample = graft.operators.Opq.sampleVectors(cs, col("nvec"), maxSample = 4096)
+      val plain = graft.operators.Opq.train(sample, m = 4, k = 16, pqIters = 3, opqIters = 0)
+      val opq = graft.operators.Opq.train(sample, m = 4, k = 16, pqIters = 3, opqIters = 3)
+      q141Models = Some((plain, opq))
+      def armOf(name: String, model: graft.operators.Opq.OpqModel, rotated: Boolean) = {
+        val c = if (rotated)
+          cs.select(col("nid"), graft.operators.Opq.rotate(col("nvec"), model.r).as("v"))
+        else cs.select(col("nid"), col("nvec").cast("array<double>").as("v"))
+        val q = if (rotated)
+          qs.select(col("qid"), graft.operators.Opq.rotate(col("qvec"), model.r).as("qvec"))
+        else qs
+        val enc = c.select(col("nid"),
+          graft.operators.ProductQuantization.encode(col("v"), model.pq).as("codes"))
+        graft.operators.Evaluation.recallAtK(refDot,
+            graft.operators.ProductQuantization.adcTopK(q, enc, model.pq, k = 10))
+          .withColumn("method", lit(name))
+      }
+      armOf("pq_adc", plain, rotated = false)
+        .unionByName(armOf("opq_adc", opq, rotated = true))
+    }),
+
     // Water-filling budget allocation: cap every source at the common
     // waterline that makes total allocated char mass exactly meet the
     // budget — small sources keep everything, dominant ones are capped.
@@ -2071,6 +2115,7 @@ object SparkEntry {
       bpeOracleSql(" WHERE doc_id % 2 = 0", " WHERE doc_id % 2 = 1", 24, 256)) +
     ("q128_ann_recall" -> q128OracleSql) +
     ("q138_filtered_recall" -> q138OracleSql) +
+    ("q141_opq_recall" -> q141OracleSql) +
     ("q129_bpe_pack" -> q129OracleSql) +
     ("q137_pagerank" -> q137OracleSql)
 
@@ -5081,5 +5126,85 @@ object SparkEntry {
          |    FROM q CROSS JOIN cent)),
          |$armCtes
          |${Seq(1, 2, 3, 5, 8).map(armSql).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** q141: both captured models replayed from literals. The plain arm
+    * encodes the raw vectors; the OPQ arm first applies the captured
+    * rotation — each coordinate ROUND(·, 9), matching the engine's
+    * [[graft.operators.Opq.rotate]] quantization exactly, so every
+    * downstream argmin/rank decision is bit-identical across engines.
+    */
+  private def q141OracleSql: String = q141Models match {
+    case None => unavailableOracle
+    case Some((plain, opq)) =>
+      val sd = plain.pq.subDim
+      def cbValues(pq: graft.operators.ProductQuantization.PQCodebook): String =
+        (for {
+          s <- pq.codebooks.indices
+          c <- pq.codebooks(s).indices
+        } yield s"($s, $c, [${pq.codebooks(s)(c).mkString(", ")}]::DOUBLE[])")
+          .mkString(", ")
+      val rotValues = opq.r.zipWithIndex
+        .map { case (row, i) => s"($i, [${row.mkString(", ")}]::DOUBLE[])" }
+        .mkString(", ")
+      def encodeCtes(tag: String, cbCte: String, src: String): String =
+        s"""${tag}codes AS (
+           |  SELECT nid, s.sub,
+           |    (SELECT pcode FROM $cbCte WHERE $cbCte.sub = s.sub
+           |     ORDER BY list_dot_product(pvec, pvec)
+           |         - 2 * list_dot_product($src.v[s.sub*$sd + 1 : s.sub*$sd + $sd], pvec) ASC,
+           |       pcode ASC LIMIT 1) AS code
+           |  FROM $src CROSS JOIN subs s),
+           |${tag}rec AS MATERIALIZED (
+           |  SELECT nid, flatten(list(pvec ORDER BY ${tag}codes.sub ASC)) AS rv
+           |  FROM ${tag}codes JOIN $cbCte
+           |    ON $cbCte.sub = ${tag}codes.sub AND $cbCte.pcode = ${tag}codes.code
+           |  GROUP BY nid)""".stripMargin
+      def armSql(method: String, cte: String): String =
+        s"""SELECT '$method' AS method, b.qid,
+           |  CAST(COUNT(*) AS BIGINT) AS n_ref,
+           |  CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  ROUND(CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*), 4) + 0.0 AS recall
+           |FROM bdot b LEFT JOIN $cte a ON b.qid = a.qid AND b.nid = a.nid
+           |GROUP BY b.qid""".stripMargin
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS MATERIALIZED (
+         |  SELECT vec_id AS nid, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id >= 10),
+         |bdot AS MATERIALIZED (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY list_dot_product(qv, v) DESC, nid ASC) AS rnk
+         |    FROM q CROSS JOIN c) WHERE rnk <= 10),
+         |subs AS (SELECT unnest(range(${plain.pq.m})) AS sub),
+         |plcb(sub, pcode, pvec) AS (VALUES ${cbValues(plain.pq)}),
+         |opcb(sub, pcode, pvec) AS (VALUES ${cbValues(opq.pq)}),
+         |rot(ri, rrow) AS (VALUES $rotValues),
+         |${encodeCtes("pl", "plcb", "c")},
+         |plarm AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY list_dot_product(qv, rv) DESC, nid ASC) AS rnk
+         |    FROM q CROSS JOIN plrec) WHERE rnk <= 10),
+         |crot AS MATERIALIZED (
+         |  SELECT nid,
+         |    (SELECT list(ROUND(list_dot_product(rrow, c.v), 9) ORDER BY ri) FROM rot) AS v
+         |  FROM c),
+         |qrot AS MATERIALIZED (
+         |  SELECT qid,
+         |    (SELECT list(ROUND(list_dot_product(rrow, q.qv), 9) ORDER BY ri) FROM rot) AS qv
+         |  FROM q),
+         |${encodeCtes("op", "opcb", "crot")},
+         |oparm AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY list_dot_product(qv, rv) DESC, nid ASC) AS rnk
+         |    FROM qrot CROSS JOIN oprec) WHERE rnk <= 10)
+         |${armSql("pq_adc", "plarm")}
+         |UNION ALL
+         |${armSql("opq_adc", "oparm")}""".stripMargin
   }
 }
