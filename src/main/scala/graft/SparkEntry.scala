@@ -1925,6 +1925,34 @@ object SparkEntry {
         .unionByName(armOf("opq_adc", opq, rotated = true))
     }),
 
+    // IVF maintenance: append-induced imbalance repaired by
+    // DiskIvfIndex.rebalance (partition-local cell splits — cold cells'
+    // files untouched, codebook written last). The full-probe search
+    // afterward must equal the INDEPENDENT brute force: rows can neither
+    // vanish nor double through the overwrite+split sequence, which is
+    // the layout-integrity contract the oracle checks (balance/locality
+    // properties are IvfRebalanceSpec's).
+    "q142_ivf_rebalance" -> ((s, dir) => {
+      import graft.operators.IvfIndex
+      val emb = table(s, dir, "embeddings")
+      val initial = emb.filter(col("vec_id") >= 10 && col("vec_id") % 3 =!= 0)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val appended = emb.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val idx = IvfIndex.buildTrained(initial, nlist = 4, iters = 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q142-ivf-").toString
+      idx.save(s, tmp)
+      idx.unpersist()
+      val disk = IvfIndex.load(s, tmp)
+      disk.append(appended)
+      val n = s.read.parquet(tmp).count()
+      val rebal = disk.rebalance(maxCellRows = math.max(1L, n / 8), kSplit = 2, iters = 2)
+      rebal.search(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 10, nprobe = rebal.centroids.length)
+    }),
+
     // Water-filling budget allocation: cap every source at the common
     // waterline that makes total allocated char mass exactly meet the
     // budget — small sources keep everything, dominant ones are capped.
@@ -3575,6 +3603,16 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q15_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score FROM q CROSS JOIN c),
+        |r AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    // q142: fully independent — whatever the split/overwrite sequence did
+    // to the layout, a FULL-probe search must reproduce the brute force
+    // over the union of initial + appended rows (= all vec_id >= 10).
+    "q142_ivf_rebalance" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
         |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score FROM q CROSS JOIN c),

@@ -174,6 +174,74 @@ final class DiskIvfIndex(
       .withColumn("cell", KMeans.assignCell(col("v"), centroids))
       .write.mode("append").partitionBy("cell").parquet(dir)
 
+  /** Partition-local index maintenance — the operator [[append]]'s doc
+    * promises ("retrain + re-layout when recall sags"), without the
+    * corpus-wide re-layout: split every cell holding more than
+    * `maxCellRows` rows into `kSplit` sub-cells trained by a Lloyd pass
+    * over THAT CELL's vectors only. Cold cells' files are never read or
+    * rewritten (spec-asserted byte-identical); each hot cell costs its own
+    * partition-pruned scans (training passes + one dynamic-partition-
+    * overwrite rewrite of its rows). At 100 TB with daily appends this is
+    * the difference between rewriting a few hot `cell=` directories and
+    * re-shuffling the corpus.
+    *
+    * Id discipline: sub-centroid 0 keeps the split cell's id — positional
+    * cell ids stay dense and every existing directory name keeps meaning —
+    * and the remaining sub-centroids take fresh ids appended to the
+    * codebook. The codebook file is written LAST (the metadata-last
+    * discipline of `DatasetWriter`), so a reader racing the rebalance
+    * resolves a consistent (pre-split) index until the commit point.
+    *
+    * Like every production IVF split, reassignment is local to the split
+    * cell: rows of other cells are not revisited, so the global
+    * assignment drifts from exact nearest-centroid — probing absorbs
+    * that (it already absorbs append drift), and the q142 oracle proves
+    * rows are never lost or doubled by checking full-probe search against
+    * the independent brute force.
+    *
+    * Durability note: the moved rows ride a localCheckpoint between the
+    * read and the overwrite of their source files; a cluster deployment
+    * would stage to a temp directory + rename (same shape, no
+    * executor-loss window).
+    */
+  def rebalance(maxCellRows: Long, kSplit: Int = 2, iters: Int = 3): DiskIvfIndex = {
+    require(kSplit >= 2, s"kSplit=$kSplit must be >= 2")
+    require(maxCellRows >= 1, s"maxCellRows=$maxCellRows must be >= 1")
+    // one partition-column-only scan; result bounded by the cell count
+    val hot = spark.read.parquet(dir)
+      .groupBy("cell").count()
+      .filter(col("count") > maxCellRows)
+      .collect().map(_.getAs[Int]("cell")).sorted
+    if (hot.isEmpty) return this
+    val cents = scala.collection.mutable.ArrayBuffer(centroids: _*)
+    hot.foreach { cellId =>
+      // materialize the cell's rows BEFORE the overwrite touches their files
+      val rows = spark.read.parquet(dir)
+        .filter(col("cell") === cellId)
+        .drop("cell")
+        .localCheckpoint()
+      val subs = KMeans.train(rows, col("v"), kSplit, iters)
+      val newIds = cellId +: (0 until subs.length - 1).map(cents.length + _)
+      val assigned = rows.withColumn("cell",
+        element_at(typedlit(newIds), KMeans.assignCell(col("v"), subs) + 1))
+      // Lloyd can empty sub-cell 0; its directory must still be replaced
+      // or the old rows would survive next to their moved copies
+      val sub0Rows = assigned.filter(col("cell") === cellId).limit(1).count()
+      assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(dir)
+      if (sub0Rows == 0L) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/cell=$cellId")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+      cents(cellId) = subs(0)
+      cents ++= subs.drop(1)
+    }
+    DiskIvfIndex.writeCentroids(spark, dir, cents.toArray)
+    new DiskIvfIndex(spark, dir, cents.toArray)
+  }
+
   /** Filter-aware probed search — the reference's serving semantic at
     * scale: `filter` and `top_k` are consumed TOGETHER by a search
     * (reference `dataset.py:136-140`, `cfg.py:33-34`), so the filter must
