@@ -1953,6 +1953,32 @@ object SparkEntry {
         k = 10, nprobe = rebal.centroids.length)
     }),
 
+    // q142's integrity contract on the PQ layout: rebalance re-encodes
+    // the split cell's residuals (from the raw vectors kept next to the
+    // codes) against frozen fine codebooks, and full-probe searchRefined
+    // with rerank >= corpus is EXACTLY the brute-force inner-product
+    // top-k — the refine pass reads raw vectors, codes only shortlist,
+    // so the oracle stays fully independent of every trained artifact.
+    "q143_ivfpq_rebalance" -> ((s, dir) => {
+      import graft.operators.IvfPq
+      val emb = table(s, dir, "embeddings")
+      val initial = emb.filter(col("vec_id") >= 10 && col("vec_id") % 3 =!= 0)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val appended = emb.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q143-pq-").toString
+      val pq = IvfPq.buildTrained(s, initial, tmp, dim = dim,
+        nlist = 4, m = 4, k = 16, iters = 3)
+      pq.append(appended)
+      val n = s.read.parquet(tmp).count()
+      val rebal = pq.rebalance(maxCellRows = math.max(1L, n / 8), kSplit = 2, iters = 2)
+      rebal.searchRefined(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        k = 10, nprobe = rebal.codebooks.centroids.length, rerank = n.toInt)
+    }),
+
     // Water-filling budget allocation: cap every source at the common
     // waterline that makes total allocated char mass exactly meet the
     // budget — small sources keep everything, dominant ones are capped.
@@ -3616,6 +3642,15 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
         |s AS (SELECT qid, nid, list_cosine_similarity(qv, v) AS score FROM q CROSS JOIN c),
+        |r AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
+        |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
+
+    // q143: independent like q142 — full-probe refined search reads raw
+    // vectors, so the expected result is the exact inner-product top-k.
+    "q143_ivfpq_rebalance" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT qid, nid, list_dot_product(qv, v) AS score FROM q CROSS JOIN c),
         |r AS (SELECT qid, nid, score, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk FROM s)
         |SELECT qid, nid, ROUND(score, 4) AS score, rnk FROM r WHERE rnk <= 10""".stripMargin,
 

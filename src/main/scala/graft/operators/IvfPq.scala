@@ -198,6 +198,62 @@ final class DiskIvfPqIndex(
       .write.mode("append").partitionBy("cell").parquet(dir)
   }
 
+  /** Partition-local maintenance for the PQ layout — [[DiskIvfIndex.rebalance]]'s
+    * contract composed with residual re-encoding: each split cell's rows
+    * are re-encoded from their RAW vectors (`resid = v − subCentroid`)
+    * against the FROZEN PQ codebooks — this is why the layout keeps `v`
+    * next to the codes. The residual distribution drifts from the one the
+    * codebooks were trained on (the same accepted trade as [[append]]);
+    * the coarse term stays exact because it is computed from the updated
+    * centroid at query time. Cold cells are never read or rewritten;
+    * sub-centroid 0 keeps the split cell's id; the codebooks file is
+    * written LAST. Full-probe `searchRefined` with rerank ≥ corpus stays
+    * EXACTLY the brute-force inner-product top-k (q143's oracle), because
+    * the refine pass reads raw vectors — codes only shortlist.
+    */
+  def rebalance(maxCellRows: Long, kSplit: Int = 2, iters: Int = 3): DiskIvfPqIndex = {
+    require(kSplit >= 2, s"kSplit=$kSplit must be >= 2")
+    require(maxCellRows >= 1, s"maxCellRows=$maxCellRows must be >= 1")
+    val hot = spark.read.parquet(dir)
+      .groupBy("cell").count()
+      .filter(col("count") > maxCellRows)
+      .collect().map(_.getAs[Int]("cell")).sorted
+    if (hot.isEmpty) return this
+    val cents = scala.collection.mutable.ArrayBuffer(codebooks.centroids: _*)
+    hot.foreach { cellId =>
+      val rows = spark.read.parquet(dir)
+        .filter(col("cell") === cellId)
+        .drop("cell").drop("codes")
+        .localCheckpoint()
+      val subs = KMeans.train(rows, col("v"), kSplit, iters)
+      val newIds = cellId +: (0 until subs.length - 1).map(cents.length + _)
+      val subLit = typedlit(subs.map(_.toSeq).toSeq)
+      val assigned = rows
+        .withColumn("__sub", KMeans.assignCell(col("v"), subs))
+        .withColumn("resid",
+          zip_with(col("v"), element_at(subLit, col("__sub") + 1), (a, b) => a - b))
+        .withColumn("cell", element_at(typedlit(newIds), col("__sub") + 1))
+      val out = assigned.select(
+        col("nid") +: col("v") +:
+          ProductQuantization.encode(col("resid"), codebooks.pq).as("codes") +:
+          IvfIndex.carried(assigned) :+ col("cell"): _*)
+      val sub0Rows = out.filter(col("cell") === cellId).limit(1).count()
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(dir)
+      if (sub0Rows == 0L) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/cell=$cellId")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+      cents(cellId) = subs(0)
+      cents ++= subs.drop(1)
+    }
+    val cb = IvfPq.Codebooks(cents.toArray, codebooks.pq)
+    DiskIvfPqIndex.writeCodebooks(spark, dir, cb)
+    new DiskIvfPqIndex(spark, dir, cb)
+  }
+
   /** Filter-aware ADC search ([[DiskIvfIndex.searchFiltered]]'s contract
     * over the PQ layout): partition pruning on probed cells, then each
     * query's JSON filter interpreted against the rows' `metadata` inside

@@ -80,6 +80,28 @@ class IvfRebalanceSpec extends SparkSpec {
       == filesBefore)
   }
 
+  test("PQ layout: rebalance re-encodes the split cell and full-probe refined search stays exact") {
+    import graft.operators.IvfPq
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rebal-pq-").toString
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val pq = IvfPq.buildTrained(spark, cands, tmp, dim = dim,
+      nlist = 2, m = 4, k = 16, iters = 2)
+    val n = cands.count()
+    val rebal = pq.rebalance(maxCellRows = 5, kSplit = 2, iters = 2)
+    assert(rebal.codebooks.centroids.length > pq.codebooks.centroids.length)
+    // frozen fine codebooks: only the coarse table grew
+    assert(rebal.codebooks.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq.codebooks.pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val after = spark.read.parquet(tmp)
+    assert(after.count() == n && after.select("nid").distinct().count() == n)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = key(Similarity.bruteForceTopKDot(queries, cands, k = 8))
+    val refined = key(rebal.searchRefined(queries, k = 8,
+      nprobe = rebal.codebooks.centroids.length, rerank = n.toInt))
+    assert(refined == brute)
+  }
+
   test("a layout whose every cell is hot splits every cell") {
     val disk = buildDisk(nlist = 2)
     val rebal = disk.rebalance(maxCellRows = 1, kSplit = 2, iters = 1)
