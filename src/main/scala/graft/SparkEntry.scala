@@ -1945,8 +1945,13 @@ object SparkEntry {
       idx.unpersist()
       val disk = IvfIndex.load(s, tmp)
       disk.append(appended)
-      val n = s.read.parquet(tmp).count()
-      val rebal = disk.rebalance(maxCellRows = math.max(1L, n / 8), kSplit = 2, iters = 2)
+      // split exactly the largest cell(s): guaranteed >= 1 split at every
+      // SF (pigeonhole gives no balanced-data guarantee for any n-fraction
+      // threshold), and the integrity contract is scale-independent of
+      // HOW MANY cells split
+      val maxCell = s.read.parquet(tmp).groupBy("cell").count()
+        .agg(max("count")).head().getLong(0)
+      val rebal = disk.rebalance(maxCellRows = math.max(1L, maxCell - 1), kSplit = 2, iters = 2)
       rebal.search(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
@@ -1972,7 +1977,10 @@ object SparkEntry {
         nlist = 4, m = 4, k = 16, iters = 3)
       pq.append(appended)
       val n = s.read.parquet(tmp).count()
-      val rebal = pq.rebalance(maxCellRows = math.max(1L, n / 8), kSplit = 2, iters = 2)
+      // same largest-cell threshold rationale as q142
+      val maxCell = s.read.parquet(tmp).groupBy("cell").count()
+        .agg(max("count")).head().getLong(0)
+      val rebal = pq.rebalance(maxCellRows = math.max(1L, maxCell - 1), kSplit = 2, iters = 2)
       rebal.searchRefined(
         emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
