@@ -74,6 +74,38 @@ class OpqSpec extends SparkSpec {
     }
   }
 
+  test("OPQ beats plain PQ recall end-to-end on anisotropic vectors") {
+    import graft.operators.{Evaluation, Similarity}
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val sd = Array(5.0, 5.0, 5.0, 5.0, 0.1, 0.1, 0.1, 0.1)
+    def vec() = Array.tabulate(8)(i => rnd.nextGaussian() * sd(i))
+    val cands = (0 until 512).map(i => (i.toLong, vec().toSeq))
+    val qs = (1000 until 1032).map(i => (i.toLong, vec().toSeq))
+    val cdf = cands.toDF("nid", "nvec")
+    val qdf = qs.toDF("qid", "qvec")
+    val sample = cands.map(_._2.toArray).toArray
+    val plain = Opq.train(sample, m = 4, k = 16, pqIters = 5, opqIters = 0)
+    val opq = Opq.train(sample, m = 4, k = 16, pqIters = 5, opqIters = 8)
+    val ref = Similarity.bruteForceTopKDot(qdf, cdf, k = 10)
+    def recallOf(model: Opq.OpqModel, rotated: Boolean): Double = {
+      val c = if (rotated)
+        cdf.select(col("nid"), Opq.rotate(col("nvec"), model.r).as("v"))
+      else cdf.select(col("nid"), col("nvec").cast("array<double>").as("v"))
+      val q = if (rotated)
+        qdf.select(col("qid"), Opq.rotate(col("qvec"), model.r).as("qvec"))
+      else qdf
+      val enc = c.select(col("nid"),
+        ProductQuantization.encode(col("v"), model.pq).as("codes"))
+      Evaluation.recallAtK(ref, ProductQuantization.adcTopK(q, enc, model.pq, k = 10))
+        .agg(avg("recall")).head().getDouble(0)
+    }
+    val plainR = recallOf(plain, rotated = false)
+    val opqR = recallOf(opq, rotated = true)
+    // a 6.5x reconstruction-error cut must show up in the end metric
+    assert(opqR > plainR + 0.1, s"opq=$opqR plain=$plainR")
+  }
+
   test("rotated ADC search returns the same schema and k rows per query") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val qs = emb.filter(col("vec_id") < 5)
