@@ -74,10 +74,10 @@ object Bench {
     }
     val probeAfter = schedProbeMs()
 
-    // Compact emission: the driver parses this line from a bounded capture
-    // tail, so per-query seconds are rounded to 3 decimals (raw doubles'
-    // 15-digit reprs overflowed the round-8 capture window → parsed:null)
-    // and the line is the only stdout this main produces.
+    // Emission: the driver parses stdout from a BOUNDED capture tail — the
+    // 143-entry per-query map no longer fits even at 3 decimals (round-9's
+    // tail lost the first ~80 queries → parsed:null). So the per-query map
+    // goes to a sidecar file and the captured line carries only totals.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val failed = results.collect { case (k, _, false) => k }
@@ -85,8 +85,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedJson,"sched_probe_ms":[$probeBefore,$probeAfter],"sf":"$sfDir"}""")
+    val n = results.count(_._3)
+    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    val sidecar = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$n,""" +
+      s""""queries":$qs,"failed":$failedJson,""" +
+      s""""sched_probe_ms":[$probeBefore,$probeAfter],"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(perQueryPath),
+      sidecar.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$n,""" +
+      s""""failed":$failedJson,"sched_probe_ms":[$probeBefore,$probeAfter],""" +
+      s""""per_query_file":"$perQueryPath","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

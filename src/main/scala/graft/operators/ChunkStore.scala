@@ -109,7 +109,16 @@ object ChunkStore {
     import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val v = JsonMethods.parse(json)
-    val format = (v \ "format").extractOrElse[Int](1)
+    // Stores written before the `format` field existed come in BOTH layouts:
+    // real v1 (no `h` column) and format-less v2 (written between the layout
+    // change and the version stamp). Defaulting absent→1 would reject the
+    // latter — fully compatible stores — so an absent field is resolved by
+    // sniffing the chunks schema for the layout's distinguishing column.
+    val format = (v \ "format").toOption.map(_.extract[Int]).getOrElse {
+      val hasHash = spark.read.parquet(s"$dir/chunks")
+        .schema.fieldNames.contains("h")
+      if (hasHash) FormatVersion else 1
+    }
     require(format == FormatVersion,
       s"chunk store at $dir has layout format $format but this build reads " +
         s"format $FormatVersion — rebuild the store with ChunkStore.save()")

@@ -147,15 +147,19 @@ object Dedup {
     * component = the group's minimum id — , trained centroids)`; the
     * centroids let the correctness oracle replay the blocking.
     *
-    * The collapse earns its cost exactly when duplicates are plentiful
-    * (a 10×-replicated corpus measured 1.12× intermediates vs 6–7× for
-    * the pair form) and buys nothing on an almost-all-distinct corpus —
-    * there it only adds a groupBy and a re-attach join. One cheap
-    * `approx_count_distinct / count` probe decides: above
-    * `collapseSkipRatio` distinct vectors the operator blocks + verifies
-    * over the rows DIRECTLY (identical vectors still pair up — they share
-    * probe cells and score cosine 1 > threshold — so components are the
-    * same either way).
+    * The collapse always happens — block sizes and the `maxBlockSize`
+    * oversize guard must count DISTINCT vectors, never duplicate
+    * multiplicity, or a block whose row count exceeds the cap only
+    * because of exact copies would be dropped (losing pairs the collapse
+    * merges unconditionally). The only data-dependent choice is whether
+    * the rep table is `localCheckpoint`ed: on a duplicate-heavy corpus the
+    * collapse shrinks the frame (a 10×-replicated corpus measured 1.12×
+    * intermediates vs 6–7× for the pair form) and materializing it pays
+    * across the Lloyd passes and verify joins; on an almost-all-distinct
+    * corpus the rep table is nearly the full corpus and checkpointing it
+    * buys nothing. One cheap `approx_count_distinct / count` probe
+    * decides — its ~5% error can only flip this caching knob, never the
+    * result.
     */
   def semDeDupGroups(
       df: DataFrame,
@@ -178,31 +182,19 @@ object Dedup {
     val distinctRatio =
       if (probe.getLong(0) == 0L) 1.0
       else probe.getLong(1).toDouble / probe.getLong(0).toDouble
-    if (distinctRatio > collapseSkipRatio) {
-      val (pairs, centroids) = cosineNearDupAuto(
-        base, col("id"), col("v"), threshold, nlist, nprobe, iters, maxBlockSize)
-      val comp = ConnectedComponents.runEdgeVertices(
-        pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
-        pointerHalving = pointerHalving, reliable = reliable)
-      // paired ids are bounded by near-dup groups (tiny here by the probe's
-      // own evidence — AQE broadcasts them); singletons self-represent
-      val attached = base.select("id")
-        .join(comp.select(col("id").as("pid"), col("component")),
-          col("id") === col("pid"), "left")
-        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-        .withColumn("is_canonical", col("id") === col("component"))
-      return (attached, centroids)
-    }
     // One partial-aggregated groupBy elects the representative AND carries
     // its vector (min_by picks the min-id row's v — identical within a
     // hash class), so no join-back is needed to build the rep table.
     // localCheckpoint (the CC lineage-cut precedent) materializes ONLY
     // the distinct-vector rows — the frame every Lloyd pass, the
-    // probe/verify joins, and the attach all re-read — never the full
-    // member list with its duplicate vector payloads.
-    val reps = keyed.groupBy("k")
+    // probe/verify joins, and the attach all re-read — but only when the
+    // collapse actually shrank the frame (duplicate-heavy corpus); on an
+    // almost-all-distinct corpus the rep table is ~the full corpus and
+    // materializing it would cost memory for no reuse win.
+    val repsPlan = keyed.groupBy("k")
       .agg(min(col("id")).as("rep"), min_by(col("v"), col("id")).as("v"))
-      .localCheckpoint()
+    val reps =
+      if (distinctRatio > collapseSkipRatio) repsPlan else repsPlan.localCheckpoint()
     val repRows = reps.select(col("rep").as("id"), col("v"))
     val (pairs, centroids) = cosineNearDupAuto(
       repRows, col("id"), col("v"), threshold, nlist, nprobe, iters, maxBlockSize)

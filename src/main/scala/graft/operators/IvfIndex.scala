@@ -84,9 +84,14 @@ object IvfIndex {
     new TrainedIvfIndex(cells, centroids)
   }
 
-  /** Reopen a layout persisted by [[TrainedIvfIndex.save]]. */
-  def load(spark: org.apache.spark.sql.SparkSession, dir: String): DiskIvfIndex =
+  /** Reopen a layout persisted by [[TrainedIvfIndex.save]]. Refuses a
+    * layout whose rebalance commit was interrupted mid-rename (pending
+    * marker present) — complete it with [[DiskIvfIndex.recover]] first.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): DiskIvfIndex = {
+    RebalanceCommit.failIfPending(spark, dir)
     new DiskIvfIndex(spark, dir, DiskIvfIndex.readCentroids(spark, dir))
+  }
 }
 
 /** IVF index with a trained coarse codebook; queries probe their `nprobe`
@@ -199,46 +204,56 @@ final class DiskIvfIndex(
     * rows are never lost or doubled by checking full-probe search against
     * the independent brute force.
     *
-    * Durability note: the moved rows ride a localCheckpoint between the
-    * read and the overwrite of their source files; a cluster deployment
-    * would stage to a temp directory + rename (same shape, no
-    * executor-loss window).
+    * Job shape is HOT-CELL-COUNT-INDEPENDENT: one partition-pruned read
+    * of all hot cells, grouped Lloyd training
+    * ([[KMeans.trainPerGroup]] — one job per iteration over the union),
+    * and ONE staged write of every split cell's output. The commit is
+    * [[RebalanceCommit]]'s marker-gated rename protocol: rows are durable
+    * in the stage before any source directory moves, the grown codebook
+    * lands before any rename (new ids are append-only, so an early
+    * codebook is always consistent — never a moved row it can't see),
+    * and an interrupted commit is refused by `load` until
+    * [[DiskIvfIndex.recover]] completes the rename worklist.
     */
   def rebalance(maxCellRows: Long, kSplit: Int = 2, iters: Int = 3): DiskIvfIndex = {
     require(kSplit >= 2, s"kSplit=$kSplit must be >= 2")
     require(maxCellRows >= 1, s"maxCellRows=$maxCellRows must be >= 1")
+    RebalanceCommit.failIfPending(spark, dir)
     // one partition-column-only scan; result bounded by the cell count
     val hot = spark.read.parquet(dir)
       .groupBy("cell").count()
       .filter(col("count") > maxCellRows)
       .collect().map(_.getAs[Int]("cell")).sorted
     if (hot.isEmpty) return this
+    // ONE partition-pruned read of every hot cell, materialized across the
+    // training passes and the staged write (the source dirs stay untouched
+    // until the commit renames — a failure here leaves the index intact)
+    val rows = spark.read.parquet(dir)
+      .filter(col("cell").isin(hot.map(Integer.valueOf): _*))
+      .localCheckpoint()
+    val subs = KMeans.trainPerGroup(rows, col("cell"), col("v"), kSplit, iters)
     val cents = scala.collection.mutable.ArrayBuffer(centroids: _*)
-    hot.foreach { cellId =>
-      // materialize the cell's rows BEFORE the overwrite touches their files
-      val rows = spark.read.parquet(dir)
-        .filter(col("cell") === cellId)
-        .drop("cell")
-        .localCheckpoint()
-      val subs = KMeans.train(rows, col("v"), kSplit, iters)
-      val newIds = cellId +: (0 until subs.length - 1).map(cents.length + _)
-      val assigned = rows.withColumn("cell",
-        element_at(typedlit(newIds), KMeans.assignCell(col("v"), subs) + 1))
-      // Lloyd can empty sub-cell 0; its directory must still be replaced
-      // or the old rows would survive next to their moved copies
-      val sub0Rows = assigned.filter(col("cell") === cellId).limit(1).count()
-      assigned.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(dir)
-      if (sub0Rows == 0L) {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/cell=$cellId")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-      }
-      cents(cellId) = subs(0)
-      cents ++= subs.drop(1)
-    }
+    val newIds: Map[Int, Seq[Int]] = hot.map { c =>
+      val s = subs(c)
+      val ids = c +: (0 until s.length - 1).map(cents.length + _)
+      cents(c) = s(0)
+      cents ++= s.drop(1)
+      c -> (ids: Seq[Int])
+    }.toMap
+    // per-row new cell id via a per-hot-cell dispatch chain (each branch's
+    // sub-codebook is one reference object, so the plan stays O(hot cells))
+    val reassigned = rows.withColumn("cell",
+      hot.tail.foldLeft(when(col("cell") === hot.head,
+        element_at(typedlit(newIds(hot.head)),
+          KMeans.assignCell(col("v"), subs(hot.head)) + 1))) { (acc, c) =>
+        acc.when(col("cell") === c,
+          element_at(typedlit(newIds(c)), KMeans.assignCell(col("v"), subs(c)) + 1))
+      })
+    // stage everything in ONE job, then codebook, then the rename commit
+    reassigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(RebalanceCommit.stagePath(dir))
     DiskIvfIndex.writeCentroids(spark, dir, cents.toArray)
+    RebalanceCommit.commit(spark, dir, hot.toSeq, newIds.values.flatten.toSeq.distinct.sorted)
     new DiskIvfIndex(spark, dir, cents.toArray)
   }
 
@@ -285,6 +300,16 @@ final class DiskIvfIndex(
 }
 
 object DiskIvfIndex {
+
+  /** Complete an interrupted rebalance commit (pending marker present) and
+    * reopen the layout. Idempotent: every row is on disk throughout the
+    * commit window (original dir or stage), so recovery only re-runs the
+    * remaining renames from the marker's worklist. No-op marker-free.
+    */
+  def recover(spark: org.apache.spark.sql.SparkSession, dir: String): DiskIvfIndex = {
+    RebalanceCommit.recover(spark, dir)
+    IvfIndex.load(spark, dir)
+  }
 
   private val CentroidsFile = "_centroids.json"
 

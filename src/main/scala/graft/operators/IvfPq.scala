@@ -93,9 +93,14 @@ object IvfPq {
     } finally assigned.unpersist()
   }
 
-  /** Reopen a layout written by [[buildTrained]] in a later session. */
-  def load(spark: SparkSession, dir: String): DiskIvfPqIndex =
+  /** Reopen a layout written by [[buildTrained]] in a later session.
+    * Refuses a layout whose rebalance commit was interrupted mid-rename —
+    * complete it with [[DiskIvfPqIndex.recover]] first.
+    */
+  def load(spark: SparkSession, dir: String): DiskIvfPqIndex = {
+    RebalanceCommit.failIfPending(spark, dir)
     new DiskIvfPqIndex(spark, dir, DiskIvfPqIndex.readCodebooks(spark, dir))
+  }
 }
 
 /** An IVF-PQ index backed by a cell-partitioned parquet directory. Search
@@ -206,51 +211,63 @@ final class DiskIvfPqIndex(
     * codebooks were trained on (the same accepted trade as [[append]]);
     * the coarse term stays exact because it is computed from the updated
     * centroid at query time. Cold cells are never read or rewritten;
-    * sub-centroid 0 keeps the split cell's id; the codebooks file is
-    * written LAST. Full-probe `searchRefined` with rerank ≥ corpus stays
-    * EXACTLY the brute-force inner-product top-k (q143's oracle), because
-    * the refine pass reads raw vectors — codes only shortlist.
+    * sub-centroid 0 keeps the split cell's id. Full-probe `searchRefined`
+    * with rerank ≥ corpus stays EXACTLY the brute-force inner-product
+    * top-k (q143's oracle), because the refine pass reads raw vectors —
+    * codes only shortlist.
+    *
+    * Job shape and durability are [[DiskIvfIndex.rebalance]]'s: one
+    * partition-pruned read of all hot cells, grouped Lloyd training
+    * ([[KMeans.trainPerGroup]]), ONE staged write, then
+    * [[RebalanceCommit]]'s marker-gated rename commit (codebooks written
+    * before any rename — append-only ids make the early codebook always
+    * consistent; `load` refuses an interrupted commit until
+    * [[DiskIvfPqIndex.recover]]).
     */
   def rebalance(maxCellRows: Long, kSplit: Int = 2, iters: Int = 3): DiskIvfPqIndex = {
     require(kSplit >= 2, s"kSplit=$kSplit must be >= 2")
     require(maxCellRows >= 1, s"maxCellRows=$maxCellRows must be >= 1")
+    RebalanceCommit.failIfPending(spark, dir)
     val hot = spark.read.parquet(dir)
       .groupBy("cell").count()
       .filter(col("count") > maxCellRows)
       .collect().map(_.getAs[Int]("cell")).sorted
     if (hot.isEmpty) return this
+    val rows = spark.read.parquet(dir)
+      .filter(col("cell").isin(hot.map(Integer.valueOf): _*))
+      .drop("codes")
+      .localCheckpoint()
+    val subs = KMeans.trainPerGroup(rows, col("cell"), col("v"), kSplit, iters)
     val cents = scala.collection.mutable.ArrayBuffer(codebooks.centroids: _*)
-    hot.foreach { cellId =>
-      val rows = spark.read.parquet(dir)
-        .filter(col("cell") === cellId)
-        .drop("cell").drop("codes")
-        .localCheckpoint()
-      val subs = KMeans.train(rows, col("v"), kSplit, iters)
-      val newIds = cellId +: (0 until subs.length - 1).map(cents.length + _)
-      val subLit = typedlit(subs.map(_.toSeq).toSeq)
-      val assigned = rows
-        .withColumn("__sub", KMeans.assignCell(col("v"), subs))
-        .withColumn("resid",
-          zip_with(col("v"), element_at(subLit, col("__sub") + 1), (a, b) => a - b))
-        .withColumn("cell", element_at(typedlit(newIds), col("__sub") + 1))
-      val out = assigned.select(
-        col("nid") +: col("v") +:
-          ProductQuantization.encode(col("resid"), codebooks.pq).as("codes") +:
-          IvfIndex.carried(assigned) :+ col("cell"): _*)
-      val sub0Rows = out.filter(col("cell") === cellId).limit(1).count()
-      out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell").parquet(dir)
-      if (sub0Rows == 0L) {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/cell=$cellId")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
+    val newIds: Map[Int, Seq[Int]] = hot.map { c =>
+      val s = subs(c)
+      val ids = c +: (0 until s.length - 1).map(cents.length + _)
+      cents(c) = s(0)
+      cents ++= s.drop(1)
+      c -> (ids: Seq[Int])
+    }.toMap
+    // per-hot-cell dispatch chains over the OLD cell id: sub-assignment,
+    // then the new residual against the winning sub-centroid, then the new
+    // id — each branch's sub-codebook rides as one reference object
+    def chain(f: Int => org.apache.spark.sql.Column) =
+      hot.tail.foldLeft(when(col("cell") === hot.head, f(hot.head))) {
+        (acc, c) => acc.when(col("cell") === c, f(c))
       }
-      cents(cellId) = subs(0)
-      cents ++= subs.drop(1)
-    }
+    val assigned = rows
+      .withColumn("__sub", chain(c => KMeans.assignCell(col("v"), subs(c))))
+      .withColumn("resid", chain(c => zip_with(col("v"),
+        element_at(typedlit(subs(c).map(_.toSeq).toSeq), col("__sub") + 1),
+        (a, b) => a - b)))
+      .withColumn("cell", chain(c => element_at(typedlit(newIds(c)), col("__sub") + 1)))
+    val out = assigned.select(
+      col("nid") +: col("v") +:
+        ProductQuantization.encode(col("resid"), codebooks.pq).as("codes") +:
+        IvfIndex.carried(assigned) :+ col("cell"): _*)
+    out.write.mode("overwrite").partitionBy("cell")
+      .parquet(RebalanceCommit.stagePath(dir))
     val cb = IvfPq.Codebooks(cents.toArray, codebooks.pq)
     DiskIvfPqIndex.writeCodebooks(spark, dir, cb)
+    RebalanceCommit.commit(spark, dir, hot.toSeq, newIds.values.flatten.toSeq.distinct.sorted)
     new DiskIvfPqIndex(spark, dir, cb)
   }
 
@@ -296,6 +313,14 @@ final class DiskIvfPqIndex(
 }
 
 object DiskIvfPqIndex {
+
+  /** Complete an interrupted rebalance commit and reopen the layout —
+    * [[DiskIvfIndex.recover]]'s contract for the PQ layout.
+    */
+  def recover(spark: SparkSession, dir: String): DiskIvfPqIndex = {
+    RebalanceCommit.recover(spark, dir)
+    IvfPq.load(spark, dir)
+  }
 
   private val CodebooksFile = "_ivfpq_codebooks.json"
 

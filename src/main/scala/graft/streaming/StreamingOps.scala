@@ -162,8 +162,9 @@ object StreamingOps {
       docsPath: String,
       lmDir: String,
       threshold: Double): DataFrame = {
-    val prevPartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // No shuffle-partitions override: the gate is a stateless projection +
+    // filter — it never shuffles, so mutating the session-global conf would
+    // only race against concurrent queries on the shared session.
     val name = s"stream_lm_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val schema = spark.read.parquet(docsPath).schema
     val idx = graft.operators.LmIndex.open(spark, lmDir)
@@ -177,11 +178,14 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .start()
     try q.processAllAvailable()
-    finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevPartitions)
-    }
-    spark.table(name)
+    finally q.stop()
+    // The memory sink caches its rows behind a session-registered temp view;
+    // left registered, repeated calls would accumulate result tables for the
+    // session's lifetime. Materialize a detached copy (localCheckpoint cuts
+    // the lineage back to the sink), then unregister the view.
+    val result = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    result
   }
 
   /** Batch-typed sessionization via `KeyValueGroupedDataset.mapGroups`:

@@ -108,4 +108,118 @@ class IvfRebalanceSpec extends SparkSpec {
     assert(rebal.centroids.length == disk.centroids.length + 2)
     assert(spark.read.parquet(rebal.dir).count() == cands.count())
   }
+
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try body finally {
+      // listener events post asynchronously; give the bus time to drain
+      Thread.sleep(1500)
+      spark.sparkContext.removeSparkListener(l)
+    }
+    n.get()
+  }
+
+  test("splitting N hot cells costs the same job count as splitting one (single staged pass)") {
+    // the round-9 weak mark: the old rebalance drove one training chain +
+    // one overwrite PER hot cell from the driver. The reworked shape must
+    // be hot-cell-count-independent: one pruned read, grouped training,
+    // one staged write, renames.
+    val one = buildDisk(nlist = 2)
+    val sizes = spark.read.parquet(one.dir).groupBy("cell").count()
+      .collect().map(_.getLong(1)).sorted
+    val jobsOne = countJobs {
+      one.rebalance(maxCellRows = sizes(0), kSplit = 2, iters = 2)
+    }
+    val many = buildDisk(nlist = 4)
+    val hotMany = spark.read.parquet(many.dir).groupBy("cell").count()
+      .filter(col("count") > 1).count()
+    assert(hotMany >= 3, s"want >=3 hot cells for the invariance check, got $hotMany")
+    val jobsMany = countJobs {
+      many.rebalance(maxCellRows = 1, kSplit = 2, iters = 2)
+    }
+    assert(jobsMany <= jobsOne + 2,
+      s"rebalance job count must not scale with hot cells: 1 hot -> $jobsOne jobs, " +
+        s"$hotMany hot -> $jobsMany jobs")
+  }
+
+  private def hfs = new org.apache.hadoop.fs.Path("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeFile(path: String, content: String): Unit = {
+    val out = hfs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Hand-build the mid-commit window: stage holds the split output (and,
+    * when `parked`, the hot cell's original directory), marker + grown
+    * codebook are on disk, renames incomplete — exactly what a crash
+    * between commit steps leaves behind.
+    */
+  private def makeInterrupted(parked: Boolean): (String, Int) = {
+    val disk = buildDisk(nlist = 2)
+    val dir = disk.dir
+    val hot = spark.read.parquet(dir).groupBy("cell").count()
+      .collect().maxBy(_.getLong(1)).getAs[Int]("cell")
+    val newId = disk.centroids.length
+    val stage = s"$dir/_rebalance_stage"
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(stage))
+    val hotRows = spark.read.parquet(s"$dir/cell=$hot").localCheckpoint()
+    // an arbitrary split is a valid split for the integrity contract
+    hotRows.filter(col("nid") % 2 === 0).write.parquet(s"$stage/cell=$hot")
+    hotRows.filter(col("nid") % 2 === 1).write.parquet(s"$stage/cell=$newId")
+    if (parked) {
+      assert(hfs.rename(new org.apache.hadoop.fs.Path(s"$dir/cell=$hot"),
+        new org.apache.hadoop.fs.Path(s"$stage/old_cell=$hot")))
+    }
+    val grown = (disk.centroids :+ disk.centroids(hot))
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeFile(s"$dir/_centroids.json", grown)
+    writeFile(s"$dir/_rebalance_pending.json",
+      s"""{"hot": [$hot], "ids": [$hot, $newId]}""")
+    (dir, hot)
+  }
+
+  test("load refuses an interrupted commit; recover completes it (crash after park)") {
+    val (dir, _) = makeInterrupted(parked = true)
+    val e = intercept[IllegalArgumentException] { IvfIndex.load(spark, dir) }
+    assert(e.getMessage.contains("interrupted rebalance"))
+    val rec = graft.operators.DiskIvfIndex.recover(spark, dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(key(rec.search(queries, k = 8, nprobe = rec.centroids.length))
+      == key(Similarity.bruteForceTopK(queries, cands, k = 8)))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/_rebalance_pending.json")))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/_rebalance_stage")))
+  }
+
+  test("recover from a crash BEFORE the park rename (no row lost or doubled)") {
+    val (dir, _) = makeInterrupted(parked = false)
+    intercept[IllegalArgumentException] { IvfIndex.load(spark, dir) }
+    val rec = graft.operators.DiskIvfIndex.recover(spark, dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == cands.count())
+    assert(after.select("nid").distinct().count() == cands.count())
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(key(rec.search(queries, k = 8, nprobe = rec.centroids.length))
+      == key(Similarity.bruteForceTopK(queries, cands, k = 8)))
+  }
+
+  test("PQ layout: load refuses a pending commit and recover reopens it") {
+    import graft.operators.IvfPq
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rebal-pqrec-").toString
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    IvfPq.buildTrained(spark, cands, tmp, dim = dim, nlist = 2, m = 4, k = 16, iters = 2)
+    writeFile(s"$tmp/_rebalance_pending.json", """{"hot": [], "ids": []}""")
+    val e = intercept[IllegalArgumentException] { IvfPq.load(spark, tmp) }
+    assert(e.getMessage.contains("interrupted rebalance"))
+    val rec = graft.operators.DiskIvfPqIndex.recover(spark, tmp)
+    assert(rec.codebooks.centroids.length == 2)
+  }
 }

@@ -630,6 +630,29 @@ class PipelineOpsSpec extends SparkSpec {
       s"got: ${e.getMessage}")
   }
 
+  test("ChunkStore: a format-less v2 layout (hash-keyed chunks) still opens") {
+    import graft.operators.ChunkStore
+    // stores written between the layout change and the version stamp have
+    // the v2 (h, clen, c) chunks table but no format field — the schema
+    // sniff must classify them as v2, not reject them as v1
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstore-v2nf").toString
+    ChunkStore.save(Seq(Tuple1("content for a format-less but v2-shaped store"))
+      .toDF("t"), col("t"), dir, window = 8, divisor = 32)
+    // raw-overwrite the metadata (drop the Hadoop checksum sidecar too —
+    // the nio write bypasses it and a stale crc would fail the re-read)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, ".metadata.json.crc"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "metadata.json"),
+      """{"window": 8, "divisor": 32, "vtype": "string"}""".getBytes("UTF-8"))
+    val store = ChunkStore.open(spark, dir)
+    assert(store.params.window == 8 && store.params.vtype == "string")
+    // and it is fully usable: everything it stored is known
+    val stats = store.admit(
+      Seq((1L, "content for a format-less but v2-shaped store")).toDF("id", "t"),
+      col("id"), col("t")).collect().head
+    assert(stats.getLong(2) == 0L, s"expected zero new chunks, got $stats")
+  }
+
   test("cdcChunks: rolling-hash boundaries, reconstruction, edit-survival, edge docs") {
     import graft.functions.SketchFunctions
     def run(ts: String*): Seq[Seq[String]] = ts.map(Tuple1(_)).toDF("t")
