@@ -75,8 +75,18 @@ object SparkEntry {
     * captured separately from the nlist=8 sweep index. */
   @volatile private[graft] var q128CentroidsOp: Option[Array[Array[Double]]] = None
 
+  /** q128's PQ OPERATING-POINT capture: the learned OPQ rotation plus the
+    * codebooks of the IVF-PQ index built over the rotated corpus (nlist=32,
+    * m=16, k=16 — the round-10 PqRecallProbe grid's cheapest ≥0.8-recall@10
+    * serving point). */
+  @volatile private[graft] var q128PqOp: Option[(Array[Array[Double]], graft.operators.IvfPq.Codebooks)] = None
+
   /** Centroids trained by the last q138 (filtered-recall) run. */
   @volatile private[graft] var q138Centroids: Option[Array[Array[Double]]] = None
+
+  /** q138's operating-point index centroids (nlist=32 — the filtered
+    * re-measurement of q128's chosen serving point). */
+  @volatile private[graft] var q138CentroidsOp: Option[Array[Array[Double]]] = None
 
   /** The (plain-PQ baseline, OPQ) model pair trained by the last q141 run
     * — the controlled comparison replays BOTH from literals (the plain
@@ -1856,7 +1866,34 @@ object SparkEntry {
       val adc = arm("ivfpq_adc", refDot, pq.search(qs, k = 10, nprobe = 3))
       val refined = arm("ivfpq_refine", refDot,
         pq.searchRefined(qs, k = 10, nprobe = 3, rerank = 50))
-      (Seq(one, multi, trained) ++ sweep ++ Seq(op, adc, refined))
+      // The PQ OPERATING POINT from the round-10 rerank × nprobe × m grid
+      // (tools/PqRecallProbe; table in BASELINE.md): OPQ-rotated IVF-PQ at
+      // nlist=32 / m=16 / k=16, served refined at nprobe=16 / rerank=50 —
+      // the cheapest grid point at ≥0.8 recall@10. It matches the plain-IVF
+      // op arm's recall (the cell-recall ceiling both share at nprobe=16)
+      // while the probed scan reads 16-byte codes instead of 512-byte raw
+      // vectors, plus 50 bounded raw-row fetches per query for the exact
+      // re-rank — the only arm here whose scan bytes survive 100 TB.
+      // The rotation is learned under the m=4 sub-decomposition (the grid
+      // measured this variant ahead of an m=16-trained rotation, 0.84 vs
+      // 0.79 — with ~500 training vectors the coarser objective constrains
+      // the Procrustes step better) and then SERVED under the m=16 encode.
+      val opSample = graft.operators.Opq.sampleVectors(cs, col("nvec"), maxSample = 4096)
+      val opModel = graft.operators.Opq.train(
+        opSample, m = 4, k = 16, pqIters = 3, opqIters = 3)
+      val csRot = cs.select(col("nid"),
+        graft.operators.Opq.rotate(col("nvec"), opModel.r).as("nvec"))
+      val qsRot = qs.select(col("qid"),
+        graft.operators.Opq.rotate(col("qvec"), opModel.r).as("qvec"))
+      val tmpOp = java.nio.file.Files.createTempDirectory("graft-q128-pqop-").toString
+      val pqOp = graft.operators.IvfPq.buildTrained(
+        s, csRot, tmpOp, dim = dim, nlist = 32, m = 16, k = 16, iters = 3)
+      q128PqOp = Some((opModel.r, pqOp.codebooks))
+      // rotation preserves inner products, so the UNrotated exact-dot
+      // reference stays the right yardstick for the rotated index's ids
+      val pqOpArm = arm("ivfpq_op", refDot,
+        pqOp.searchRefined(qsRot, k = 10, nprobe = 16, rerank = 50))
+      (Seq(one, multi, trained) ++ sweep ++ Seq(op, adc, refined, pqOpArm))
         .reduce(_ unionByName _)
     }),
 
@@ -1882,10 +1919,34 @@ object SparkEntry {
             .otherwise(lit("""{"label": {"$gte": 5}}""")))
         .withColumn("top_k", lit(10).cast("int"))
       val ref = graft.operators.Similarity.filteredTopKPerQuery(qs, cands)
-      Seq(1, 2, 3, 5, 8).map(np =>
-          graft.operators.Evaluation.recallAtK(ref, disk.searchFiltered(qs, nprobe = np))
-            .withColumn("nprobe", lit(np)))
-        .reduce(_ unionByName _)
+      val sweep = Seq(1, 2, 3, 5, 8).map(np =>
+        graft.operators.Evaluation.recallAtK(ref, disk.searchFiltered(qs, nprobe = np))
+          .withColumn("nprobe", lit(np))
+          .withColumn("regime", lit("half")))
+      // The OPERATING POINT (nlist=32 / nprobe=16, q128's chosen serving
+      // point) re-measured under filters at BOTH selectivity extremes —
+      // filters change per-cell selectivity (a narrow filter can hollow
+      // out probed cells entirely), so the unfiltered recall curve does
+      // not transfer and each regime needs its own measurement.
+      val idxOp = graft.operators.IvfIndex.buildTrained(cands, nlist = 32, iters = 3)
+      val tmpOp = java.nio.file.Files.createTempDirectory("graft-q138-ivfop-").toString
+      val diskOp = idxOp.save(s, tmpOp)
+      idxOp.unpersist()
+      q138CentroidsOp = Some(diskOp.centroids)
+      def opArm(regime: String, filterJson: Column) = {
+        val fq = qs.withColumn("filter", filterJson)
+        graft.operators.Evaluation.recallAtK(
+            graft.operators.Similarity.filteredTopKPerQuery(fq, cands),
+            diskOp.searchFiltered(fq, nprobe = 16))
+          .withColumn("nprobe", lit(16))
+          .withColumn("regime", lit(regime))
+      }
+      // ~10% of candidates survive the narrow filter, ~90% the broad one
+      val narrow = opArm("op_narrow",
+        concat(lit("""{"label": {"$eq": """), col("qid") % 10, lit("}}")))
+      val broad = opArm("op_broad",
+        concat(lit("""{"label": {"$ne": """), col("qid") % 10, lit("}}")))
+      (sweep ++ Seq(narrow, broad)).reduce(_ unionByName _)
     }),
 
     // OPQ vs plain PQ, controlled: both codebooks train on the SAME
@@ -1986,6 +2047,16 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         k = 10, nprobe = rebal.codebooks.centroids.length, rerank = n.toInt)
     }),
+
+    // Real language ID (round-10 upgrade of q20's 4-language stopword
+    // toy): unicode-script detection + per-script character-trigram
+    // batteries over LanguageProfiles' 57 languages. Zero-shuffle
+    // projection chain; all decisions are integer counts with
+    // deterministic tie-breaks, replayed by the oracle from the SAME
+    // rendered profile literals.
+    "q144_lang_id_ngram" -> ((s, dir) =>
+      graft.operators.TextAnalysis.languageIdNgram(
+        table(s, dir, "documents"), col("doc_id"), col("text"))),
 
     // Water-filling budget allocation: cap every source at the common
     // waterline that makes total allocated char mass exactly meet the
@@ -2179,7 +2250,8 @@ object SparkEntry {
     ("q138_filtered_recall" -> q138OracleSql) +
     ("q141_opq_recall" -> q141OracleSql) +
     ("q129_bpe_pack" -> q129OracleSql) +
-    ("q137_pagerank" -> q137OracleSql)
+    ("q137_pagerank" -> q137OracleSql) +
+    ("q144_lang_id_ngram" -> q144OracleSql)
 
   /** q137: the five fixed-point rounds unrolled — pure integer
     * arithmetic, so DuckDB replays the engine's ranks to the exact unit
@@ -5002,15 +5074,24 @@ object SparkEntry {
     * chain) — each joined per query for the hit count. Heavy stages are
     * MATERIALIZED: the arm unions reference them repeatedly and DuckDB
     * would otherwise inline (and re-run) each use. */
-  private def q128OracleSql: String = (q128Centroids, q128Pq, q128CentroidsOp) match {
-    case (Some(cb), Some(cbs), Some(cbOp)) =>
+  private def q128OracleSql: String = (q128Centroids, q128Pq, q128CentroidsOp, q128PqOp) match {
+    case (Some(cb), Some(cbs), Some(cbOp), Some((zr, zcbs))) =>
       val pq = cbs.pq
       val sd = pq.subDim
       val dim = sd * pq.m
-      val pqVals = (for {
-        s <- pq.codebooks.indices
-        c <- pq.codebooks(s).indices
-      } yield s"($s, $c, [${pq.codebooks(s)(c).mkString(", ")}]::DOUBLE[])")
+      def pqValuesOf(p: graft.operators.ProductQuantization.PQCodebook): String =
+        (for {
+          s <- p.codebooks.indices
+          c <- p.codebooks(s).indices
+        } yield s"($s, $c, [${p.codebooks(s)(c).mkString(", ")}]::DOUBLE[])")
+          .mkString(", ")
+      val pqVals = pqValuesOf(pq)
+      // the operating-point arm's literals: rotation rows + its own
+      // (coarse, PQ) codebooks — trained over the ROTATED corpus
+      val zsd = zcbs.pq.subDim
+      val zm = zcbs.pq.m
+      val zRotVals = zr.zipWithIndex
+        .map { case (row, i) => s"($i, [${row.mkString(", ")}]::DOUBLE[])" }
         .mkString(", ")
       def recallArm(method: String, cte: String, ref: String): String =
         s"""SELECT '$method' AS method, $ref.qid,
@@ -5032,7 +5113,8 @@ object SparkEntry {
         ("ivf_trained", "it_np3", "b"), ("ivf_trained_np1", "it_np1", "b"),
         ("ivf_trained_np2", "it_np2", "b"), ("ivf_trained_np5", "it_np5", "b"),
         ("ivf_trained_np8", "it_np8", "b"), ("ivf_trained_op", "it_op", "b"),
-        ("ivfpq_adc", "padc", "bdot"), ("ivfpq_refine", "pref", "bdot")))
+        ("ivfpq_adc", "padc", "bdot"), ("ivfpq_refine", "pref", "bdot"),
+        ("ivfpq_op", "zrefined", "bdot")))
         .map { case (m, cte, ref) => recallArm(m, cte, ref) }
         .mkString("\nUNION ALL\n")
       s"""WITH q AS MATERIALIZED (
@@ -5149,6 +5231,61 @@ object SparkEntry {
         |    SELECT sv.qid, sv.nid, ROW_NUMBER() OVER (PARTITION BY sv.qid
         |      ORDER BY list_dot_product(q.qv, c.v) DESC, sv.nid ASC) AS rnk
         |    FROM psurv sv JOIN q USING (qid) JOIN c ON c.nid = sv.nid)
+        |  WHERE rnk <= 10),
+        |zrot(zri, zrrow) AS (VALUES $zRotVals),
+        |zcrot AS MATERIALIZED (
+        |  SELECT nid,
+        |    (SELECT list(ROUND(list_dot_product(zrrow, c.v), 9) ORDER BY zri) FROM zrot) AS v
+        |  FROM c),
+        |zqrot AS MATERIALIZED (
+        |  SELECT qid,
+        |    (SELECT list(ROUND(list_dot_product(zrrow, q.qv), 9) ORDER BY zri) FROM zrot) AS qv
+        |  FROM q),
+        |zcent(zcell, zcvec) AS (VALUES ${centroidValues(zcbs.centroids)}),
+        |zqcb(sub, pcode, pvec) AS (VALUES ${pqValuesOf(zcbs.pq)}),
+        |zassigned AS MATERIALIZED (
+        |  SELECT nid, v,
+        |    (SELECT zcell FROM zcent
+        |     ORDER BY list_dot_product(zcvec, zcvec) - 2 * list_dot_product(v, zcvec) ASC,
+        |       zcell ASC LIMIT 1) AS zcell
+        |  FROM zcrot),
+        |zresid AS (
+        |  SELECT a.nid, a.zcell, [a.v[i] - ct.zcvec[i] FOR i IN range(1, ${dim + 1})] AS rv0
+        |  FROM zassigned a JOIN zcent ct USING (zcell)),
+        |zsubv AS (
+        |  SELECT nid, zcell, s.sub, rv0[s.sub*$zsd + 1 : s.sub*$zsd + $zsd] AS sv
+        |  FROM zresid CROSS JOIN (SELECT unnest(range($zm)) AS sub) s),
+        |zcodes AS (
+        |  SELECT nid, zcell, sub,
+        |    (SELECT pcode FROM zqcb WHERE zqcb.sub = zsubv.sub
+        |     ORDER BY list_dot_product(pvec, pvec) - 2 * list_dot_product(sv, pvec) ASC,
+        |       pcode ASC LIMIT 1) AS code
+        |  FROM zsubv),
+        |zrecon AS MATERIALIZED (
+        |  SELECT nid, ANY_VALUE(zcell) AS zcell,
+        |    flatten(list(pvec ORDER BY zcodes.sub ASC)) AS rv
+        |  FROM zcodes JOIN zqcb ON zqcb.sub = zcodes.sub AND zqcb.pcode = zcodes.code
+        |  GROUP BY nid),
+        |zprobed AS (
+        |  SELECT qid, qv, zcell FROM (
+        |    SELECT qid, qv, zcell, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY list_dot_product(zcvec, zcvec) - 2 * list_dot_product(qv, zcvec) ASC,
+        |        zcell ASC) AS zpr
+        |    FROM zqrot CROSS JOIN zcent) WHERE zpr <= 16),
+        |zadcscore AS MATERIALIZED (
+        |  SELECT p.qid, r.nid,
+        |    list_dot_product(p.qv, ct.zcvec) + ${adcFineTerms("p.qv", "r.rv", zm, zsd)} AS score
+        |  FROM zprobed p JOIN zrecon r USING (zcell) JOIN zcent ct ON ct.zcell = p.zcell),
+        |zsurv AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, nid ASC) AS ar FROM zadcscore)
+        |  WHERE ar <= 50),
+        |zrefined AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT sv.qid, sv.nid, ROW_NUMBER() OVER (PARTITION BY sv.qid
+        |      ORDER BY list_dot_product(qr.qv, cr.v) DESC, sv.nid ASC) AS rnk
+        |    FROM zsurv sv JOIN zqrot qr USING (qid) JOIN zcrot cr ON cr.nid = sv.nid)
         |  WHERE rnk <= 10)
         |$arms""".stripMargin
     case _ => unavailableOracle
@@ -5159,17 +5296,26 @@ object SparkEntry {
     * searchFiltered result replayed per swept nprobe from the captured
     * centroids — filter applied inside the probed candidate set, exactly
     * where the engine applies it. */
-  private def q138OracleSql: String = q138Centroids match {
-    case None => unavailableOracle
-    case Some(cb) =>
-      def armSql(np: Int): String =
-        s"""SELECT $np AS nprobe, bf.qid,
+  private def q138OracleSql: String = (q138Centroids, q138CentroidsOp) match {
+    case (Some(cb), Some(cbOp)) =>
+      // every filter regime needs ITS OWN brute-force reference (the
+      // filter changes the true top-10) and its own probed-set arm
+      def armSql(np: Int, regime: String, ref: String, cte: String): String =
+        s"""SELECT $np AS nprobe, '$regime' AS regime, $ref.qid,
            |  CAST(COUNT(*) AS BIGINT) AS n_ref,
            |  CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
            |  ROUND(CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
            |    / COUNT(*), 4) + 0.0 AS recall
-           |FROM bf LEFT JOIN arm_np$np a ON bf.qid = a.qid AND bf.nid = a.nid
-           |GROUP BY bf.qid""".stripMargin
+           |FROM $ref LEFT JOIN $cte a ON $ref.qid = a.qid AND $ref.nid = a.nid
+           |GROUP BY $ref.qid""".stripMargin
+      def bfSql(pred: String): String =
+        s"""SELECT qid, nid FROM (
+           |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+           |    FROM q CROSS JOIN c
+           |    WHERE $pred)
+           |  WHERE rnk <= 10""".stripMargin
+      val halfPred = "CASE WHEN qid % 2 = 0 THEN label < 5 ELSE label >= 5 END"
       val armCtes = Seq(1, 2, 3, 5, 8).map(np =>
         s"""arm_np$np AS (
            |  SELECT qid, nid FROM (
@@ -5177,8 +5323,20 @@ object SparkEntry {
            |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
            |    FROM probedall JOIN assigned USING (tcell)
            |    WHERE pr <= $np
-           |      AND CASE WHEN qid % 2 = 0 THEN label < 5 ELSE label >= 5 END)
+           |      AND $halfPred)
            |  WHERE rnk <= 10)""".stripMargin).mkString(",\n")
+      def opArmCte(name: String, pred: String): String =
+        s"""$name AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+           |    FROM probedop JOIN assignedop USING (ocell)
+           |    WHERE opr <= 16 AND $pred)
+           |  WHERE rnk <= 10)""".stripMargin
+      val arms =
+        Seq(1, 2, 3, 5, 8).map(np => armSql(np, "half", "bf", s"arm_np$np")) ++
+          Seq(armSql(16, "op_narrow", "bfn", "arm_opn"),
+            armSql(16, "op_broad", "bfb", "arm_opb"))
       s"""WITH q AS MATERIALIZED (
          |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
          |  FROM embeddings WHERE vec_id < 10),
@@ -5186,12 +5344,11 @@ object SparkEntry {
          |  SELECT vec_id AS nid, embedding::DOUBLE[] AS v, label
          |  FROM embeddings WHERE vec_id >= 10),
          |bf AS MATERIALIZED (
-         |  SELECT qid, nid FROM (
-         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
-         |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
-         |    FROM q CROSS JOIN c
-         |    WHERE CASE WHEN qid % 2 = 0 THEN label < 5 ELSE label >= 5 END)
-         |  WHERE rnk <= 10),
+         |  ${bfSql(halfPred)}),
+         |bfn AS MATERIALIZED (
+         |  ${bfSql("label = qid % 10")}),
+         |bfb AS MATERIALIZED (
+         |  ${bfSql("label != qid % 10")}),
          |cent(tcell, cvec) AS (VALUES ${centroidValues(cb)}),
          |assigned AS MATERIALIZED (
          |  SELECT nid, v, label,
@@ -5205,8 +5362,24 @@ object SparkEntry {
          |      ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
          |        tcell ASC) AS pr
          |    FROM q CROSS JOIN cent)),
-         |$armCtes
-         |${Seq(1, 2, 3, 5, 8).map(armSql).mkString("\nUNION ALL\n")}""".stripMargin
+         |centop(ocell, ocvec) AS (VALUES ${centroidValues(cbOp)}),
+         |assignedop AS MATERIALIZED (
+         |  SELECT nid, v, label,
+         |    (SELECT ocell FROM centop
+         |     ORDER BY list_dot_product(ocvec, ocvec) - 2 * list_dot_product(v, ocvec) ASC,
+         |       ocell ASC LIMIT 1) AS ocell
+         |  FROM c),
+         |probedop AS MATERIALIZED (
+         |  SELECT qid, qv, ocell, opr FROM (
+         |    SELECT qid, qv, ocell, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY list_dot_product(ocvec, ocvec) - 2 * list_dot_product(qv, ocvec) ASC,
+         |        ocell ASC) AS opr
+         |    FROM q CROSS JOIN centop)),
+         |$armCtes,
+         |${opArmCte("arm_opn", "label = qid % 10")},
+         |${opArmCte("arm_opb", "label != qid % 10")}
+         |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+    case _ => unavailableOracle
   }
 
   /** q141: both captured models replayed from literals. The plain arm
@@ -5287,5 +5460,77 @@ object SparkEntry {
          |${armSql("pq_adc", "plarm")}
          |UNION ALL
          |${armSql("opq_adc", "oparm")}""".stripMargin
+  }
+
+  /** q144: the language-ID decision replayed from the SAME static profile
+    * data [[graft.operators.LanguageProfiles]] feeds the engine — script
+    * char counts as len-diff strips (RE2 `\x{…}` classes mirroring the
+    * Java `\u…` ones), dominance as the max (count, name) struct
+    * (list_sort + last element = Spark's greatest-over-structs), the
+    * Japanese kana-over-han rule, and trigram-set intersection counts via
+    * a distinct-gram join against the rendered profile VALUES. All
+    * integer arithmetic — engine-exact.
+    */
+  private def q144OracleSql: String = {
+    import graft.operators.LanguageProfiles._
+    def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+    val names = scripts.map(_.name)
+    val countCols = scripts.map(s =>
+      s"len(t) - len(regexp_replace(t, ${sq(re2CharClass(s))}, '', 'g')) AS c_${s.name}")
+      .mkString(",\n    ")
+    val structList = scripts
+      .map(s => s"{'c': c_${s.name}, 's': ${sq(s.name)}}")
+      .mkString("[", ", ", "]")
+    val totalExpr = names.map(n => s"c_$n").mkString(" + ")
+    val batteryNames = scripts.filter(_.battery.nonEmpty).map(_.name)
+    val profileVals = scripts.filter(_.battery.nonEmpty).flatMap { s =>
+      s.battery.flatMap { case (lang, grams) =>
+        grams.map(g => s"(${sq(s.name)}, ${sq(lang)}, ${sq(g)})")
+      }
+    }.mkString(", ")
+    val batteryDefault = scripts.filter(_.battery.nonEmpty)
+      .map(s => s"WHEN ${sq(s.name)} THEN ${sq(s.default)}")
+      .mkString(" ")
+    val directCase = scripts.filter(_.battery.isEmpty)
+      .map(s => s"WHEN ${sq(s.name)} THEN ${sq(s.default)}")
+      .mkString(" ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g')) || ' ' AS t
+       |  FROM documents),
+       |counts AS MATERIALIZED (
+       |  SELECT doc_id, t,
+       |    $countCols
+       |  FROM d),
+       |dom AS MATERIALIZED (
+       |  SELECT doc_id, t,
+       |    CASE WHEN script0 = 'han' AND c_kana > 0 THEN 'kana' ELSE script0 END AS script
+       |  FROM (
+       |    SELECT *, CASE WHEN $totalExpr = 0 THEN 'none'
+       |      ELSE (list_sort($structList)[${scripts.size}]).s END AS script0
+       |    FROM counts)),
+       |grams AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+       |      THEN list_transform(range(1, len(t) - 1), i -> substr(t, CAST(i AS INTEGER), 3))
+       |      ELSE []::VARCHAR[] END) AS g
+       |    FROM dom WHERE script IN (${batteryNames.map(sq).mkString(", ")}))),
+       |profile(pscript, lang, g) AS (VALUES $profileVals),
+       |scores AS (
+       |  SELECT g.doc_id, p.lang, COUNT(*) AS n
+       |  FROM grams g JOIN dom USING (doc_id)
+       |  JOIN profile p ON p.g = g.g AND p.pscript = dom.script
+       |  GROUP BY g.doc_id, p.lang),
+       |best AS (
+       |  SELECT doc_id, lang FROM (
+       |    SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY n DESC, lang DESC) AS rn
+       |    FROM scores) WHERE rn = 1)
+       |SELECT dom.doc_id, dom.script,
+       |  CASE WHEN dom.script = 'none' THEN 'und'
+       |       WHEN dom.script IN (${batteryNames.map(sq).mkString(", ")})
+       |         THEN COALESCE(best.lang, CASE dom.script $batteryDefault END)
+       |       ELSE CASE dom.script $directCase ELSE 'und' END
+       |  END AS lang_pred
+       |FROM dom LEFT JOIN best USING (doc_id)""".stripMargin
   }
 }

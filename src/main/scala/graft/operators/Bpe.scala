@@ -158,6 +158,7 @@ object TokenizerIndex {
   private[graft] final case class Params(numMerges: Int, capWords: Int)
 
   private val MetaFile = "metadata.json"
+  private[graft] val FormatVersion = 1
 
   /** Train on `docs` and freeze the tokenizer at `dir`. */
   def save(
@@ -196,28 +197,15 @@ object TokenizerIndex {
     new DiskTokenizer(dir, p, merges)
   }
 
-  private def writeMeta(spark: SparkSession, dir: String, p: Params): Unit = {
-    val json =
-      s"""{"num_merges": ${p.numMerges}, "cap_words": ${p.capWords}}"""
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-  }
+  // metadata is written LAST (after merges/) — the layout's completeness
+  // marker per the LayoutMeta contract
+  private def writeMeta(spark: SparkSession, dir: String, p: Params): Unit =
+    LayoutMeta.write(spark, dir, MetaFile, FormatVersion,
+      s""""num_merges": ${p.numMerges}, "cap_words": ${p.capWords}""")
 
   private def readMeta(spark: SparkSession, dir: String): Params = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(path)
-    val json = try {
-      val len = fs.getFileStatus(path).getLen.toInt
-      val bytes = new Array[Byte](len)
-      in.readFully(bytes)
-      new String(bytes, "UTF-8")
-    } finally in.close()
-    import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val v = JsonMethods.parse(json)
+    val v = LayoutMeta.read(spark, dir, MetaFile, FormatVersion, "tokenizer")
     Params((v \ "num_merges").extract[Int], (v \ "cap_words").extract[Int])
   }
 }

@@ -97,31 +97,20 @@ object ChunkStore {
   }
 
   private def readMeta(spark: SparkSession, dir: String): Params = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(path)
-    val json = try {
-      val len = fs.getFileStatus(path).getLen.toInt
-      val bytes = new Array[Byte](len)
-      in.readFully(bytes)
-      new String(bytes, "UTF-8")
-    } finally in.close()
-    import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val v = JsonMethods.parse(json)
+    val v = LayoutMeta.parseFile(spark, dir, MetaFile, "chunk store")
     // Stores written before the `format` field existed come in BOTH layouts:
     // real v1 (no `h` column) and format-less v2 (written between the layout
-    // change and the version stamp). Defaulting absent→1 would reject the
-    // latter — fully compatible stores — so an absent field is resolved by
-    // sniffing the chunks schema for the layout's distinguishing column.
+    // change and the version stamp). LayoutMeta's absent→1 default would
+    // reject the latter — fully compatible stores — so here an absent field
+    // is resolved by sniffing the chunks schema for the layout's
+    // distinguishing column instead.
     val format = (v \ "format").toOption.map(_.extract[Int]).getOrElse {
       val hasHash = spark.read.parquet(s"$dir/chunks")
         .schema.fieldNames.contains("h")
       if (hasHash) FormatVersion else 1
     }
-    require(format == FormatVersion,
-      s"chunk store at $dir has layout format $format but this build reads " +
-        s"format $FormatVersion — rebuild the store with ChunkStore.save()")
+    LayoutMeta.checkFormat(format, FormatVersion, dir, "chunk store")
     Params((v \ "window").extract[Int], (v \ "divisor").extract[Int],
       (v \ "vtype").extract[String])
   }

@@ -35,6 +35,7 @@ object DedupIndex {
       threshold: Double, shingleSize: Int, numHashes: Int, bands: Int, seed: Long)
 
   private val MetaFile = "metadata.json"
+  private[graft] val FormatVersion = 1
 
   /** Shingle, sign, and persist `docs` as a fresh index at `dir`.
     *
@@ -68,29 +69,16 @@ object DedupIndex {
   def open(spark: SparkSession, dir: String): DiskDedupIndex =
     new DiskDedupIndex(spark, dir, readMeta(spark, dir))
 
-  private def writeMeta(spark: SparkSession, dir: String, p: Params): Unit = {
-    val json =
-      s"""{"threshold": ${p.threshold}, "shingle_size": ${p.shingleSize},
-         | "num_hashes": ${p.numHashes}, "bands": ${p.bands}, "seed": ${p.seed}}""".stripMargin
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-  }
+  // metadata is written LAST (after sets/ and bands/) — the layout's
+  // completeness marker per the LayoutMeta contract
+  private def writeMeta(spark: SparkSession, dir: String, p: Params): Unit =
+    LayoutMeta.write(spark, dir, MetaFile, FormatVersion,
+      s""""threshold": ${p.threshold}, "shingle_size": ${p.shingleSize},
+         | "num_hashes": ${p.numHashes}, "bands": ${p.bands}, "seed": ${p.seed}""".stripMargin)
 
   private def readMeta(spark: SparkSession, dir: String): Params = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(path)
-    val json = try {
-      val len = fs.getFileStatus(path).getLen.toInt
-      val bytes = new Array[Byte](len)
-      in.readFully(bytes)
-      new String(bytes, "UTF-8")
-    } finally in.close()
-    import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val v = JsonMethods.parse(json)
+    val v = LayoutMeta.read(spark, dir, MetaFile, FormatVersion, "dedup index")
     Params(
       (v \ "threshold").extract[Double],
       (v \ "shingle_size").extract[Int],

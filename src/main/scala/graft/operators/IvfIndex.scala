@@ -312,34 +312,24 @@ object DiskIvfIndex {
   }
 
   private val CentroidsFile = "_centroids.json"
+  private[graft] val FormatVersion = 1
 
+  // the centroids file is the layout's completeness marker (written last
+  // by save(); rebalance writes it pre-rename BY DESIGN — append-only ids
+  // keep an early codebook consistent, see RebalanceCommit)
   private[operators] def writeCentroids(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      centroids: Array[Array[Double]]): Unit = {
-    val json = centroids
-      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$CentroidsFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-  }
+      centroids: Array[Array[Double]]): Unit =
+    LayoutMeta.write(spark, dir, CentroidsFile, FormatVersion,
+      s""""centroids": ${centroids
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")}""")
 
   private[operators] def readCentroids(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Double]] = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$CentroidsFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(path)
-    val json = try {
-      val len = fs.getFileStatus(path).getLen.toInt
-      val bytes = new Array[Byte](len)
-      in.readFully(bytes)
-      new String(bytes, "UTF-8")
-    } finally in.close()
-    import org.json4s.jackson.JsonMethods
-    import org.json4s.{JArray, JDouble, JInt}
-    JsonMethods.parse(json) match {
+    import org.json4s.{JArray, JDouble, JInt, JObject}
+    def mat(v: org.json4s.JValue): Array[Array[Double]] = v match {
       case JArray(rows) => rows.map {
         case JArray(xs) => xs.map {
           case JDouble(d) => d
@@ -348,6 +338,16 @@ object DiskIvfIndex {
         }.toArray
         case other => throw new IllegalArgumentException(s"bad centroid row: $other")
       }.toArray
+      case other => throw new IllegalArgumentException(s"bad centroids file: $other")
+    }
+    LayoutMeta.parseFile(spark, dir, CentroidsFile, "IVF index") match {
+      // pre-format-stamp layouts wrote the bare centroid matrix — that IS
+      // format 1's content, so it stays readable (the LayoutMeta contract)
+      case bare @ JArray(_) => mat(bare)
+      case obj @ JObject(_) =>
+        LayoutMeta.checkFormat(
+          LayoutMeta.formatOf(obj), FormatVersion, dir, "IVF index")
+        mat(obj \ "centroids")
       case other => throw new IllegalArgumentException(s"bad centroids file: $other")
     }
   }

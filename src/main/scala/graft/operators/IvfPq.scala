@@ -323,39 +323,31 @@ object DiskIvfPqIndex {
   }
 
   private val CodebooksFile = "_ivfpq_codebooks.json"
+  private[graft] val FormatVersion = 1
 
+  // completeness marker: written last by buildTrained; pre-rename in
+  // rebalance BY DESIGN (append-only ids — see RebalanceCommit)
   private[operators] def writeCodebooks(
       spark: SparkSession, dir: String, cb: IvfPq.Codebooks): Unit = {
     val cent = cb.centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     val pq = cb.pq.codebooks
       .map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
-    val json = s"""{"subDim":${cb.pq.subDim},"centroids":$cent,"pq":$pq}"""
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$CodebooksFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    LayoutMeta.write(spark, dir, CodebooksFile, FormatVersion,
+      s""""subDim":${cb.pq.subDim},"centroids":$cent,"pq":$pq""")
   }
 
   private[operators] def readCodebooks(
       spark: SparkSession, dir: String): IvfPq.Codebooks = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$CodebooksFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(path)
-    val json = try {
-      val len = fs.getFileStatus(path).getLen.toInt
-      val bytes = new Array[Byte](len)
-      in.readFully(bytes)
-      new String(bytes, "UTF-8")
-    } finally in.close()
-    import org.json4s.jackson.JsonMethods
     import org.json4s.{JArray, JDouble, JInt, JObject}
+    val parsed = LayoutMeta.read(
+      spark, dir, CodebooksFile, FormatVersion, "IVF-PQ index")
     def d(v: org.json4s.JValue): Double = v match {
       case JDouble(x) => x
       case JInt(i) => i.toDouble
       case other => throw new IllegalArgumentException(s"bad number: $other")
     }
-    JsonMethods.parse(json) match {
+    parsed match {
       case JObject(fields) =>
         val fm = fields.toMap
         val subDim = fm("subDim") match {

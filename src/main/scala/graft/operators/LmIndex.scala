@@ -37,6 +37,7 @@ object LmIndex {
       nTotal: Double)
 
   private val MetaFile = "metadata.json"
+  private[graft] val FormatVersion = 1
 
   /** Train on `docs` and persist the frozen model at `dir`. */
   def save(
@@ -116,29 +117,16 @@ object LmIndex {
   def open(spark: SparkSession, dir: String): DiskLmIndex =
     new DiskLmIndex(spark, dir, readMeta(spark, dir))
 
-  private def writeMeta(spark: SparkSession, dir: String, p: Params): Unit = {
-    val json =
-      s"""{"vocab_size": ${p.vocabSize}, "bigram_table": ${p.bigramTable},
-         | "lambda": ${p.lambda}, "oov_count": ${p.oovCount}, "n_total": ${p.nTotal}}""".stripMargin
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-  }
+  // metadata is written LAST (after vocab/ and bigrams/) — the layout's
+  // completeness marker per the LayoutMeta contract
+  private def writeMeta(spark: SparkSession, dir: String, p: Params): Unit =
+    LayoutMeta.write(spark, dir, MetaFile, FormatVersion,
+      s""""vocab_size": ${p.vocabSize}, "bigram_table": ${p.bigramTable},
+         | "lambda": ${p.lambda}, "oov_count": ${p.oovCount}, "n_total": ${p.nTotal}""".stripMargin)
 
   private def readMeta(spark: SparkSession, dir: String): Params = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(path)
-    val json = try {
-      val len = fs.getFileStatus(path).getLen.toInt
-      val bytes = new Array[Byte](len)
-      in.readFully(bytes)
-      new String(bytes, "UTF-8")
-    } finally in.close()
-    import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val v = JsonMethods.parse(json)
+    val v = LayoutMeta.read(spark, dir, MetaFile, FormatVersion, "LM index")
     Params(
       (v \ "vocab_size").extract[Int],
       (v \ "bigram_table").extract[Int],

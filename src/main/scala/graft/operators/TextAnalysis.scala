@@ -84,6 +84,70 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")
 
+  /** Real language identification over [[LanguageProfiles]]'s 57
+    * languages: unicode-script detection first (~20 languages are decided
+    * by script membership alone, plus the CJK rule kana⇒ja / hangul⇒ko /
+    * han-without-kana⇒zh), then a character-trigram-set intersection
+    * battery inside the four multi-language scripts (Latin 28 languages,
+    * Cyrillic 5, Arabic 3, Devanagari 3). Returns
+    * `(doc_id, script, lang_pred)`; `lang_pred` is "und" for script-less
+    * text and for Latin text with zero battery hits.
+    *
+    * Scale shape: a zero-shuffle three-projection chain. Stage 1 computes
+    * one `regexp_replace` strip per script (25 linear passes — the fixed
+    * scan cost; a single-pass custom Expression over a codepoint→script
+    * table is the optimization path if this ever dominates a profile).
+    * Stage 3's trigram extraction is the zip-with-over-slices form (the
+    * char array is materialized ONCE per row and appears only in HOF
+    * argument positions — never inside a lambda body, the re-evaluation
+    * trap), and each battery only evaluates inside its script's CASE
+    * branch, so a han-only document never pays for the Latin battery.
+    * All decision arithmetic is integer counts with deterministic
+    * (count, code) tie-breaks, so the DuckDB oracle replays it exactly
+    * from the same profile literals.
+    */
+  def languageIdNgram(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import LanguageProfiles._
+    val t0 = df.select(idCol.as("doc_id"),
+      concat(lit(" "), lower(regexp_replace(textCol, """\s+""", " ")), lit(" ")).as("t"))
+    val counted = t0.select(col("doc_id") +: col("t") +:
+      scripts.map(s => (length(col("t")) -
+        length(regexp_replace(col("t"), javaCharClass(s), ""))).as(s"c_${s.name}")): _*)
+    val domStruct = greatest(scripts.map(s =>
+      struct(col(s"c_${s.name}").as("c"), lit(s.name).as("s"))): _*)
+    val total = scripts.map(s => col(s"c_${s.name}")).reduce(_ + _)
+    val withDom = counted
+      .withColumn("script0",
+        when(total === 0, lit("none")).otherwise(domStruct.getField("s")))
+      .withColumn("script",
+        when(col("script0") === "han" && col("c_kana") > 0, lit("kana"))
+          .otherwise(col("script0")))
+      .withColumn("chars", split(col("t"), ""))
+    val m = greatest(size(col("chars")) - 2, lit(0))
+    val gramExpr = array_distinct(zip_with(
+      zip_with(slice(col("chars"), lit(1), m), slice(col("chars"), lit(2), m),
+        (a, b) => concat(a, b)),
+      slice(col("chars"), lit(3), m), (a, b) => concat(a, b)))
+    val batteryScripts = scripts.filter(_.battery.nonEmpty)
+    val withGrams = withDom.withColumn("grams",
+      when(col("script").isin(batteryScripts.map(_.name): _*), gramExpr)
+        .otherwise(array().cast("array<string>")))
+    def batteryPick(s: Script): Column = {
+      val best = greatest(s.battery.map { case (lang, grams) =>
+        struct(size(array_intersect(col("grams"), typedlit(grams))).as("n"),
+          lit(lang).as("l"))
+      }: _*)
+      when(best.getField("n") > 0, best.getField("l")).otherwise(lit(s.default))
+    }
+    val langExpr = scripts.filter(_.battery.isEmpty)
+      .foldLeft(batteryScripts.foldLeft(
+        when(col("script") === "none", lit("und"))) { (acc, s) =>
+        acc.when(col("script") === s.name, batteryPick(s))
+      }) { (acc, s) => acc.when(col("script") === s.name, lit(s.default)) }
+      .otherwise(lit("und"))
+    withGrams.select(col("doc_id"), col("script"), langExpr.as("lang_pred"))
+  }
+
   /** Gopher-style quality gate (Rae et al. 2021, §A1.1): the document-
     * level filter rules a pretraining corpus passes before anything
     * expensive runs. All rules are closed-form expressions over the token
