@@ -24,6 +24,10 @@ object GraftFunctions {
   def vecNorm(a: Column): Column =
     GraftSqlBridge.column(VectorL2Norm(GraftSqlBridge.expression(a)))
 
+  def codepointRangeCounts(text: Column, table: CodepointRangeTable): Column =
+    GraftSqlBridge.column(CodepointRangeCounts(
+      GraftSqlBridge.expression(text), table))
+
   def sparseDot(ia: Column, va: Column, ib: Column, vb: Column): Column =
     GraftSqlBridge.column(SparseDotProduct(
       GraftSqlBridge.expression(ia), GraftSqlBridge.expression(va),

@@ -113,4 +113,30 @@ class LanguageIdSpec extends SparkSpec {
     assert(got(1L) == ("none", "und"))
     assert(got(2L) == ("latin", "und"))
   }
+
+  test("single-pass codepoint counter == the 25 regex-strip counts the oracle replays (random mixed-script text)") {
+    import graft.functions.GraftFunctions
+    val pool = ("abcdefgh äöüßñç φλεω икифы الערב हिनदी 中文字漢 ひらカタ 한국어 ไทยลาว " +
+      "ქართული հայերեն தமிழ் තෙලుగు 0123 !?.,🙂𝄞").toCharArray
+    val rnd = new scala.util.Random(7)
+    val texts = (1L to 25L).map { i =>
+      // build from raw chars so surrogate halves can ONLY pair correctly
+      // when adjacent picks happen to align — exercising codePointAt
+      (i, String.valueOf(Array.fill(80)(pool(rnd.nextInt(pool.length)))))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val scripts = LanguageProfiles.scripts
+    val viaExpr = df.select(col("doc_id"),
+      GraftFunctions.codepointRangeCounts(
+        col("text"), TextAnalysis.scriptRangeTable).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaRegex = df.select(col("doc_id") +:
+        scripts.map(s => (length(col("text")) - length(regexp_replace(
+          col("text"), LanguageProfiles.javaCharClass(s), ""))).as(s.name)): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to scripts.size).map(r.getInt)).toMap
+    texts.foreach { case (id, _) =>
+      assert(viaExpr(id) == viaRegex(id), s"doc $id: ${viaExpr(id)} vs ${viaRegex(id)}")
+    }
+  }
 }
