@@ -114,6 +114,35 @@ class LanguageIdSpec extends SparkSpec {
     assert(got(2L) == ("latin", "und"))
   }
 
+  test("language ID runs on a stream statelessly, identical to the batch path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the cat and the dog went to the market because it was sunny"),
+      (2L, "der hund und die katze sind nicht mit dem zug gefahren"),
+      (3L, "он не знал что это было на самом деле и почему"),
+      (4L, "日本の子供たちは毎日学校で日本語を話します"))
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.languageIdNgram(
+        in.toDS().toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("lang_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "languageIdNgram must run without a stateful operator")
+      val streamed = spark.table("lang_sink").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+      val batch = classify(rows: _*)
+      assert(streamed == batch, s"$streamed\nvs\n$batch")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("lang_sink")
+    }
+  }
+
   test("single-pass codepoint counter == the 25 regex-strip counts the oracle replays (random mixed-script text)") {
     import graft.functions.GraftFunctions
     val pool = ("abcdefgh äöüßñç φλεω икифы الערב हिनदी 中文字漢 ひらカタ 한국어 ไทยลาว " +

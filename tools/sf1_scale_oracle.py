@@ -122,7 +122,7 @@ def main():
               "q107_line_dedup", "q110_cdc_chunks", "q109_overlap_matrix",
               "q117_chunk_store", "q81_semdedup", "q121_bpe_encode",
               "q122_tokenizer_index", "q123_quality_funnel",
-              "q136_clustering_coeff"):
+              "q136_clustering_coeff", "q144_lang_id_ngram"):
         short = q.split("_")[0]
         if base_from_engine:
             con.sql(f"CREATE TABLE base_{short} AS "
@@ -193,6 +193,14 @@ def main():
       FROM base_q110 b"""
 
     expected["q109_overlap_matrix"] = "SELECT * FROM base_q109"
+
+    # q144 language ID is a pure per-document projection: every replica
+    # carries the same text, so it gets the base row's (script, lang_pred)
+    # under the id shift — exercises the trigram batteries and the
+    # single-pass script counter at 10x cardinality.
+    expected["q144_lang_id_ngram"] = f"""
+      SELECT b.doc_id + r.r * {SHIFT} AS doc_id, b.script, b.lang_pred
+      FROM base_q144 b, reps r"""
 
     # q81 (group-first SemDeDup) is replication-INVARIANT like q109:
     # replicas carry bit-identical vectors, so the exact-vector collapse
