@@ -54,4 +54,33 @@ class KMeansSpec extends SparkSpec {
       assert(recall >= 0.6, s"recall@10 = $recall")
     } finally idx.unpersist()
   }
+  test("trainPerGroup == per-group train (one distributed pass per iteration, same centroids)") {
+    import spark.implicits._
+    // well-separated per-group clusters so seed ties and FP summation
+    // order (the only difference between the union pass and per-group
+    // passes) cannot flip an assignment
+    val rows = for {
+      g <- 0 until 3
+      c <- 0 until 2
+      i <- 0 until 12
+    } yield (g, Array.tabulate(4)(d =>
+      1000.0 * g + 100.0 * c + math.sin(g * 31 + c * 7 + i * 3 + d) * 0.1))
+    val df = rows.toDF("g", "v")
+    val grouped = KMeans.trainPerGroup(df, col("g"), col("v"), k = 2, iters = 3)
+    assert(grouped.keySet == Set(0, 1, 2))
+    (0 until 3).foreach { g =>
+      val solo = KMeans.train(df.filter(col("g") === g), col("v"), k = 2, iters = 3)
+      val got = grouped(g)
+      assert(got.length == solo.length, s"group $g: ${got.length} vs ${solo.length}")
+      got.zip(solo).foreach { case (a, b) =>
+        a.zip(b).foreach { case (x, y) =>
+          assert(math.abs(x - y) < 1e-9, s"group $g centroid drift: $x vs $y")
+        }
+      }
+    }
+    // a group with fewer than k rows keeps that many centroids
+    val tiny = Seq((0, Array(1.0, 2.0, 3.0, 4.0))).toDF("g", "v")
+    val one = KMeans.trainPerGroup(tiny, col("g"), col("v"), k = 4, iters = 2)
+    assert(one(0).length == 1)
+  }
 }
