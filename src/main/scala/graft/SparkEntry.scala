@@ -88,6 +88,9 @@ object SparkEntry {
     * re-measurement of q128's chosen serving point). */
   @volatile private[graft] var q138CentroidsOp: Option[Array[Array[Double]]] = None
 
+  /** q145's index centroids (the adaptive filtered-probe measurement). */
+  @volatile private[graft] var q145Centroids: Option[Array[Array[Double]]] = None
+
   /** The (plain-PQ baseline, OPQ) model pair trained by the last q141 run
     * — the controlled comparison replays BOTH from literals (the plain
     * model is an [[graft.operators.Opq.OpqModel]] with R = identity, so
@@ -2058,6 +2061,42 @@ object SparkEntry {
       graft.operators.TextAnalysis.languageIdNgram(
         table(s, dir, "documents"), col("doc_id"), col("text"))),
 
+    // Filter-aware probe widening at the operating point — the FIX for
+    // q138's measured hollow-cell effect (narrow filter: 0.70 recall at
+    // fixed nprobe=16). buildStats persists per-cell label histograms;
+    // searchFilteredAdaptive widens each query's probe set past the
+    // nprobe floor until the expected filter survivors reach the target
+    // (here the target exceeds the label's total corpus count, so the
+    // probe correctly degenerates to a full — i.e. filtered-brute —
+    // scan, recall 1.0: at ~10% selectivity that IS the cheapest correct
+    // plan, per the round-10 operational rule). The oracle replays the
+    // whole decision: histogram → ranked cumulative survivors → per-query
+    // depth → filtered top-k, all integer arithmetic.
+    "q145_adaptive_filtered" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+          to_json(struct(col("label"))).as("metadata"))
+      val idx = graft.operators.IvfIndex.buildTrained(cands, nlist = 32, iters = 3)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q145-ivf-").toString
+      val disk = idx.save(s, tmp)
+      idx.unpersist()
+      q145Centroids = Some(disk.centroids)
+      disk.buildStats("label")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .withColumn("filter",
+          concat(lit("""{"label": {"$eq": """), col("qid") % 10, lit("}}")))
+        .withColumn("top_k", lit(10).cast("int"))
+      val ref = graft.operators.Similarity.filteredTopKPerQuery(qs, cands)
+      def arm(name: String, cand: DataFrame) =
+        graft.operators.Evaluation.recallAtK(ref, cand)
+          .withColumn("arm", lit(name))
+      arm("fixed_np16", disk.searchFiltered(qs, nprobe = 16))
+        .unionByName(arm("adaptive_np16",
+          disk.searchFilteredAdaptive(qs, nprobe = 16, targetSurvivors = 50)))
+    }),
+
     // Water-filling budget allocation: cap every source at the common
     // waterline that makes total allocated char mass exactly meet the
     // budget — small sources keep everything, dominant ones are capped.
@@ -2251,7 +2290,8 @@ object SparkEntry {
     ("q141_opq_recall" -> q141OracleSql) +
     ("q129_bpe_pack" -> q129OracleSql) +
     ("q137_pagerank" -> q137OracleSql) +
-    ("q144_lang_id_ngram" -> q144OracleSql)
+    ("q144_lang_id_ngram" -> q144OracleSql) +
+    ("q145_adaptive_filtered" -> q145OracleSql)
 
   /** q137: the five fixed-point rounds unrolled — pure integer
     * arithmetic, so DuckDB replays the engine's ranks to the exact unit
@@ -5460,6 +5500,80 @@ object SparkEntry {
          |${armSql("pq_adc", "plarm")}
          |UNION ALL
          |${armSql("opq_adc", "oparm")}""".stripMargin
+  }
+
+  /** q145: the adaptive filtered-probe decision replayed end-to-end —
+    * per-cell label histogram from the captured-centroid assignment,
+    * ranked cumulative survivors per query, the widened depth
+    * (max(floor, first rank meeting the target), full probe when the
+    * target is unreachable), then the filtered top-k inside the probed
+    * prefix. All integer arithmetic up to the final cosine ranking, which
+    * follows q138's established replay.
+    */
+  private def q145OracleSql: String = q145Centroids match {
+    case None => unavailableOracle
+    case Some(cb) =>
+      def armSql(name: String, cte: String): String =
+        s"""SELECT '$name' AS arm, bf.qid,
+           |  CAST(COUNT(*) AS BIGINT) AS n_ref,
+           |  CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  ROUND(CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*), 4) + 0.0 AS recall
+           |FROM bf LEFT JOIN $cte a ON bf.qid = a.qid AND bf.nid = a.nid
+           |GROUP BY bf.qid""".stripMargin
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS MATERIALIZED (
+         |  SELECT vec_id AS nid, embedding::DOUBLE[] AS v, label
+         |  FROM embeddings WHERE vec_id >= 10),
+         |bf AS MATERIALIZED (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY list_cosine_similarity(qv, v) DESC, nid ASC) AS rnk
+         |    FROM q CROSS JOIN c WHERE label = qid % 10)
+         |  WHERE rnk <= 10),
+         |cent(tcell, cvec) AS (VALUES ${centroidValues(cb)}),
+         |assigned AS MATERIALIZED (
+         |  SELECT nid, v, label,
+         |    (SELECT tcell FROM cent
+         |     ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
+         |       tcell ASC LIMIT 1) AS tcell
+         |  FROM c),
+         |hist AS MATERIALIZED (
+         |  SELECT tcell, label, COUNT(*) AS s FROM assigned GROUP BY tcell, label),
+         |ranked AS MATERIALIZED (
+         |  SELECT qid, qv, tcell, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
+         |      tcell ASC) AS rn
+         |  FROM q CROSS JOIN cent),
+         |cum AS MATERIALIZED (
+         |  SELECT r.qid, r.tcell, r.rn,
+         |    SUM(COALESCE(h.s, 0)) OVER (PARTITION BY r.qid ORDER BY r.rn) AS cum
+         |  FROM ranked r LEFT JOIN hist h
+         |    ON h.tcell = r.tcell AND h.label = r.qid % 10),
+         |depth AS (
+         |  SELECT qid, CASE WHEN MAX(cum) < 50 THEN ${cb.length}
+         |    ELSE GREATEST(16, MIN(CASE WHEN cum >= 50 THEN rn END)) END AS d
+         |  FROM cum GROUP BY qid),
+         |arm_fixed AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT r.qid, a.nid, ROW_NUMBER() OVER (PARTITION BY r.qid
+         |      ORDER BY list_cosine_similarity(r.qv, a.v) DESC, a.nid ASC) AS rnk
+         |    FROM ranked r JOIN assigned a ON a.tcell = r.tcell
+         |    WHERE r.rn <= 16 AND a.label = r.qid % 10)
+         |  WHERE rnk <= 10),
+         |arm_adaptive AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT r.qid, a.nid, ROW_NUMBER() OVER (PARTITION BY r.qid
+         |      ORDER BY list_cosine_similarity(r.qv, a.v) DESC, a.nid ASC) AS rnk
+         |    FROM ranked r JOIN depth d ON d.qid = r.qid AND r.rn <= d.d
+         |    JOIN assigned a ON a.tcell = r.tcell
+         |    WHERE a.label = r.qid % 10)
+         |  WHERE rnk <= 10)
+         |${armSql("fixed_np16", "arm_fixed")}
+         |UNION ALL
+         |${armSql("adaptive_np16", "arm_adaptive")}""".stripMargin
   }
 
   /** q144: the language-ID decision replayed from the SAME static profile
