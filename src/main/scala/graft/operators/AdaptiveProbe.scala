@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared machinery for filter-aware probe widening over a cell-partitioned
+  * layout ([[DiskIvfIndex.searchFilteredAdaptive]] and the PQ twin): the
+  * per-cell metadata-value histogram sidecar and the per-query depth
+  * decision. One histogram format serves both layouts — the sidecar lives
+  * next to the codebook and is keyed only by `cell`, which both layouts
+  * partition by.
+  */
+private[operators] object AdaptiveProbe {
+
+  private[operators] val StatsFile = "_cell_stats.json"
+  private[operators] val FormatVersion = 1
+
+  /** One partial-aggregated scan → the `(cell, value) → count` histogram
+    * for `statsField` (a key inside the `metadata` JSON column), persisted
+    * as the format-stamped sidecar. Bounded by cells × distinct values —
+    * the field contract is LOW CARDINALITY (guarded at 65536 pairs). Rows
+    * whose metadata lacks the field count in neither histogram nor totals:
+    * the estimator UNDERCOUNTS survivors, which only widens the probe set
+    * (the safe direction).
+    */
+  def buildStats(
+      spark: SparkSession, dir: String, ncells: Int, statsField: String): Unit = {
+    val rows = spark.read.parquet(dir)
+      .groupBy(col("cell"),
+        get_json_object(col("metadata"), s"$$.$statsField").as("value"))
+      .count()
+      .filter(col("value").isNotNull)
+      .collect()
+    require(rows.length <= 65536,
+      s"cell stats for '$statsField' has ${rows.length} (cell, value) pairs " +
+        s"— the stats field must be low-cardinality")
+    val body = rows.groupBy(_.getAs[Int]("cell")).toSeq.sortBy(_._1)
+      .map { case (cell, rs) =>
+        val vals = rs.sortBy(_.getAs[String]("value"))
+          .map { r =>
+            val v = r.getAs[String]("value")
+            s""""${v.replace("\\", "\\\\").replace("\"", "\\\"")}": ${r.getAs[Long]("count")}"""
+          }.mkString("{", ", ", "}")
+        s""""$cell": $vals"""
+      }.mkString("{", ", ", "}")
+    LayoutMeta.write(spark, dir, StatsFile, FormatVersion,
+      s""""field": "$statsField", "ncells": $ncells, "stats": $body""")
+  }
+
+  /** `(field, per-cell totals, per-cell value→count)` from the sidecar.
+    * Refuses stats whose cell count no longer matches the codebook (a
+    * rebalance grew the layout — rebuild the histogram).
+    */
+  def loadStats(spark: SparkSession, dir: String, ncells: Int)
+      : (String, Map[Int, Long], Map[Int, Map[String, Long]]) = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val v = LayoutMeta.read(spark, dir, StatsFile, FormatVersion, "IVF cell-stats")
+    val field = (v \ "field").extract[String]
+    val statsCells = (v \ "ncells").extract[Int]
+    require(statsCells == ncells,
+      s"cell stats at $dir were built over $statsCells cells but the codebook " +
+        s"has $ncells — rebuild stats after rebalance (buildStats(\"$field\"))")
+    val stats: Map[Int, Map[String, Long]] = (v \ "stats") match {
+      case org.json4s.JObject(cells) => cells.map { case (c, vals) =>
+        c.toInt -> (vals match {
+          case org.json4s.JObject(vs) => vs.map {
+            case (value, org.json4s.JInt(n)) => value -> n.toLong
+            case (value, org.json4s.JLong(n)) => value -> n
+            case other => throw new IllegalArgumentException(s"bad stat: $other")
+          }.toMap
+          case other => throw new IllegalArgumentException(s"bad cell stats: $other")
+        })
+      }.toMap
+      case other => throw new IllegalArgumentException(s"bad stats file: $other")
+    }
+    (field, stats.map { case (c, vs) => c -> vs.values.sum }, stats)
+  }
+
+  /** The collected, depth-trimmed probe batch: per query, the full
+    * nearest-first cell ranking widened past the `nprobe` floor — never
+    * below it — until the histogram predicts `targetSurvivors` surviving
+    * candidates ($eq/$ne on the stats field estimated exactly; any other
+    * filter shape falls back to the floor), capped at a full probe.
+    * Returns the kept `(qid, qv, filter, top_k, cell)` rows plus their
+    * schema — integer arithmetic on the driver over a probe-cap-bounded
+    * batch; no extra cluster work.
+    */
+  def keptProbeRows(
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      dir: String,
+      nprobe: Int,
+      targetSurvivors: Int)
+      : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
+    val spark = queries.sparkSession
+    val (field, totals, stats) = loadStats(spark, dir, centroids.length)
+    val nlist = centroids.length
+    val rankedPlan = queries
+      .select(col("qid"), col("qvec").cast("array<double>").as("qv"),
+        col("filter"), col("top_k").cast("int").as("top_k"))
+      .select(col("qid"), col("qv"), col("filter"), col("top_k"),
+        posexplode(KMeans.probeCells(col("qv"), centroids, nlist)))
+      .withColumnsRenamed(Map("pos" -> "rank", "col" -> "cell"))
+    val rankedRows =
+      Similarity.collectProbeBatch(rankedPlan, "searchFilteredAdaptive")
+    def survivorsOf(filterJson: String): Option[Int => Long] = {
+      import org.json4s._
+      def lit(v: JValue): Option[String] = v match {
+        case JInt(i) => Some(i.toString)
+        case JLong(l) => Some(l.toString)
+        case JString(s) => Some(s)
+        case JBool(b) => Some(b.toString)
+        case JDouble(d) => Some(d.toString)
+        case _ => None
+      }
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(filterJson)).toOption.flatMap {
+        case JObject(List((f, JObject(List((op, v)))))) if f == field =>
+          lit(v).flatMap { value =>
+            op match {
+              case "$eq" => Some((c: Int) =>
+                stats.getOrElse(c, Map.empty).getOrElse(value, 0L))
+              case "$ne" => Some((c: Int) => totals.getOrElse(c, 0L) -
+                stats.getOrElse(c, Map.empty).getOrElse(value, 0L))
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    }
+    val kept = rankedRows.groupBy(_.getAs[Any]("qid")).values.flatMap { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val depth = survivorsOf(sorted.head.getAs[String]("filter")) match {
+        case None => math.min(nprobe, nlist)
+        case Some(surv) =>
+          var d = 0
+          var cum = 0L
+          while (d < sorted.length && (d < nprobe || cum < targetSurvivors)) {
+            cum += surv(sorted(d).getAs[Int]("cell"))
+            d += 1
+          }
+          d
+      }
+      sorted.take(depth)
+    }.toArray
+    (kept, rankedPlan.schema)
+  }
+}

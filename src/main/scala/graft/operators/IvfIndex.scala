@@ -284,55 +284,8 @@ final class DiskIvfIndex(
     * histogram nor the totals: the estimator UNDERCOUNTS survivors, which
     * can only widen the probe set (the safe direction).
     */
-  def buildStats(statsField: String): Unit = {
-    val rows = spark.read.parquet(dir)
-      .groupBy(col("cell"),
-        get_json_object(col("metadata"), s"$$.$statsField").as("value"))
-      .count()
-      .filter(col("value").isNotNull)
-      .collect()
-    require(rows.length <= 65536,
-      s"cell stats for '$statsField' has ${rows.length} (cell, value) pairs " +
-        s"— the stats field must be low-cardinality")
-    val body = rows.groupBy(_.getAs[Int]("cell")).toSeq.sortBy(_._1)
-      .map { case (cell, rs) =>
-        val vals = rs.sortBy(_.getAs[String]("value"))
-          .map { r =>
-            val v = r.getAs[String]("value")
-            s""""${v.replace("\\", "\\\\").replace("\"", "\\\"")}": ${r.getAs[Long]("count")}"""
-          }.mkString("{", ", ", "}")
-        s""""$cell": $vals"""
-      }.mkString("{", ", ", "}")
-    LayoutMeta.write(spark, dir, DiskIvfIndex.StatsFile, DiskIvfIndex.FormatVersion,
-      s""""field": "$statsField", "ncells": ${centroids.length}, "stats": $body""")
-  }
-
-  /** (field, per-cell totals, per-cell value→count) from `_cell_stats.json`. */
-  private lazy val cellStats: (String, Map[Int, Long], Map[Int, Map[String, Long]]) = {
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val v = LayoutMeta.read(spark, dir, DiskIvfIndex.StatsFile,
-      DiskIvfIndex.FormatVersion, "IVF cell-stats")
-    val field = (v \ "field").extract[String]
-    val ncells = (v \ "ncells").extract[Int]
-    require(ncells == centroids.length,
-      s"cell stats at $dir were built over $ncells cells but the codebook " +
-        s"has ${centroids.length} — rebuild stats after rebalance " +
-        s"(buildStats(\"$field\"))")
-    val stats: Map[Int, Map[String, Long]] = (v \ "stats") match {
-      case org.json4s.JObject(cells) => cells.map { case (c, vals) =>
-        c.toInt -> (vals match {
-          case org.json4s.JObject(vs) => vs.map {
-            case (value, org.json4s.JInt(n)) => value -> n.toLong
-            case (value, org.json4s.JLong(n)) => value -> n
-            case other => throw new IllegalArgumentException(s"bad stat: $other")
-          }.toMap
-          case other => throw new IllegalArgumentException(s"bad cell stats: $other")
-        })
-      }.toMap
-      case other => throw new IllegalArgumentException(s"bad stats file: $other")
-    }
-    (field, stats.map { case (c, vs) => c -> vs.values.sum }, stats)
-  }
+  def buildStats(statsField: String): Unit =
+    AdaptiveProbe.buildStats(spark, dir, centroids.length, statsField)
 
   /** [[searchFiltered]] with FILTER-AWARE probe depth — the answer to the
     * measured hollow-cell effect (BASELINE.md round 10: a ~10%-selectivity
@@ -357,62 +310,11 @@ final class DiskIvfIndex(
       nprobe: Int = 2,
       targetSurvivors: Int = 100): DataFrame = {
     val maxK = Similarity.maxTopK(queries)
-    val (field, totals, stats) = cellStats
-    val nlist = centroids.length
-    // full nearest-first ranking per query (queries × nlist — the probe
-    // cap guards batch size exactly as in searchFiltered's full-probe)
-    val rankedPlan = queries
-      .select(col("qid"), col("qvec").cast("array<double>").as("qv"),
-        col("filter"), col("top_k").cast("int").as("top_k"))
-      .select(col("qid"), col("qv"), col("filter"), col("top_k"),
-        posexplode(KMeans.probeCells(col("qv"), centroids, nlist)))
-      .withColumnsRenamed(Map("pos" -> "rank", "col" -> "cell"))
-    val rankedRows =
-      Similarity.collectProbeBatch(rankedPlan, "DiskIvfIndex.searchFilteredAdaptive")
-    // per-query depth from the histogram (driver-side integer arithmetic
-    // over ≤ batch × nlist collected rows)
-    def survivorsOf(filterJson: String): Option[Int => Long] = {
-      import org.json4s._
-      def lit(v: JValue): Option[String] = v match {
-        case JInt(i) => Some(i.toString)
-        case JLong(l) => Some(l.toString)
-        case JString(s) => Some(s)
-        case JBool(b) => Some(b.toString)
-        case JDouble(d) => Some(d.toString)
-        case _ => None
-      }
-      scala.util.Try(org.json4s.jackson.JsonMethods.parse(filterJson)).toOption.flatMap {
-        case JObject(List((f, JObject(List((op, v)))))) if f == field =>
-          lit(v).flatMap { value =>
-            op match {
-              case "$eq" => Some((c: Int) => stats.getOrElse(c, Map.empty).getOrElse(value, 0L))
-              case "$ne" => Some((c: Int) => totals.getOrElse(c, 0L) -
-                stats.getOrElse(c, Map.empty).getOrElse(value, 0L))
-              case _ => None
-            }
-          }
-        case _ => None
-      }
-    }
-    val byQuery = rankedRows.groupBy(_.getAs[Any]("qid"))
-    val kept = byQuery.values.flatMap { rows =>
-      val sorted = rows.sortBy(_.getAs[Int]("rank"))
-      val depth = survivorsOf(sorted.head.getAs[String]("filter")) match {
-        case None => math.min(nprobe, nlist)
-        case Some(surv) =>
-          var d = 0
-          var cum = 0L
-          while (d < sorted.length && (d < nprobe || cum < targetSurvivors)) {
-            cum += surv(sorted(d).getAs[Int]("cell"))
-            d += 1
-          }
-          d
-      }
-      sorted.take(depth)
-    }.toArray
+    val (kept, schema) = AdaptiveProbe.keptProbeRows(
+      queries, centroids, dir, nprobe, targetSurvivors)
     val probeSet = kept.map(_.getAs[Int]("cell")).distinct
     val probed = spark.createDataFrame(
-        java.util.Arrays.asList(kept: _*), rankedPlan.schema)
+        java.util.Arrays.asList(kept: _*), schema)
       .drop("rank")
     val cells = spark.read.parquet(dir)
       .filter(col("cell").isin(probeSet.map(Integer.valueOf): _*))
@@ -461,7 +363,6 @@ object DiskIvfIndex {
   }
 
   private val CentroidsFile = "_centroids.json"
-  private[operators] val StatsFile = "_cell_stats.json"
   private[graft] val FormatVersion = 1
 
   // the centroids file is the layout's completeness marker (written last

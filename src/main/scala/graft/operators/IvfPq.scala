@@ -310,6 +310,53 @@ final class DiskIvfPqIndex(
           codebooks.pq.m, prefix = Seq(col("coarse"))).as("score_raw"))
     Similarity.heapSelectPerQuery(scored, maxK)
   }
+
+  /** Persist the per-cell metadata histogram for filter-aware probing —
+    * [[DiskIvfIndex.buildStats]]'s contract over the PQ layout (the two
+    * layouts share the [[AdaptiveProbe]] sidecar format: both partition
+    * by `cell` and carry `metadata`).
+    */
+  def buildStats(statsField: String): Unit =
+    AdaptiveProbe.buildStats(spark, dir, codebooks.centroids.length, statsField)
+
+  /** [[searchFiltered]] with FILTER-AWARE probe depth —
+    * [[DiskIvfIndex.searchFilteredAdaptive]]'s contract over ADC scoring:
+    * the probe set widens past the `nprobe` floor until the
+    * [[buildStats]] histogram predicts `targetSurvivors` filter-surviving
+    * candidates (exactly for `$eq`/`$ne` on the stats field; other filter
+    * shapes fall back to the floor), capped at a full probe. The probed
+    * scan still reads `(nid, codes, metadata, cell)` only — widening the
+    * probe set multiplies CODE bytes, never raw-vector bytes, which is
+    * what makes deep adaptive probes affordable on the PQ layout at
+    * 100 TB (a full probe here costs ~m/dim·4 of the IVF one).
+    */
+  def searchFilteredAdaptive(
+      queries: DataFrame,
+      nprobe: Int = 2,
+      targetSurvivors: Int = 100): DataFrame = {
+    val maxK = Similarity.maxTopK(queries)
+    val (kept, schema) = AdaptiveProbe.keptProbeRows(
+      queries, codebooks.centroids, dir, nprobe, targetSurvivors)
+    val probeSet = kept.map(_.getAs[Int]("cell")).distinct
+    val centLit = typedlit(codebooks.centroids.map(_.toSeq).toSeq)
+    val probed = spark.createDataFrame(
+        java.util.Arrays.asList(kept: _*), schema)
+      .drop("rank")
+      .withColumn("coarse",
+        GraftFunctions.vecDot(col("qv"), element_at(centLit, col("cell") + 1)))
+      .withColumn("lut", ProductQuantization.adcTable(col("qv"), codebooks.pq))
+      .select(col("qid"), col("cell"), col("filter"), col("top_k"),
+        col("coarse"), col("lut"))
+    val cells = spark.read.parquet(dir)
+      .filter(col("cell").isin(probeSet.map(Integer.valueOf): _*))
+      .select(col("nid"), col("codes"), col("metadata"), col("cell"))
+    val scored = cells.join(broadcast(probed), "cell")
+      .filter(GraftFunctions.jsonFilterMatch(col("filter"), col("metadata")))
+      .select(col("qid"), col("top_k"), col("nid"),
+        ProductQuantization.adcLookupScore(col("lut"), col("codes"),
+          codebooks.pq.m, prefix = Seq(col("coarse"))).as("score_raw"))
+    Similarity.heapSelectPerQuery(scored, maxK)
+  }
 }
 
 object DiskIvfPqIndex {

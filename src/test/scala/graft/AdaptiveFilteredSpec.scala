@@ -76,6 +76,26 @@ class AdaptiveFilteredSpec extends SparkSpec {
       s"fixed nprobe=2 unexpectedly exact (recall $fixedRecall) — test needs a harder corpus")
   }
 
+  test("PQ layout: adaptive widening reaches the full-probe filtered ADC answer") {
+    import graft.operators.IvfPq
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-pq-").toString
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val pq = IvfPq.buildTrained(spark, cands, tmp, dim = dim,
+      nlist = 8, m = 4, k = 16, iters = 2)
+    pq.buildStats("label")
+    val qs = queries(narrowFilter)
+    // an unreachable target forces a full probe per query — adaptive must
+    // equal the full-probe filtered ADC search (NOT brute exact: the PQ
+    // path's yardstick is its own quantized scoring)
+    val full = keyed(pq.searchFiltered(qs, nprobe = 8))
+    val adaptive = keyed(pq.searchFilteredAdaptive(
+      qs, nprobe = 2, targetSurvivors = 1000000))
+    assert(adaptive == full,
+      s"missing ${full -- adaptive}, extra ${adaptive -- full}")
+    val fixed = keyed(pq.searchFiltered(qs, nprobe = 2))
+    assert(fixed != full, "nprobe=2 unexpectedly full — test needs a harder corpus")
+  }
+
   test("already-satisfied target and unsupported filters behave as the fixed floor") {
     val disk = buildDisk(nlist = 8)
     disk.buildStats("label")
