@@ -24,8 +24,16 @@ private[operators] object AdaptiveProbe {
     * (the safe direction).
     */
   def buildStats(
-      spark: SparkSession, dir: String, ncells: Int, statsField: String): Unit = {
-    val rows = spark.read.parquet(dir)
+      spark: SparkSession, dir: String, ncells: Int, statsField: String): Unit =
+    writeStats(spark, dir, ncells, statsField,
+      histogramOf(spark.read.parquet(dir), statsField))
+
+  /** `(cell, value) → count` over `df` (which must carry `cell` and the
+    * `metadata` JSON column). Bounded by cells × distinct values.
+    */
+  private def histogramOf(
+      df: DataFrame, statsField: String): Map[(Int, String), Long] = {
+    val rows = df
       .groupBy(col("cell"),
         get_json_object(col("metadata"), s"$$.$statsField").as("value"))
       .count()
@@ -34,17 +42,45 @@ private[operators] object AdaptiveProbe {
     require(rows.length <= 65536,
       s"cell stats for '$statsField' has ${rows.length} (cell, value) pairs " +
         s"— the stats field must be low-cardinality")
-    val body = rows.groupBy(_.getAs[Int]("cell")).toSeq.sortBy(_._1)
-      .map { case (cell, rs) =>
-        val vals = rs.sortBy(_.getAs[String]("value"))
-          .map { r =>
-            val v = r.getAs[String]("value")
-            s""""${v.replace("\\", "\\\\").replace("\"", "\\\"")}": ${r.getAs[Long]("count")}"""
+    rows.map(r => (r.getAs[Int]("cell"), r.getAs[String]("value")) ->
+      r.getAs[Long]("count")).toMap
+  }
+
+  private def writeStats(
+      spark: SparkSession, dir: String, ncells: Int, statsField: String,
+      hist: Map[(Int, String), Long]): Unit = {
+    val body = hist.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
+      .map { case (cell, entries) =>
+        val vals = entries.sortBy(_._1._2)
+          .map { case ((_, v), n) =>
+            s""""${v.replace("\\", "\\\\").replace("\"", "\\\"")}": $n"""
           }.mkString("{", ", ", "}")
         s""""$cell": $vals"""
       }.mkString("{", ", ", "}")
     LayoutMeta.write(spark, dir, StatsFile, FormatVersion,
       s""""field": "$statsField", "ncells": $ncells, "stats": $body""")
+  }
+
+  /** Keep the sidecar truthful across [[DiskIvfIndex.append]]-style batch
+    * appends: merge the batch's histogram into the stored one (one
+    * aggregate over the BATCH, never a layout rescan). No-op when the
+    * layout has no sidecar, or when the batch carries no `metadata`
+    * column — then the appended rows simply stay uncounted, which
+    * UNDERCOUNTS survivors and can only widen probes (the safe
+    * direction). Single-writer, like every other mutation of these
+    * layouts.
+    */
+  def mergeStatsOnAppend(
+      spark: SparkSession, dir: String, ncells: Int, assignedBatch: DataFrame): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$StatsFile")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path) || !assignedBatch.columns.contains("metadata")) return
+    val (field, _, stats) = loadStats(spark, dir, ncells)
+    val flat = for ((c, vs) <- stats; (v, n) <- vs) yield (c, v) -> n
+    val merged = histogramOf(assignedBatch, field).foldLeft(flat.toMap) {
+      case (acc, (k, n)) => acc.updated(k, acc.getOrElse(k, 0L) + n)
+    }
+    writeStats(spark, dir, ncells, field, merged)
   }
 
   /** `(field, per-cell totals, per-cell value→count)` from the sidecar.

@@ -172,12 +172,17 @@ final class DiskIvfIndex(
     * drifts as the data distribution shifts; retrain + re-layout when
     * recall sags (the classic IVF maintenance trade).
     */
-  def append(newCandidates: DataFrame): Unit =
-    newCandidates
+  def append(newCandidates: DataFrame): Unit = {
+    val assigned = newCandidates
       .select(col("nid") +: col("nvec").cast("array<double>").as("v") +:
         IvfIndex.carried(newCandidates): _*)
       .withColumn("cell", KMeans.assignCell(col("v"), centroids))
-      .write.mode("append").partitionBy("cell").parquet(dir)
+    assigned.write.mode("append").partitionBy("cell").parquet(dir)
+    // stats merge (sidecar present only) re-aggregates the lazy batch
+    // plan — one extra batch pass beats pinning the batch in memory for
+    // the common no-sidecar append
+    AdaptiveProbe.mergeStatsOnAppend(spark, dir, centroids.length, assigned)
+  }
 
   /** Partition-local index maintenance — the operator [[append]]'s doc
     * promises ("retrain + re-layout when recall sags"), without the

@@ -193,14 +193,17 @@ final class DiskIvfPqIndex(
     val base = newCandidates.select(
       col("nid") +: col("nvec").cast("array<double>").as("v") +:
         IvfIndex.carried(newCandidates): _*)
-    base
+    val encoded = base
       .withColumn("cell", KMeans.assignCell(col("v"), codebooks.centroids))
       .withColumn("resid",
         zip_with(col("v"), element_at(centLit, col("cell") + 1), (a, b) => a - b))
       .select(col("nid") +: col("v") +:
         ProductQuantization.encode(col("resid"), codebooks.pq).as("codes") +:
         IvfIndex.carried(base) :+ col("cell"): _*)
-      .write.mode("append").partitionBy("cell").parquet(dir)
+    encoded.write.mode("append").partitionBy("cell").parquet(dir)
+    // stats merge (sidecar present only) re-aggregates the lazy batch plan
+    AdaptiveProbe.mergeStatsOnAppend(
+      spark, dir, codebooks.centroids.length, encoded)
   }
 
   /** Partition-local maintenance for the PQ layout — [[DiskIvfIndex.rebalance]]'s

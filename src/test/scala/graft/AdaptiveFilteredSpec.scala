@@ -76,6 +76,33 @@ class AdaptiveFilteredSpec extends SparkSpec {
       s"fixed nprobe=2 unexpectedly exact (recall $fixedRecall) — test needs a harder corpus")
   }
 
+  test("append merges into the stats sidecar, so adaptive stays exact over appended rows") {
+    val half = emb.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+        to_json(struct(col("label"))).as("metadata"))
+    val rest = emb.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+        to_json(struct(col("label"))).as("metadata"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-app-").toString
+    val idx = IvfIndex.buildTrained(half, nlist = 8, iters = 2)
+    val disk = idx.save(spark, tmp)
+    idx.unpersist()
+    disk.buildStats("label")
+    disk.append(rest)
+    // the merged histogram must count the whole layout — totals equal a
+    // fresh rebuild's
+    def sidecar() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/_cell_stats.json")), "UTF-8")
+    val merged = sidecar()
+    disk.buildStats("label")
+    assert(merged == sidecar(),
+      "append-merged stats differ from a fresh rebuild over the same rows")
+    // and the widened search over the full layout is exact
+    val qs = queries(narrowFilter)
+    assert(keyed(disk.searchFilteredAdaptive(qs, nprobe = 2, targetSurvivors = 50))
+      == keyed(Similarity.filteredTopKPerQuery(qs, cands)))
+  }
+
   test("PQ layout: adaptive widening reaches the full-probe filtered ADC answer") {
     import graft.operators.IvfPq
     val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-pq-").toString
