@@ -151,14 +151,21 @@ private[operators] object AdaptiveProbe {
       }
       scala.util.Try(org.json4s.jackson.JsonMethods.parse(filterJson)).toOption.flatMap {
         case JObject(List((f, JObject(List((op, v)))))) if f == field =>
-          lit(v).flatMap { value =>
-            op match {
-              case "$eq" => Some((c: Int) =>
+          (op, v) match {
+            case ("$eq", _) => lit(v).map(value => (c: Int) =>
+              stats.getOrElse(c, Map.empty).getOrElse(value, 0L))
+            case ("$ne", _) => lit(v).map(value => (c: Int) =>
+              totals.getOrElse(c, 0L) -
                 stats.getOrElse(c, Map.empty).getOrElse(value, 0L))
-              case "$ne" => Some((c: Int) => totals.getOrElse(c, 0L) -
-                stats.getOrElse(c, Map.empty).getOrElse(value, 0L))
-              case _ => None
-            }
+            case ("$in", JArray(vs)) =>
+              val lits = vs.map(lit)
+              if (lits.exists(_.isEmpty)) None
+              else {
+                val values = lits.flatten
+                Some((c: Int) => values
+                  .map(stats.getOrElse(c, Map.empty).getOrElse(_, 0L)).sum)
+              }
+            case _ => None
           }
         case _ => None
       }

@@ -137,4 +137,17 @@ class AdaptiveFilteredSpec extends SparkSpec {
     assert(keyed(disk.searchFilteredAdaptive(range, nprobe = 3, targetSurvivors = 100000))
       == keyed(disk.searchFiltered(range, nprobe = 3)))
   }
+
+  test("$in filters estimate as the sum of member counts and widen to the exact answer") {
+    val disk = buildDisk(nlist = 8)
+    disk.buildStats("label")
+    val inFilter = queries(concat(lit("""{"label": {"$in": ["""),
+      col("qid") % 10, lit(", "), (col("qid") + 3) % 10, lit("]}}")))
+    val exact = keyed(Similarity.filteredTopKPerQuery(inFilter, cands))
+    // ~20% selectivity: an unreachable target forces the full filtered probe
+    val adaptive = keyed(disk.searchFilteredAdaptive(
+      inFilter, nprobe = 2, targetSurvivors = 1000000))
+    assert(adaptive == exact,
+      s"missing ${exact -- adaptive}, extra ${adaptive -- exact}")
+  }
 }
