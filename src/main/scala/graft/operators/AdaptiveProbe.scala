@@ -75,12 +75,18 @@ private[operators] object AdaptiveProbe {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$StatsFile")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path) || !assignedBatch.columns.contains("metadata")) return
-    val (field, _, stats) = loadStats(spark, dir, ncells)
-    val flat = for ((c, vs) <- stats; (v, n) <- vs) yield (c, v) -> n
-    val merged = histogramOf(assignedBatch, field).foldLeft(flat.toMap) {
-      case (acc, (k, n)) => acc.updated(k, acc.getOrElse(k, 0L) + n)
+    // a STALE sidecar (built before a rebalance grew the codebook) must
+    // not fail the append — the layout mutation is the primary operation.
+    // Leave the stale file in place: search-time loadStats keeps refusing
+    // it with the rebuild instruction, exactly as before the append.
+    val stale = scala.util.Try(loadStats(spark, dir, ncells))
+    stale.toOption.foreach { case (field, _, stats) =>
+      val flat = for ((c, vs) <- stats; (v, n) <- vs) yield (c, v) -> n
+      val merged = histogramOf(assignedBatch, field).foldLeft(flat.toMap) {
+        case (acc, (k, n)) => acc.updated(k, acc.getOrElse(k, 0L) + n)
+      }
+      writeStats(spark, dir, ncells, field, merged)
     }
-    writeStats(spark, dir, ncells, field, merged)
   }
 
   /** `(field, per-cell totals, per-cell value→count)` from the sidecar.

@@ -103,6 +103,24 @@ class AdaptiveFilteredSpec extends SparkSpec {
       == keyed(Similarity.filteredTopKPerQuery(qs, cands)))
   }
 
+  test("append succeeds over a stale sidecar (post-rebalance); search keeps refusing until rebuild") {
+    val disk = buildDisk(nlist = 2)
+    disk.buildStats("label")
+    val maxCell = spark.read.parquet(disk.dir).groupBy("cell").count()
+      .agg(max("count")).head().getLong(0)
+    val rebal = disk.rebalance(maxCellRows = math.max(1L, maxCell - 1), kSplit = 2, iters = 1)
+    // the layout mutation must not die on the stale histogram
+    rebal.append(emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 5000000L).as("nid"), col("embedding").as("nvec"),
+        to_json(struct(col("label"))).as("metadata")))
+    val e = intercept[IllegalArgumentException] {
+      rebal.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2)
+    }
+    assert(e.getMessage.contains("rebuild stats"), e.getMessage)
+    rebal.buildStats("label")
+    assert(rebal.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2).count() > 0)
+  }
+
   test("PQ layout: adaptive widening reaches the full-probe filtered ADC answer") {
     import graft.operators.IvfPq
     val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-pq-").toString
