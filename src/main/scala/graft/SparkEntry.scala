@@ -5609,7 +5609,8 @@ object SparkEntry {
       .map(s => s"WHEN ${sq(s.name)} THEN ${sq(s.default)}")
       .mkString(" ")
     s"""WITH d AS MATERIALIZED (
-       |  SELECT doc_id, ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g')) || ' ' AS t
+       |  SELECT doc_id,
+       |    ' ' || lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')) || ' ' AS t
        |  FROM documents),
        |counts AS MATERIALIZED (
        |  SELECT doc_id, t,

@@ -120,8 +120,13 @@ object TextAnalysis {
 
   def languageIdNgram(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     import LanguageProfiles._
+    // null-safe: a null text classifies as ("none", "und") instead of
+    // poisoning the count structs with null fields
     val t0 = df.select(idCol.as("doc_id"),
-      concat(lit(" "), lower(regexp_replace(textCol, """\s+""", " ")), lit(" ")).as("t"))
+      concat(lit(" "),
+        lower(regexp_replace(coalesce(textCol.cast("string"), lit("")),
+          """\s+""", " ")),
+        lit(" ")).as("t"))
     val counted = t0
       .withColumn("sc",
         graft.functions.GraftFunctions.codepointRangeCounts(col("t"), scriptRangeTable))

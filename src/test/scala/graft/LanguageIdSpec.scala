@@ -108,10 +108,21 @@ class LanguageIdSpec extends SparkSpec {
     assert(got(3L)._2 == "ur", got(3L).toString)
   }
 
-  test("numbers-and-punctuation-only text is und; Latin text with no battery hits is und") {
+  test("numbers-and-punctuation-only text is und; Latin text with no battery hits is und; null text is und") {
     val got = classify(1L -> "12345 !!! ??? 678", 2L -> "zzzz qqqq xxxx")
     assert(got(1L) == ("none", "und"))
     assert(got(2L) == ("latin", "und"))
+    val withNull = TextAnalysis.languageIdNgram(
+        spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(9L, null)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))),
+        col("doc_id"), col("text"))
+      .collect().head
+    assert((withNull.getString(1), withNull.getString(2)) == ("none", "und"))
   }
 
   test("language ID runs on a stream statelessly, identical to the batch path") {
