@@ -68,6 +68,15 @@ class LanguageIdSpec extends SparkSpec {
       6L -> "fi", 7L -> "sw"), got.toString)
   }
 
+  test("Nordic trio separates on its real discriminators (af/av, efter/etter)") {
+    val got = classify(
+      1L -> "och det som är en stor dag för de som inte har ett hem men var glada",
+      2L -> "og det er ikke en stor dag efter alt der skete af mange grunde for ham",
+      3L -> "og det er ikke en stor dag etter alt som skjedde av mange grunner for han")
+    assert(got.view.mapValues(_._2).toMap == Map(1L -> "sv", 2L -> "da", 3L -> "no"),
+      got.toString)
+  }
+
   test("Cyrillic battery + script-only families + CJK rules") {
     val cyrI = "і"
     val got = classify(
