@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output passes through UNPREFIXED (no "[info] "/"[error] "
+// decoration): the bench driver parses the totals JSON line from a bounded
+// stdout tail, and sbt's default LoggedOutput both prefixes every line and
+// routes the child's stderr at error level — which buried the JSON line
+// behind decorated log noise (BENCH_r10 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -44,7 +44,10 @@ object Bench {
     // A failed query must never benchmark as a fast success: surface it
     // (stderr + the `failed` JSON field, timed as -1) instead of letting it
     // silently deflate the total.
-    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // Returns (wall secs, ok, build secs) — build is the harness queries'
+    // eager index-construction time (SparkEntry.timedBuild registry; None
+    // for ordinary queries), so the sidecar can split build vs serve.
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Option[Double]) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -52,25 +55,27 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok,
+        Option(SparkEntry.buildSecs.get(name)).map(_.toDouble))
     }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     val first = queries.map { case (name, fn) =>
-      val (t, ok) = timeOne(name, fn); (name, fn, t, ok)
+      val (t, ok, b) = timeOne(name, fn); (name, fn, t, ok, b)
     }
 
     // Outlier retry: anything far above the suite median is more likely a
     // host window than a plan; measure again, keep the minimum. The median
     // is over SUCCESSFUL runs only — a fast failure would deflate it and
     // trigger spurious retries of healthy queries.
-    val succTimes = first.collect { case (_, _, t, true) => t }.sorted
+    val succTimes = first.collect { case (_, _, t, true, _) => t }.sorted
     val med = if (succTimes.isEmpty) 0.0 else succTimes(succTimes.length / 2)
-    val results = first.map { case (name, fn, t, ok) =>
+    val results = first.map { case (name, fn, t, ok, b) =>
       if (ok && t > math.max(3.0, 5.0 * med)) {
-        val (t2, ok2) = timeOne(name, fn)
-        (name, if (ok2) math.min(t, t2) else t, ok)
-      } else (name, t, ok)
+        val (t2, ok2, b2) = timeOne(name, fn)
+        // keep the build figure of whichever run is reported
+        if (ok2 && t2 < t) (name, t2, ok, b2) else (name, t, ok, b)
+      } else (name, t, ok, b)
     }
     val probeAfter = schedProbeMs()
 
@@ -80,15 +85,19 @@ object Bench {
     // goes to a sidecar file and the captured line carries only totals.
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val failed = results.collect { case (k, _, false) => k }
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) r3(v) else "-1") }
+    val failed = results.collect { case (k, _, false, _) => k }
+    val qs = results.map { case (k, v, ok, _) => s"\"" + k + "\":" + (if (ok) r3(v) else "-1") }
       .mkString("{", ",", "}")
+    // harness queries' index-build seconds (serve_s = queries[k] - build_s[k])
+    val builds = results.collect { case (k, _, true, Some(b)) =>
+      s"\"" + k + "\":" + r3(b)
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
     val n = results.count(_._3)
     val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
     val sidecar = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$n,""" +
-      s""""queries":$qs,"failed":$failedJson,""" +
+      s""""queries":$qs,"build_s":$builds,"failed":$failedJson,""" +
       s""""sched_probe_ms":[$probeBefore,$probeAfter],"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(perQueryPath),
       sidecar.getBytes("UTF-8"))

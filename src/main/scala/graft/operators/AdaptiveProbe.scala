@@ -15,6 +15,32 @@ private[operators] object AdaptiveProbe {
   private[operators] val StatsFile = "_cell_stats.json"
   private[operators] val FormatVersion = 1
 
+  /** JSON string-body escape: backslash, quote, and control characters
+    * (U+0000–U+001F as \\uXXXX) — a metadata value containing a newline
+    * must not produce a sidecar every later [[loadStats]] rejects.
+    */
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** The stats field is interpolated into both the sidecar JSON and the
+    * `get_json_object` JSONPath — restrict it to the identifier charset
+    * so neither embedding can be broken or redirected.
+    */
+  private def validField(statsField: String): String = {
+    require(statsField.nonEmpty && statsField.forall(c =>
+      c.isLetterOrDigit && c < 128 || c == '_'),
+      s"stats field must be a simple identifier ([A-Za-z0-9_]+), got '$statsField'")
+    statsField
+  }
+
   /** One partial-aggregated scan → the `(cell, value) → count` histogram
     * for `statsField` (a key inside the `metadata` JSON column), persisted
     * as the format-stamped sidecar. Bounded by cells × distinct values —
@@ -35,7 +61,7 @@ private[operators] object AdaptiveProbe {
       df: DataFrame, statsField: String): Map[(Int, String), Long] = {
     val rows = df
       .groupBy(col("cell"),
-        get_json_object(col("metadata"), s"$$.$statsField").as("value"))
+        get_json_object(col("metadata"), s"$$.${validField(statsField)}").as("value"))
       .count()
       .filter(col("value").isNotNull)
       .collect()
@@ -52,13 +78,12 @@ private[operators] object AdaptiveProbe {
     val body = hist.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
       .map { case (cell, entries) =>
         val vals = entries.sortBy(_._1._2)
-          .map { case ((_, v), n) =>
-            s""""${v.replace("\\", "\\\\").replace("\"", "\\\"")}": $n"""
-          }.mkString("{", ", ", "}")
+          .map { case ((_, v), n) => s""""${jsonStr(v)}": $n""" }
+          .mkString("{", ", ", "}")
         s""""$cell": $vals"""
       }.mkString("{", ", ", "}")
     LayoutMeta.write(spark, dir, StatsFile, FormatVersion,
-      s""""field": "$statsField", "ncells": $ncells, "stats": $body""")
+      s""""field": "${validField(statsField)}", "ncells": $ncells, "stats": $body""")
   }
 
   /** Keep the sidecar truthful across [[DiskIvfIndex.append]]-style batch
@@ -70,6 +95,25 @@ private[operators] object AdaptiveProbe {
     * direction). Single-writer, like every other mutation of these
     * layouts.
     */
+  /** Pin the assigned batch before an append WRITES it, iff a stats
+    * sidecar exists (and the batch carries `metadata` — otherwise the
+    * merge below is a no-op anyway): [[mergeStatsOnAppend]] re-reads the
+    * batch AFTER the rows are durable, and an unpinned lazy plan that is
+    * non-deterministic or derives from the layout directory itself could
+    * recompute a DIFFERENT histogram than the written rows — an OVERcount,
+    * which narrows probes and breaks the undercount-only invariant.
+    * `localCheckpoint` materializes exactly the rows the write will ship;
+    * the extra cost is paid only on the (rare) sidecar-present append.
+    */
+  def pinIfStatsPresent(
+      spark: SparkSession, dir: String, assignedBatch: DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$StatsFile")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && assignedBatch.columns.contains("metadata"))
+      assignedBatch.localCheckpoint()
+    else assignedBatch
+  }
+
   def mergeStatsOnAppend(
       spark: SparkSession, dir: String, ncells: Int, assignedBatch: DataFrame): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$StatsFile")
@@ -85,6 +129,14 @@ private[operators] object AdaptiveProbe {
       val merged = histogramOf(assignedBatch, field).foldLeft(flat.toMap) {
         case (acc, (k, n)) => acc.updated(k, acc.getOrElse(k, 0L) + n)
       }
+      // re-apply the build-time cardinality guard: the batch can introduce
+      // new values. The rows are already durable and the old sidecar stays
+      // in place (stale = undercount = safe), so failing HERE loses nothing.
+      require(merged.size <= 65536,
+        s"appending this batch would grow cell stats for '$field' to " +
+          s"${merged.size} (cell, value) pairs (cap 65536) — the rows were " +
+          s"appended and the sidecar left unmerged (stale, undercount-safe); " +
+          s"rebuild stats on a lower-cardinality field")
       writeStats(spark, dir, ncells, field, merged)
     }
   }
@@ -121,8 +173,9 @@ private[operators] object AdaptiveProbe {
   /** The collected, depth-trimmed probe batch: per query, the full
     * nearest-first cell ranking widened past the `nprobe` floor — never
     * below it — until the histogram predicts `targetSurvivors` surviving
-    * candidates ($eq/$ne on the stats field estimated exactly; any other
-    * filter shape falls back to the floor), capped at a full probe.
+    * candidates ($eq/$ne/$in/$lt/$lte/$gt/$gte on the stats field
+    * estimated exactly; any other filter shape falls back to the floor),
+    * capped at a full probe.
     * Returns the kept `(qid, qv, filter, top_k, cell)` rows plus their
     * schema — integer arithmetic on the driver over a probe-cap-bounded
     * batch; no extra cluster work.
@@ -167,10 +220,42 @@ private[operators] object AdaptiveProbe {
               val lits = vs.map(lit)
               if (lits.exists(_.isEmpty)) None
               else {
-                val values = lits.flatten
+                // distinct: {"$in": [3, 3]} must not double-count (an
+                // overcount would widen LESS than needed — unsafe)
+                val values = lits.flatten.distinct
                 Some((c: Int) => values
                   .map(stats.getOrElse(c, Map.empty).getOrElse(_, 0L)).sum)
               }
+            case ("$lt" | "$lte" | "$gt" | "$gte", _) =>
+              // Range estimation is the same exact sum arithmetic as $in,
+              // over the histogram keys the comparison admits. It mirrors
+              // FilterCompiler's JSON-mode semantics exactly: a NUMERIC
+              // literal compares against `cast(value as double)` (a
+              // non-numeric stored value casts to null and fails the real
+              // filter — skipping it here matches, not just undercounts);
+              // a STRING literal compares the raw extracted strings.
+              val sign: Int => Boolean = op match {
+                case "$lt" => _ < 0
+                case "$lte" => _ <= 0
+                case "$gt" => _ > 0
+                case "$gte" => _ >= 0
+              }
+              val admits: Option[String => Boolean] = v match {
+                case JInt(_) | JLong(_) | JDouble(_) =>
+                  val d = v match {
+                    case JInt(i) => i.toDouble
+                    case JLong(l) => l.toDouble
+                    case JDouble(x) => x
+                    case _ => Double.NaN
+                  }
+                  Some(s => s.toDoubleOption
+                    .exists(x => sign(java.lang.Double.compare(x, d))))
+                case JString(strLit) => Some(s => sign(s.compareTo(strLit)))
+                case _ => None
+              }
+              admits.map(p => (c: Int) =>
+                stats.getOrElse(c, Map.empty)
+                  .collect { case (value, n) if p(value) => n }.sum)
             case _ => None
           }
         case _ => None

@@ -147,19 +147,27 @@ object Dedup {
     * component = the group's minimum id — , trained centroids)`; the
     * centroids let the correctness oracle replay the blocking.
     *
-    * The collapse always happens — block sizes and the `maxBlockSize`
-    * oversize guard must count DISTINCT vectors, never duplicate
-    * multiplicity, or a block whose row count exceeds the cap only
-    * because of exact copies would be dropped (losing pairs the collapse
-    * merges unconditionally). The only data-dependent choice is whether
-    * the rep table is `localCheckpoint`ed: on a duplicate-heavy corpus the
-    * collapse shrinks the frame (a 10×-replicated corpus measured 1.12×
-    * intermediates vs 6–7× for the pair form) and materializing it pays
-    * across the Lloyd passes and verify joins; on an almost-all-distinct
-    * corpus the rep table is nearly the full corpus and checkpointing it
-    * buys nothing. One cheap `approx_count_distinct / count` probe
-    * decides — its ~5% error can only flip this caching knob, never the
-    * result.
+    * The collapse always happens SEMANTICALLY — block sizes and the
+    * `maxBlockSize` oversize guard must count DISTINCT vectors, never
+    * duplicate multiplicity, or a block whose row count exceeds the cap
+    * only because of exact copies would be dropped (losing pairs the
+    * collapse merges unconditionally). What is data-dependent is the PLAN
+    * SHAPE that builds the identical rep table, decided by one cheap
+    * `approx_count_distinct / count` probe (its ~5% error can only flip
+    * this plan knob, never the result):
+    *
+    *   - NEAR-DISTINCT corpus (ratio above `collapseSkipRatio`): a
+    *     hash-only `groupBy(k).count` finds the duplicate classes first
+    *     (8-byte rows through the shuffle), vectors collapse ONLY for the
+    *     `count > 1` classes, and the untouched distinct rows union in as
+    *     their own representatives — so a corpus with zero duplicates
+    *     never ships a vector payload through a shuffle here (the
+    *     round-10 q81 regression was exactly that corpus-wide shuffle);
+    *   - DUPLICATE-HEAVY corpus: the single groupBy-collapse shuffle
+    *     genuinely shrinks the frame (a 10×-replicated corpus measured
+    *     1.12× intermediates vs 6–7× for the pair form) and the shrunken
+    *     rep table is `localCheckpoint`ed for the Lloyd passes and
+    *     verify joins that re-read it.
     */
   def semDeDupGroups(
       df: DataFrame,
@@ -176,25 +184,45 @@ object Dedup {
     val base = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
     val keyed = base.withColumn("k", xxhash64(col("v")))
     // distinct-ratio probe: one partial-aggregated scan of (id, hash) —
-    // never the vector payloads — deciding whether the collapse pays
+    // never the vector payloads — deciding the PLAN SHAPE below. Its ~5%
+    // error can only flip a caching/shuffle knob, never the result: both
+    // shapes elect the identical (k, rep, v) table.
     val probe = keyed.agg(
       count(lit(1)).as("n"), approx_count_distinct(col("k")).as("nd")).head()
     val distinctRatio =
       if (probe.getLong(0) == 0L) 1.0
       else probe.getLong(1).toDouble / probe.getLong(0).toDouble
-    // One partial-aggregated groupBy elects the representative AND carries
-    // its vector (min_by picks the min-id row's v — identical within a
-    // hash class), so no join-back is needed to build the rep table.
-    // localCheckpoint (the CC lineage-cut precedent) materializes ONLY
-    // the distinct-vector rows — the frame every Lloyd pass, the
-    // probe/verify joins, and the attach all re-read — but only when the
-    // collapse actually shrank the frame (duplicate-heavy corpus); on an
-    // almost-all-distinct corpus the rep table is ~the full corpus and
-    // materializing it would cost memory for no reuse win.
-    val repsPlan = keyed.groupBy("k")
-      .agg(min(col("id")).as("rep"), min_by(col("v"), col("id")).as("v"))
     val reps =
-      if (distinctRatio > collapseSkipRatio) repsPlan else repsPlan.localCheckpoint()
+      if (distinctRatio > collapseSkipRatio) {
+        // NEAR-DISTINCT corpus (the common crawl-after-exact-dedup case):
+        // an unconditional groupBy-collapse would ship EVERY vector
+        // through a shuffle to collapse almost nothing. Instead find the
+        // duplicate hash classes with a hash-only aggregate (8-byte rows),
+        // collapse vectors ONLY for those (usually tiny — AQE broadcasts
+        // the checkpointed key set into both joins, so the distinct rows
+        // never shuffle), and pass the untouched distinct rows through as
+        // their own representatives (a singleton class's min id IS its id).
+        val dupKeys = keyed.groupBy("k")
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+          .select("k").localCheckpoint()
+        val dupReps = keyed.join(dupKeys, Seq("k"), "left_semi")
+          .groupBy("k")
+          .agg(min(col("id")).as("rep"), min_by(col("v"), col("id")).as("v"))
+        val singletonReps = keyed.join(dupKeys, Seq("k"), "left_anti")
+          .select(col("k"), col("id").as("rep"), col("v"))
+        dupReps.unionByName(singletonReps)
+      } else {
+        // DUPLICATE-HEAVY corpus: the collapse genuinely shrinks the frame,
+        // so one partial-aggregated groupBy electing the representative AND
+        // carrying its vector (min_by picks the min-id row's v — identical
+        // within a hash class) is the right single-shuffle plan, and
+        // localCheckpoint (the CC lineage-cut precedent) materializes the
+        // shrunken rep table every Lloyd pass, probe/verify join, and the
+        // attach re-read.
+        keyed.groupBy("k")
+          .agg(min(col("id")).as("rep"), min_by(col("v"), col("id")).as("v"))
+          .localCheckpoint()
+      }
     val repRows = reps.select(col("rep").as("id"), col("v"))
     val (pairs, centroids) = cosineNearDupAuto(
       repRows, col("id"), col("v"), threshold, nlist, nprobe, iters, maxBlockSize)

@@ -173,14 +173,16 @@ final class DiskIvfIndex(
     * recall sags (the classic IVF maintenance trade).
     */
   def append(newCandidates: DataFrame): Unit = {
-    val assigned = newCandidates
+    val assignedPlan = newCandidates
       .select(col("nid") +: col("nvec").cast("array<double>").as("v") +:
         IvfIndex.carried(newCandidates): _*)
       .withColumn("cell", KMeans.assignCell(col("v"), centroids))
+    // sidecar present ⇒ pin the batch BEFORE the write, so the stats merge
+    // counts exactly the rows that became durable (a lazy plan re-executed
+    // after the append could overcount — the unsafe direction); the common
+    // no-sidecar append keeps the plain one-pass lazy plan
+    val assigned = AdaptiveProbe.pinIfStatsPresent(spark, dir, assignedPlan)
     assigned.write.mode("append").partitionBy("cell").parquet(dir)
-    // stats merge (sidecar present only) re-aggregates the lazy batch
-    // plan — one extra batch pass beats pinning the batch in memory for
-    // the common no-sidecar append
     AdaptiveProbe.mergeStatsOnAppend(spark, dir, centroids.length, assigned)
   }
 
@@ -299,9 +301,10 @@ final class DiskIvfIndex(
     * probe set WIDENS past the `nprobe` floor — never narrows below it —
     * until the expected number of filter-surviving candidates (from the
     * [[buildStats]] histogram) reaches `targetSurvivors`, capped at a full
-    * probe. Selectivity estimation supports `$eq`/`$ne` on the stats
-    * field exactly; any other filter shape falls back to the fixed floor
-    * (= plain [[searchFiltered]] behavior). Stale stats after appends
+    * probe. Selectivity estimation supports `$eq`/`$ne`/`$in` and the
+    * range operators `$lt`/`$lte`/`$gt`/`$gte` on the stats field exactly
+    * (the same sum arithmetic over the histogram); any other filter shape
+    * falls back to the fixed floor (= plain [[searchFiltered]] behavior). Stale stats after appends
     * degrade toward the floor, never below it; a rebalance changes the
     * cell count and is refused until stats are rebuilt.
     *

@@ -200,10 +200,11 @@ final class DiskIvfPqIndex(
       .select(col("nid") +: col("v") +:
         ProductQuantization.encode(col("resid"), codebooks.pq).as("codes") +:
         IvfIndex.carried(base) :+ col("cell"): _*)
-    encoded.write.mode("append").partitionBy("cell").parquet(dir)
-    // stats merge (sidecar present only) re-aggregates the lazy batch plan
+    // sidecar present ⇒ pin before the write (see DiskIvfIndex.append)
+    val pinned = AdaptiveProbe.pinIfStatsPresent(spark, dir, encoded)
+    pinned.write.mode("append").partitionBy("cell").parquet(dir)
     AdaptiveProbe.mergeStatsOnAppend(
-      spark, dir, codebooks.centroids.length, encoded)
+      spark, dir, codebooks.centroids.length, pinned)
   }
 
   /** Partition-local maintenance for the PQ layout — [[DiskIvfIndex.rebalance]]'s

@@ -67,10 +67,17 @@ private[operators] object RebalanceCommit {
   def commit(spark: SparkSession, dir: String, hot: Seq[Int], ids: Seq[Int]): Unit = {
     val (fs, _) = fsOf(spark, dir)
     val markerPath = new org.apache.hadoop.fs.Path(s"$dir/$Marker")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$dir/$Marker.tmp")
     val json = s"""{"hot": ${hot.mkString("[", ",", "]")}, """ +
       s""""ids": ${ids.mkString("[", ",", "]")}}"""
-    val out = fs.create(markerPath, true)
+    // write-temp-then-rename: a crash mid-write leaves only the .tmp (the
+    // layout stays openable and a re-run overwrites it); the marker itself
+    // only ever appears complete, so recover() never sees truncated JSON
+    val out = fs.create(tmpPath, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    fs.delete(markerPath, false)
+    require(fs.rename(tmpPath, markerPath),
+      s"rebalance: failed to publish commit marker $markerPath")
     finishRenames(spark, dir, hot, ids)
   }
 
@@ -90,10 +97,24 @@ private[operators] object RebalanceCommit {
     } finally in.close()
     import org.json4s.jackson.JsonMethods
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val v = JsonMethods.parse(json)
-    val hot = (v \ "hot").extract[Seq[Int]]
-    val ids = (v \ "ids").extract[Seq[Int]]
-    finishRenames(spark, dir, hot, ids)
+    scala.util.Try {
+      val v = JsonMethods.parse(json)
+      ((v \ "hot").extract[Seq[Int]], (v \ "ids").extract[Seq[Int]])
+    } match {
+      case scala.util.Success((hot, ids)) => finishRenames(spark, dir, hot, ids)
+      case scala.util.Failure(e) =>
+        // an unparseable marker BEFORE any rename (no parked `old_cell=`
+        // dir in the stage) locked a layout that is still fully
+        // consistent — delete it instead of wedging the layout. Once a
+        // park has happened, the worklist is genuinely lost: refuse.
+        val parked = scala.util.Try(
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$StageDir"))
+            .exists(_.getPath.getName.startsWith("old_cell="))).getOrElse(false)
+        if (parked) throw new IllegalStateException(
+          s"rebalance marker at $dir is unreadable AFTER renames began — " +
+            s"manual repair required", e)
+        fs.delete(markerPath, false)
+    }
   }
 
   private def finishRenames(

@@ -59,12 +59,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     substring(md5(lower(regexp_replace(text, """\s+""", " "))), 1, 16)
 
-  /** N-gram-profile language heuristic: scores text against small
-    * per-language stopword profiles and returns the best-scoring language
-    * code, or "und" when nothing matches. Pure expression composition so it
-    * runs inside codegen at scan speed; real pipelines would swap in a
-    * trained profile table via a broadcast join.
+  /** LEGACY 4-language stopword heuristic — NOT the language-ID path.
+    * Use [[languageIdNgram]] (57 languages, unicode-script detection +
+    * per-script character-trigram batteries) for real language
+    * identification; this toy survives only as q20's historical oracle
+    * surface and as a codegen-composition demonstration (scores text
+    * against 5-stopword profiles for en/de/es/fr, "und" otherwise).
     */
+  @deprecated("use languageIdNgram — this is a 4-language stopword toy", "round-11")
   def languageId(text: Column): Column = {
     val t = concat(lit(" "), lower(text), lit(" "))
     def score(words: Seq[String]): Column =
@@ -144,6 +146,13 @@ object TextAnalysis {
         when(col("script0") === "han" && col("c_kana") > 0, lit("kana"))
           .otherwise(col("script0")))
       .withColumn("chars", split(col("t"), ""))
+    // split(t, "") yields EXACTLY the char array with no trailing empty
+    // element (verified on Spark 4.1.2: split(' abc ', '') = [' ','a','b',
+    // 'c',' '], size 5 — Spark's empty-regex split drops the trailing empty
+    // that raw Java split(regex, -1) would keep), so size = char count and
+    // size-2 is the full trigram count — every produced gram is 3 chars,
+    // identical by construction to the oracle's substr(t, i, 3) over
+    // i = 1 .. len-2
     val m = greatest(size(col("chars")) - 2, lit(0))
     val gramExpr = array_distinct(zip_with(
       zip_with(slice(col("chars"), lit(1), m), slice(col("chars"), lit(2), m),

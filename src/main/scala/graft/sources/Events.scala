@@ -36,9 +36,17 @@ object Events {
     * on the file generation. Probed with a driver-side batch footer read
     * (no data scan).
     */
+  /** Strip single-alternative glob braces ("dir/{name}.parquet" →
+    * "dir/name.parquet") for BATCH reads: the braces exist only so
+    * `readStream` accepts a single-file source, and a batch read over the
+    * brace form makes `FileStreamSink.hasMetadata` stat the literal brace
+    * path — logging a full FileNotFoundException stack at WARN per read.
+    */
+  private[graft] def deglob(path: String): String = path.replaceAll("[{}]", "")
+
   def streamReadSchema(spark: org.apache.spark.sql.SparkSession, path: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physical = spark.read.parquet(path).schema("ts").dataType
+    val physical = spark.read.parquet(deglob(path)).schema("ts").dataType
     val tsType = if (physical == LongType) LongType else TimestampType
     StructType(Seq(
       StructField("event_id", LongType),

@@ -166,7 +166,10 @@ object StreamingOps {
     // filter — it never shuffles, so mutating the session-global conf would
     // only race against concurrent queries on the shared session.
     val name = s"stream_lm_gate_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val schema = spark.read.parquet(docsPath).schema
+    // schema probe over the UNGLOBBED path — the "{name}.parquet" brace
+    // form is for readStream only; batch-reading it logs a WARN with a
+    // full FileNotFoundException stack (FileStreamSink.hasMetadata)
+    val schema = spark.read.parquet(graft.sources.Events.deglob(docsPath)).schema
     val idx = graft.operators.LmIndex.open(spark, lmDir)
     val stream = spark.readStream.schema(schema).parquet(docsPath)
       .filter(col("doc_id") % 2 === 1)

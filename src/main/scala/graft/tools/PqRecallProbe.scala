@@ -23,30 +23,51 @@ import graft.operators.{Evaluation, IvfPq, KMeans, Opq, Similarity}
   * Cost axes reported per row: `scan_frac` (probed candidate rows /
   * brute-force rows — scanned code bytes scale with it) and the rerank
   * depth (raw-vector fetches per query, bounded and broadcast-sized).
-  * An OPQ-rotated arm runs the chosen (nlist, m) block to measure what
-  * the rotation buys on this corpus (near-isotropic ⇒ expect parity).
+  * Two OPQ-rotated arms isolate the rotation-training rule: `opq_t4`
+  * learns R under the m=4 sub-decomposition, `opq_t16` under m=16 —
+  * round 10's sf0.01 grid (490 candidates, 10 queries) preferred t4,
+  * an artifact hypothesis this re-measures at larger samples.
   *
-  * Usage: `runMain graft.tools.PqRecallProbe [sfDir]` — prints a TSV;
-  * the chosen point is recorded in BASELINE.md and served as q128's
-  * `ivfpq_op` arm.
+  * Usage: `runMain graft.tools.PqRecallProbe [sfDir] [nQueries] [replicate]`
+  * — prints a TSV. `nQueries` splits the embeddings table (vec_id <
+  * nQueries are queries, the rest candidates); `replicate` > 1 unions
+  * jittered candidate replicas (deterministic hash noise, ±1% per dim —
+  * near-dup clusters around each original, the realistic crawl shape)
+  * to grow the corpus without new data. The chosen point is recorded in
+  * BASELINE.md and served as q128's `ivfpq_op` arm.
   */
 object PqRecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val nQueries = args.lift(1).map(_.toInt).getOrElse(10)
+    val replicate = args.lift(2).map(_.toInt).getOrElse(1)
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val dim = e.select(size(col("embedding"))).head().getInt(0)
-    val qs = e.filter(col("vec_id") < 10)
+    val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val cs = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
       .cache()
+    val base = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("nid"), col("embedding").cast("array<double>").as("nvec"))
+    // jittered replication: replica r of vector v sits within ~1% of v —
+    // exact copies would make every query's true top-k a tie-set of
+    // duplicates and distort the recall measurement
+    val cs = (if (replicate <= 1) base
+      else (0 until replicate).map { r =>
+        if (r == 0) base
+        else base.select(
+          (col("nid") + lit(r * 100000000L)).as("nid"),
+          transform(col("nvec"), (x, i) =>
+            x + (pmod(xxhash64(col("nid"), lit(r), i), lit(1000)).cast("double")
+              / 1000.0 - 0.5) * 0.02).as("nvec"))
+      }.reduce(_ unionByName _)).cache()
     val nCand = cs.count().toDouble
     val nq = qs.count().toDouble
+    println(s"# corpus: ${nCand.toLong} candidates, ${nq.toLong} queries, dim $dim")
     // the PQ serving path approximates the INNER PRODUCT (q128's framing:
     // measuring ADC against a cosine reference would conflate metric
     // choice with index error)
@@ -67,7 +88,7 @@ object PqRecallProbe {
           .groupBy("cell").count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val probes =
-          if (nlist == 8) Seq(2, 3, 5, 8) else Seq(8, 16, 24, 32)
+          if (nlist == 8) Seq(2, 3, 5, 8) else Seq(4, 8, 16, 24, 32)
         for (np <- probes) {
           val scanned = queries
             .select(col("qid"), explode(KMeans.probeCells(
@@ -86,14 +107,17 @@ object PqRecallProbe {
         }
       }
     sweep("pq", cs, qs)
-    // OPQ arm: learn the rotation on a driver sample, rotate both sides,
+    // OPQ arms: learn the rotation on a driver sample, rotate both sides,
     // rebuild. Orthogonal R preserves inner products, so the UNrotated
-    // exact reference stays valid for the rotated index's ids.
+    // exact reference stays valid for the rotated index's ids. Two arms
+    // differ ONLY in the m the rotation was trained under.
     val sample = Opq.sampleVectors(cs, col("nvec"), maxSample = 4096)
-    val model = Opq.train(sample, m = 4, k = 16, pqIters = 3, opqIters = 3)
-    sweep("opq",
-      cs.select(col("nid"), Opq.rotate(col("nvec"), model.r).as("nvec")),
-      qs.select(col("qid"), Opq.rotate(col("qvec"), model.r).as("qvec")))
+    for ((trainM, arm) <- Seq(4 -> "opq_t4", 16 -> "opq_t16")) {
+      val model = Opq.train(sample, m = trainM, k = 16, pqIters = 3, opqIters = 3)
+      sweep(arm,
+        cs.select(col("nid"), Opq.rotate(col("nvec"), model.r).as("nvec")),
+        qs.select(col("qid"), Opq.rotate(col("qvec"), model.r).as("qvec")))
+    }
     spark.stop()
   }
 }

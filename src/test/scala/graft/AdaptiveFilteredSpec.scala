@@ -149,11 +149,80 @@ class AdaptiveFilteredSpec extends SparkSpec {
     val broad = queries(concat(lit("""{"label": {"$ne": """), col("qid") % 10, lit("}}")))
     assert(keyed(disk.searchFilteredAdaptive(broad, nprobe = 3, targetSurvivors = 1))
       == keyed(disk.searchFiltered(broad, nprobe = 3)))
-    // range filters are outside the histogram's exact estimator — fall
+    // compound filters are outside the histogram's exact estimator — fall
     // back to the floor, identical to searchFiltered
-    val range = queries(lit("""{"label": {"$lt": 5}}"""))
-    assert(keyed(disk.searchFilteredAdaptive(range, nprobe = 3, targetSurvivors = 100000))
-      == keyed(disk.searchFiltered(range, nprobe = 3)))
+    val compound = queries(lit(
+      """{"$and": [{"label": {"$lt": 5}}, {"label": {"$gte": 0}}]}"""))
+    assert(keyed(disk.searchFilteredAdaptive(compound, nprobe = 3, targetSurvivors = 100000))
+      == keyed(disk.searchFiltered(compound, nprobe = 3)))
+  }
+
+  test("range filters ($lt/$gte) estimate exactly and widen to the exact filtered answer") {
+    // the round-10 hole: q138's own regimes use $lt/$gte, which silently
+    // fell back to the fixed floor — exactly the narrow-filter recall gap
+    // adaptive probing exists to close
+    val disk = buildDisk(nlist = 8)
+    disk.buildStats("label")
+    for (f <- Seq(lit("""{"label": {"$lt": 1}}"""), lit("""{"label": {"$gte": 9}}"""),
+        lit("""{"label": {"$lte": 0}}"""), lit("""{"label": {"$gt": 8}}"""))) {
+      val qs = queries(f)
+      val exact = keyed(Similarity.filteredTopKPerQuery(qs, cands))
+      // ~10% selectivity + unreachable target -> must widen to a full probe
+      val adaptive = keyed(disk.searchFilteredAdaptive(
+        qs, nprobe = 2, targetSurvivors = 1000000))
+      assert(adaptive == exact,
+        s"missing ${exact -- adaptive}, extra ${adaptive -- exact}")
+    }
+    // a broad range whose floor depth already satisfies a tiny target
+    // stays at the floor — the estimator counts range survivors, so it
+    // must NOT treat the shape as unsupported (which would also floor)
+    // nor widen (target already met)
+    val broad = queries(lit("""{"label": {"$lt": 9}}"""))
+    assert(keyed(disk.searchFilteredAdaptive(broad, nprobe = 3, targetSurvivors = 1))
+      == keyed(disk.searchFiltered(broad, nprobe = 3)))
+  }
+
+  test("$in with duplicate members does not double-count survivors") {
+    val disk = buildDisk(nlist = 8)
+    disk.buildStats("label")
+    // {"$in": [v, v]} is semantically {v}: a double-counting estimator
+    // believes 2x the survivors and stops widening early; the correct one
+    // (distinct members) can't reach the unreachable target and probes
+    // fully, returning the exact filtered answer
+    val dupIn = queries(concat(lit("""{"label": {"$in": ["""),
+      col("qid") % 10, lit(", "), col("qid") % 10, lit("]}}")))
+    val exact = keyed(Similarity.filteredTopKPerQuery(dupIn, cands))
+    val adaptive = keyed(disk.searchFilteredAdaptive(
+      dupIn, nprobe = 2, targetSurvivors = 1000000))
+    assert(adaptive == exact,
+      s"missing ${exact -- adaptive}, extra ${adaptive -- exact}")
+  }
+
+  test("stats sidecar round-trips control characters in metadata values; field name is validated") {
+    val tagged = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+        to_json(struct(concat(lit("a\nb\t"), col("label").cast("string"))
+          .as("tag"))).as("metadata"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-esc-").toString
+    val idx = IvfIndex.buildTrained(tagged, nlist = 4, iters = 2)
+    val disk = idx.save(spark, tmp)
+    idx.unpersist()
+    disk.buildStats("tag") // newline/tab inside every histogram value
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .withColumn("filter", concat(lit("""{"tag": {"$eq": "a\nb\t"""),
+        col("qid") % 10, lit(""""}}""")))
+      .withColumn("top_k", lit(10).cast("int"))
+    val exact = keyed(Similarity.filteredTopKPerQuery(qs, tagged))
+    assert(exact.nonEmpty, "filter must match rows for the test to bite")
+    // loadStats parses the escaped sidecar and the $eq estimator matches
+    // the raw (unescaped) extracted values
+    val adaptive = keyed(disk.searchFilteredAdaptive(
+      qs, nprobe = 1, targetSurvivors = 1000000))
+    assert(adaptive == exact,
+      s"missing ${exact -- adaptive}, extra ${adaptive -- exact}")
+    val e = intercept[IllegalArgumentException](disk.buildStats("bad.field"))
+    assert(e.getMessage.contains("simple identifier"), e.getMessage)
   }
 
   test("$in filters estimate as the sum of member counts and widen to the exact answer") {

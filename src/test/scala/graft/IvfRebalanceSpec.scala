@@ -211,6 +211,28 @@ class IvfRebalanceSpec extends SparkSpec {
       == key(Similarity.bruteForceTopK(queries, cands, k = 8)))
   }
 
+  test("recover deletes an unparseable marker when no rename has begun; refuses after a park") {
+    // a truncated/garbage marker BEFORE any park locked a layout that is
+    // still fully consistent — recover must unlock it, not wedge on JSON
+    val disk = buildDisk(nlist = 2)
+    val before = spark.read.parquet(disk.dir).count()
+    writeFile(s"${disk.dir}/_rebalance_pending.json", """{"hot": [1""")
+    intercept[IllegalArgumentException] { IvfIndex.load(spark, disk.dir) }
+    val rec = graft.operators.DiskIvfIndex.recover(spark, disk.dir)
+    assert(!hfs.exists(
+      new org.apache.hadoop.fs.Path(s"${disk.dir}/_rebalance_pending.json")))
+    assert(spark.read.parquet(disk.dir).count() == before)
+    assert(rec.centroids.length == 2)
+    // ... but once a park rename happened, the worklist is genuinely lost:
+    // recover must refuse loudly instead of guessing
+    val (dir, _) = makeInterrupted(parked = true)
+    writeFile(s"$dir/_rebalance_pending.json", """not json at all""")
+    val e = intercept[IllegalStateException] {
+      graft.operators.DiskIvfIndex.recover(spark, dir)
+    }
+    assert(e.getMessage.contains("unreadable AFTER renames began"), e.getMessage)
+  }
+
   test("PQ layout: load refuses a pending commit and recover reopens it") {
     import graft.operators.IvfPq
     val tmp = java.nio.file.Files.createTempDirectory("graft-rebal-pqrec-").toString

@@ -47,7 +47,7 @@ class LanguageIdSpec extends SparkSpec {
     }
     // the toy's own labels on the same sentences
     val toy = texts.toDF("doc_id", "text")
-      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
+      .select(col("doc_id"), (TextAnalysis.languageId(col("text")): @annotation.nowarn("cat=deprecation")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(toy == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"))
     assert(ngram.view.mapValues(_._2).toMap ==

@@ -304,6 +304,40 @@ class SearchSelectionSpec extends SparkSpec {
       s"skip path must not elect representatives:\n$skipPlan")
   }
 
+  test("semDeDupGroups: split and collapse plan shapes are equivalent on a mixed corpus") {
+    // MIXED corpus: every base vector present once, HALF of them planted
+    // with two extra exact copies under shifted ids. The two plan shapes —
+    // split (hash-count first, collapse only count>1 classes, union the
+    // untouched distinct rows) and collapse (one groupBy over everything) —
+    // must elect identical representatives, train identical centroids, and
+    // emit identical components. collapseSkipRatio = 0.0 forces the split
+    // shape (any ratio exceeds it); 2.0 forces the collapse shape.
+    val shift = 1000000L
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dupTwice = base.filter(col("vec_id") % 2 === 0)
+    val mixed = base
+      .unionByName(dupTwice.select((col("vec_id") + shift).as("vec_id"), col("embedding")))
+      .unionByName(dupTwice.select((col("vec_id") + 2 * shift).as("vec_id"), col("embedding")))
+    val (split, cbSplit) = Dedup.semDeDupGroups(mixed, col("vec_id"), col("embedding"),
+      threshold = 0.3, nlist = 8, nprobe = 2, iters = 3, pointerHalving = true,
+      collapseSkipRatio = 0.0)
+    val (coll, cbColl) = Dedup.semDeDupGroups(mixed, col("vec_id"), col("embedding"),
+      threshold = 0.3, nlist = 8, nprobe = 2, iters = 3, pointerHalving = true,
+      collapseSkipRatio = 2.0)
+    assert(cbSplit.flatten.toSeq == cbColl.flatten.toSeq,
+      "both shapes must hand cosineNearDupAuto the same rep vectors")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val s = rows(split)
+    assert(s == rows(coll))
+    // replicas attach to their base twin's component in BOTH shapes
+    assert(s.nonEmpty && dupTwice.collect().forall { r =>
+      val id = r.getLong(0)
+      val c = s.find(_._1 == id).get._2
+      s.contains((id + shift, c, false)) && s.contains((id + 2 * shift, c, false))
+    })
+  }
+
   test("cosine near-dup block guard drops oversized blocks, keeps the rest") {
     import spark.implicits._
     val vecs = (0 until 30).map { i =>

@@ -85,11 +85,24 @@ This is exactly the regime the bucket caps (maxBucketSize) were built
 for: LSH/chunk buckets are 10x hotter, and any silent cap-fire or
 blocked-join recall loss diverges from the algebra and FAILS here.
 
+  q145 adaptive filtered probing retrains its coarse codebook on the
+       REPLICATED corpus (whose candidate set also gains the replicas of
+       the base queries), so no id-shift algebra from base results exists.
+       Instead the DIRECT replay is tractable at this scale (10 queries x
+       ~20k candidates): the sf1 Verify dump's own oracle_sql.json entry —
+       the full histogram -> ranked cumulative survivors -> per-query depth
+       -> filtered top-k decision rendered from the sf1-captured centroid
+       literals — runs in DuckDB against the sf1 embeddings (pass sf1Dir).
+       Independence is the round gate's own: DuckDB recomputes assignment,
+       histograms, both regimes' range/equality survivor sums, and the
+       widened top-k from literals; only the trained centroids are shared.
+
 Usage:
-  python3 tools/sf1_scale_oracle.py <sf01Dir> <sf01VerifyOut> <sf1VerifyOut> [out.json]
+  python3 tools/sf1_scale_oracle.py <sf01Dir> <sf01VerifyOut> <sf1VerifyOut> [out.json] [sf1Dir]
 where <sf01VerifyOut> is a Verify dump at sf0.1 containing oracle_sql.json
 (for the base q22/q23/q61 SQL) and <sf1VerifyOut> contains the engine's
-sf1 parquet dumps to be judged.
+sf1 parquet dumps to be judged. <sf1Dir> (the replicated corpus) enables
+the q145 direct replay; without it q145 is skipped with a note.
 """
 import json
 import os
@@ -307,8 +320,53 @@ def main():
       SELECT p.id + r.r * {SHIFT} AS id, p.r AS rank_fp
       FROM pr5 p, reps r""")
 
+    # ---- direct-replay family (q145): the sf1 run's own captured-centroid
+    # oracle SQL against the sf1 corpus — see module docstring.
+    sf1_dir = sys.argv[5] if len(sys.argv) > 5 else None
+    direct_replay = {}
+    if sf1_dir:
+        sf1_oracle = json.load(open(f"{sf1_out}/oracle_sql.json"))
+        if "q145_adaptive_filtered" in sf1_oracle:
+            direct_replay["q145_adaptive_filtered"] = sf1_oracle["q145_adaptive_filtered"]
+        else:
+            print("NOTE q145_adaptive_filtered missing from sf1 oracle_sql.json — skipped")
+    else:
+        print("NOTE no sf1Dir argument — q145 direct replay skipped")
+
     report = {}
     n_pass = n_fail = 0
+    if direct_replay:
+        con_sf1 = duckdb.connect()
+        con_sf1.sql(f"CREATE VIEW embeddings AS "
+                    f"SELECT * FROM read_parquet('{sf1_dir}/embeddings.parquet')")
+        for name, sql in direct_replay.items():
+            entry = {"rows_match": False, "schema_match": False, "hash_match": False,
+                     "spark_rows": None, "oracle_rows": None, "err": None,
+                     "oracle": "sf1-direct-replay-captured-centroids"}
+            try:
+                scols, srows = table_rows(
+                    con_sf1.sql(f"SELECT * FROM read_parquet('{sf1_out}/{name}/*.parquet')"))
+                ocols, orows = table_rows(con_sf1.sql(sql))
+                entry["spark_rows"], entry["oracle_rows"] = len(srows), len(orows)
+                entry["schema_match"] = scols == ocols
+                entry["rows_match"] = len(srows) == len(orows)
+                entry["hash_match"] = srows == orows
+                if not entry["schema_match"]:
+                    entry["err"] = f"columns spark={scols} expected={ocols}"
+                elif not entry["hash_match"] and entry["rows_match"]:
+                    diff = next(i for i, (a, b) in enumerate(zip(srows, orows)) if a != b)
+                    entry["err"] = (f"first mismatch row {diff}: "
+                                    f"spark={srows[diff]} expected={orows[diff]}")
+            except Exception as e:
+                entry["err"] = str(e)
+            ok = entry["rows_match"] and entry["schema_match"] and entry["hash_match"]
+            n_pass += ok
+            n_fail += not ok
+            print(("PASS" if ok else "FAIL") +
+                  f" {name} (spark={entry['spark_rows']} expected={entry['oracle_rows']})" +
+                  ("" if ok else f": {entry['err']}"))
+            report[name] = entry
+
     for name, sql in expected.items():
         entry = {"rows_match": False, "schema_match": False, "hash_match": False,
                  "spark_rows": None, "oracle_rows": None, "err": None,
