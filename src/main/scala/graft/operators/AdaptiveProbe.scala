@@ -229,11 +229,16 @@ private[operators] object AdaptiveProbe {
             case ("$lt" | "$lte" | "$gt" | "$gte", _) =>
               // Range estimation is the same exact sum arithmetic as $in,
               // over the histogram keys the comparison admits. It mirrors
-              // FilterCompiler's JSON-mode semantics exactly: a NUMERIC
-              // literal compares against `cast(value as double)` (a
-              // non-numeric stored value casts to null and fails the real
-              // filter — skipping it here matches, not just undercounts);
-              // a STRING literal compares the raw extracted strings.
+              // FilterCompiler's JSON-mode semantics: a NUMERIC literal
+              // compares against `cast(value as double)` (a non-numeric
+              // stored value casts to null and fails the real filter —
+              // skipping it here matches, not just undercounts); a STRING
+              // literal compares the raw extracted strings. Caveat kept
+              // deliberately: Java's UTF-16 compareTo and Spark's UTF-8
+              // byte order disagree for values mixing U+E000–U+FFFF with
+              // supplementary-plane codepoints — there the ESTIMATE can
+              // drift (it is a probe-depth hint; the nprobe floor still
+              // holds), while the filter itself stays exact.
               val sign: Int => Boolean = op match {
                 case "$lt" => _ < 0
                 case "$lte" => _ <= 0

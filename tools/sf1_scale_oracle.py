@@ -337,8 +337,12 @@ def main():
     n_pass = n_fail = 0
     if direct_replay:
         con_sf1 = duckdb.connect()
+        # ScaleUp writes Spark directory-style tables (embeddings.parquet/
+        # part-*.parquet); plain testdata ships single files
+        emb = f"{sf1_dir}/embeddings.parquet"
+        emb_pat = f"{emb}/*.parquet" if os.path.isdir(emb) else emb
         con_sf1.sql(f"CREATE VIEW embeddings AS "
-                    f"SELECT * FROM read_parquet('{sf1_dir}/embeddings.parquet')")
+                    f"SELECT * FROM read_parquet('{emb_pat}')")
         for name, sql in direct_replay.items():
             entry = {"rows_match": False, "schema_match": False, "hash_match": False,
                      "spark_rows": None, "oracle_rows": None, "err": None,
