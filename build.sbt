@@ -15,8 +15,11 @@ run / fork := true
 // decoration): the bench driver parses the totals JSON line from a bounded
 // stdout tail, and sbt's default LoggedOutput both prefixes every line and
 // routes the child's stderr at error level — which buried the JSON line
-// behind decorated log noise (BENCH_r10 "parsed": null).
+// behind decorated log noise (BENCH_r10 "parsed": null). showSuccess=false
+// additionally drops sbt's trailing "[success] Total time" line, so the
+// bench totals JSON is the FINAL stdout line of the whole invocation.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

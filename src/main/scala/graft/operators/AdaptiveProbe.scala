@@ -173,9 +173,9 @@ private[operators] object AdaptiveProbe {
   /** The collected, depth-trimmed probe batch: per query, the full
     * nearest-first cell ranking widened past the `nprobe` floor — never
     * below it — until the histogram predicts `targetSurvivors` surviving
-    * candidates ($eq/$ne/$in/$lt/$lte/$gt/$gte on the stats field
-    * estimated exactly; any other filter shape falls back to the floor),
-    * capped at a full probe.
+    * candidates (the full filter grammar over the stats field estimated
+    * exactly — see the `survivorsOf` estimator below; filters touching
+    * any other field fall back to the floor), capped at a full probe.
     * Returns the kept `(qid, qv, filter, top_k, cell)` rows plus their
     * schema — integer arithmetic on the driver over a probe-cap-bounded
     * batch; no extra cluster work.
@@ -188,7 +188,7 @@ private[operators] object AdaptiveProbe {
       targetSurvivors: Int)
       : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
     val spark = queries.sparkSession
-    val (field, totals, stats) = loadStats(spark, dir, centroids.length)
+    val (field, _, stats) = loadStats(spark, dir, centroids.length)
     val nlist = centroids.length
     val rankedPlan = queries
       .select(col("qid"), col("qvec").cast("array<double>").as("qv"),
@@ -198,73 +198,101 @@ private[operators] object AdaptiveProbe {
       .withColumnsRenamed(Map("pos" -> "rank", "col" -> "cell"))
     val rankedRows =
       Similarity.collectProbeBatch(rankedPlan, "searchFilteredAdaptive")
+    /** Per-cell survivor estimate for a filter document, or None when the
+      * shape is outside the estimator (→ the nprobe floor). Built as a
+      * per-VALUE predicate over the histogram keys (the raw
+      * `get_json_object` renderings), composed recursively over the full
+      * filter grammar as boolean algebra — so everything FilterCompiler
+      * can express OVER THE STATS FIELD ALONE estimates exactly:
+      * `$eq/$ne/$in/$nin/$exists:true`, the four range operators, multi-op
+      * condition objects (the `{"$gte": a, "$lt": b}` between idiom),
+      * bare-value $eq shorthand, and `$and`/`$or` combinators over those.
+      * Any leaf on another field, `$exists:false` (its survivors live
+      * outside the histogram), or an unknown operator → None.
+      *
+      * Each predicate mirrors FilterCompiler's JSON-mode semantics: a
+      * NUMERIC literal compares against `cast(value as double)` — so
+      * "3.0" matches `$eq 3`, a non-numeric value casts to null and fails
+      * `$eq` but survives `$ne`/`$nin` (null-safe negation) — and a
+      * STRING literal compares raw strings. Caveat kept deliberately:
+      * Java's UTF-16 compareTo and Spark's UTF-8 byte order disagree for
+      * values mixing U+E000–U+FFFF with supplementary-plane codepoints —
+      * there the string-range ESTIMATE can drift (it is a probe-depth
+      * hint; the nprobe floor still holds), while the filter itself stays
+      * exact.
+      */
     def survivorsOf(filterJson: String): Option[Int => Long] = {
       import org.json4s._
-      def lit(v: JValue): Option[String] = v match {
-        case JInt(i) => Some(i.toString)
-        case JLong(l) => Some(l.toString)
-        case JString(s) => Some(s)
-        case JBool(b) => Some(b.toString)
-        case JDouble(d) => Some(d.toString)
+      def num(v: JValue): Option[Double] = v match {
+        case JInt(i) => Some(i.toDouble)
+        case JLong(l) => Some(l.toDouble)
+        case JDouble(d) => Some(d)
         case _ => None
       }
-      scala.util.Try(org.json4s.jackson.JsonMethods.parse(filterJson)).toOption.flatMap {
-        case JObject(List((f, JObject(List((op, v)))))) if f == field =>
-          (op, v) match {
-            case ("$eq", _) => lit(v).map(value => (c: Int) =>
-              stats.getOrElse(c, Map.empty).getOrElse(value, 0L))
-            case ("$ne", _) => lit(v).map(value => (c: Int) =>
-              totals.getOrElse(c, 0L) -
-                stats.getOrElse(c, Map.empty).getOrElse(value, 0L))
-            case ("$in", JArray(vs)) =>
-              val lits = vs.map(lit)
-              if (lits.exists(_.isEmpty)) None
-              else {
-                // distinct: {"$in": [3, 3]} must not double-count (an
-                // overcount would widen LESS than needed — unsafe)
-                val values = lits.flatten.distinct
-                Some((c: Int) => values
-                  .map(stats.getOrElse(c, Map.empty).getOrElse(_, 0L)).sum)
-              }
-            case ("$lt" | "$lte" | "$gt" | "$gte", _) =>
-              // Range estimation is the same exact sum arithmetic as $in,
-              // over the histogram keys the comparison admits. It mirrors
-              // FilterCompiler's JSON-mode semantics: a NUMERIC literal
-              // compares against `cast(value as double)` (a non-numeric
-              // stored value casts to null and fails the real filter —
-              // skipping it here matches, not just undercounts); a STRING
-              // literal compares the raw extracted strings. Caveat kept
-              // deliberately: Java's UTF-16 compareTo and Spark's UTF-8
-              // byte order disagree for values mixing U+E000–U+FFFF with
-              // supplementary-plane codepoints — there the ESTIMATE can
-              // drift (it is a probe-depth hint; the nprobe floor still
-              // holds), while the filter itself stays exact.
-              val sign: Int => Boolean = op match {
-                case "$lt" => _ < 0
-                case "$lte" => _ <= 0
-                case "$gt" => _ > 0
-                case "$gte" => _ >= 0
-              }
-              val admits: Option[String => Boolean] = v match {
-                case JInt(_) | JLong(_) | JDouble(_) =>
-                  val d = v match {
-                    case JInt(i) => i.toDouble
-                    case JLong(l) => l.toDouble
-                    case JDouble(x) => x
-                    case _ => Double.NaN
-                  }
-                  Some(s => s.toDoubleOption
-                    .exists(x => sign(java.lang.Double.compare(x, d))))
-                case JString(strLit) => Some(s => sign(s.compareTo(strLit)))
-                case _ => None
-              }
-              admits.map(p => (c: Int) =>
-                stats.getOrElse(c, Map.empty)
-                  .collect { case (value, n) if p(value) => n }.sum)
+      def eqPred(v: JValue): Option[String => Boolean] = v match {
+        case JString(str) => Some(_ == str)
+        case JBool(b) => Some(_ == b.toString)
+        case _ => num(v).map(d => (s: String) => s.toDoubleOption.contains(d))
+      }
+      def rangePred(op: String, v: JValue): Option[String => Boolean] = {
+        val sign: Int => Boolean = op match {
+          case "$lt" => _ < 0
+          case "$lte" => _ <= 0
+          case "$gt" => _ > 0
+          case "$gte" => _ >= 0
+        }
+        v match {
+          case JString(strLit) => Some(s => sign(s.compareTo(strLit)))
+          case _ => num(v).map(d => (s: String) =>
+            s.toDoubleOption.exists(x => sign(java.lang.Double.compare(x, d))))
+        }
+      }
+      def predOf(op: String, v: JValue): Option[String => Boolean] = (op, v) match {
+        case ("$eq", _) => eqPred(v)
+        case ("$ne", _) => eqPred(v).map(p => (s: String) => !p(s))
+        case ("$in", JArray(vs)) =>
+          val ps = vs.map(eqPred)
+          if (ps.exists(_.isEmpty)) None
+          else Some(s => ps.flatten.exists(_(s)))
+        case ("$nin", JArray(vs)) =>
+          val ps = vs.map(eqPred)
+          if (ps.exists(_.isEmpty)) None
+          else Some(s => !ps.flatten.exists(_(s)))
+        case ("$lt" | "$lte" | "$gt" | "$gte", _) => rangePred(op, v)
+        case ("$exists", JBool(true)) => Some(_ => true)
+        case _ => None
+      }
+      def condPred(cond: JValue): Option[String => Boolean] = cond match {
+        case JObject(ops) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
+          val ps = ops.map { case (op, v) => predOf(op, v) }
+          if (ps.exists(_.isEmpty)) None
+          else Some(s => ps.flatten.forall(_(s)))
+        case JObject(_) => None
+        case bare => eqPred(bare)
+      }
+      def docPred(doc: JValue): Option[String => Boolean] = doc match {
+        case JObject(fields) if fields.nonEmpty =>
+          val ps = fields.map {
+            case ("$and", JArray(xs)) =>
+              val sub = xs.map(docPred)
+              if (sub.exists(_.isEmpty)) None
+              else Some((s: String) => sub.flatten.forall(_(s)))
+            case ("$or", JArray(xs)) =>
+              val sub = xs.map(docPred)
+              if (sub.exists(_.isEmpty)) None
+              else Some((s: String) => sub.flatten.exists(_(s)))
+            case (f, cond) if f == field => condPred(cond)
             case _ => None
           }
+          if (ps.exists(_.isEmpty)) None
+          else Some(s => ps.flatten.forall(_(s)))
         case _ => None
       }
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(filterJson)).toOption
+        .flatMap(docPred)
+        .map(p => (c: Int) =>
+          stats.getOrElse(c, Map.empty)
+            .collect { case (value, n) if p(value) => n }.sum)
     }
     val kept = rankedRows.groupBy(_.getAs[Any]("qid")).values.flatMap { rows =>
       val sorted = rows.sortBy(_.getAs[Int]("rank"))

@@ -301,10 +301,13 @@ final class DiskIvfIndex(
     * probe set WIDENS past the `nprobe` floor — never narrows below it —
     * until the expected number of filter-surviving candidates (from the
     * [[buildStats]] histogram) reaches `targetSurvivors`, capped at a full
-    * probe. Selectivity estimation supports `$eq`/`$ne`/`$in` and the
-    * range operators `$lt`/`$lte`/`$gt`/`$gte` on the stats field exactly
-    * (the same sum arithmetic over the histogram); any other filter shape
-    * falls back to the fixed floor (= plain [[searchFiltered]] behavior). Stale stats after appends
+    * probe. Selectivity estimation supports the full filter grammar over
+    * the stats field exactly — `$eq`/`$ne`/`$in`/`$nin`/`$exists:true`,
+    * the range operators `$lt`/`$lte`/`$gt`/`$gte`, multi-op condition
+    * objects (the between idiom), and `$and`/`$or` combinators over those
+    * (one sum over the histogram under the composed predicate); filters
+    * touching any other field fall back to the fixed floor (= plain
+    * [[searchFiltered]] behavior). Stale stats after appends
     * degrade toward the floor, never below it; a rebalance changes the
     * cell count and is refused until stats are rebuilt.
     *

@@ -149,12 +149,41 @@ class AdaptiveFilteredSpec extends SparkSpec {
     val broad = queries(concat(lit("""{"label": {"$ne": """), col("qid") % 10, lit("}}")))
     assert(keyed(disk.searchFilteredAdaptive(broad, nprobe = 3, targetSurvivors = 1))
       == keyed(disk.searchFiltered(broad, nprobe = 3)))
-    // compound filters are outside the histogram's exact estimator — fall
-    // back to the floor, identical to searchFiltered
-    val compound = queries(lit(
-      """{"$and": [{"label": {"$lt": 5}}, {"label": {"$gte": 0}}]}"""))
-    assert(keyed(disk.searchFilteredAdaptive(compound, nprobe = 3, targetSurvivors = 100000))
-      == keyed(disk.searchFiltered(compound, nprobe = 3)))
+    // filters touching any OTHER field are outside the histogram's
+    // estimator — fall back to the floor, identical to searchFiltered
+    // (the filter still applies; no row has "other", so results are empty
+    // on both sides, and the point is the probe sets match)
+    val otherField = queries(lit(
+      """{"$and": [{"label": {"$lt": 5}}, {"other": {"$gte": 0}}]}"""))
+    assert(keyed(disk.searchFilteredAdaptive(otherField, nprobe = 3, targetSurvivors = 100000))
+      == keyed(disk.searchFiltered(otherField, nprobe = 3)))
+  }
+
+  test("composed filters on the stats field estimate exactly: between, $and/$or, $nin") {
+    val disk = buildDisk(nlist = 8)
+    disk.buildStats("label")
+    for (f <- Seq(
+        // multi-op condition object — the between idiom (~20% selectivity)
+        lit("""{"label": {"$gte": 3, "$lt": 5}}"""),
+        // the same between as an explicit $and of two docs
+        lit("""{"$and": [{"label": {"$gte": 3}}, {"label": {"$lt": 5}}]}"""),
+        // $or of two narrow $eq docs
+        lit("""{"$or": [{"label": {"$eq": 1}}, {"label": {"$eq": 7}}]}"""),
+        // $nin — null-safe negation of membership (~80% selectivity)
+        lit("""{"label": {"$nin": [0, 1]}}"""),
+        // bare-value $eq shorthand
+        lit("""{"label": 4}"""),
+        // $exists true — every histogrammed value survives
+        lit("""{"label": {"$exists": true}}"""))) {
+      val qs = queries(f)
+      val exact = keyed(Similarity.filteredTopKPerQuery(qs, cands))
+      // unreachable target -> the estimator must recognize the shape and
+      // widen to a full probe = the exact filtered answer
+      val adaptive = keyed(disk.searchFilteredAdaptive(
+        qs, nprobe = 2, targetSurvivors = 1000000))
+      assert(adaptive == exact,
+        s"filter $f: missing ${exact -- adaptive}, extra ${adaptive -- exact}")
+    }
   }
 
   test("range filters ($lt/$gte) estimate exactly and widen to the exact filtered answer") {
