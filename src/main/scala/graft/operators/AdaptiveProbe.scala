@@ -141,6 +141,48 @@ private[operators] object AdaptiveProbe {
     }
   }
 
+  /** Keep the sidecar truthful across a rebalance WITHOUT the full-corpus
+    * rescan a cold rebuild costs: the split moved ONLY the hot cells'
+    * rows, so the refreshed histogram = (stored histogram minus the hot
+    * cells' entries) + one PARTITION-PRUNED aggregate over the touched
+    * cells (hot ∪ their new sub-cell ids) — at 100 TB that is a scan of
+    * the split directories, not the corpus. Runs strictly AFTER the
+    * rename commit, so a crash anywhere before the refreshed write leaves
+    * the old-cell-count sidecar, which search-time [[loadStats]] refuses
+    * with the rebuild instruction — never a silently wrong histogram.
+    * No-op when the layout has no sidecar or the stored one is already
+    * stale (unknown provenance — leave it refused); if the refreshed
+    * histogram would exceed the 65536-pair cardinality guard, the stale
+    * sidecar is likewise left in place (refused, rebuild decides).
+    */
+  def refreshStatsAfterRebalance(
+      spark: SparkSession, dir: String, oldNcells: Int, newNcells: Int,
+      hot: Seq[Int], newIds: Seq[Int]): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$StatsFile")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    scala.util.Try(loadStats(spark, dir, oldNcells)).toOption.foreach {
+      case (field, _, stats) =>
+        val touched = (hot ++ newIds).distinct
+        val hotSet = hot.toSet
+        // untouched cells keep their stored entries verbatim; the touched
+        // cells' entries are re-aggregated from the post-commit layout.
+        // The two key spaces are disjoint: hot ids re-enter via the scan
+        // (sub-cell 0 keeps the split cell's id) and new ids never had
+        // stored entries.
+        val kept = for {
+          (c, vs) <- stats if !hotSet.contains(c)
+          (v, n) <- vs
+        } yield (c, v) -> n
+        val scanned = histogramOf(
+          spark.read.parquet(dir)
+            .filter(col("cell").isin(touched.map(Integer.valueOf): _*)),
+          field)
+        val merged = kept.toMap ++ scanned
+        if (merged.size <= 65536) writeStats(spark, dir, newNcells, field, merged)
+    }
+  }
+
   /** `(field, per-cell totals, per-cell value→count)` from the sidecar.
     * Refuses stats whose cell count no longer matches the codebook (a
     * rebalance grew the layout — rebuild the histogram).

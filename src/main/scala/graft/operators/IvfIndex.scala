@@ -261,6 +261,12 @@ final class DiskIvfIndex(
       .parquet(RebalanceCommit.stagePath(dir))
     DiskIvfIndex.writeCentroids(spark, dir, cents.toArray)
     RebalanceCommit.commit(spark, dir, hot.toSeq, newIds.values.flatten.toSeq.distinct.sorted)
+    // stats sidecar (if any) refreshes from a partition-pruned scan of the
+    // touched cells only — never a corpus rescan; crash-before leaves the
+    // old-cell-count file, which adaptive search refuses until rebuilt
+    AdaptiveProbe.refreshStatsAfterRebalance(spark, dir,
+      centroids.length, cents.length, hot.toSeq,
+      newIds.values.flatten.toSeq.distinct)
     new DiskIvfIndex(spark, dir, cents.toArray)
   }
 
@@ -308,8 +314,11 @@ final class DiskIvfIndex(
     * (one sum over the histogram under the composed predicate); filters
     * touching any other field fall back to the fixed floor (= plain
     * [[searchFiltered]] behavior). Stale stats after appends
-    * degrade toward the floor, never below it; a rebalance changes the
-    * cell count and is refused until stats are rebuilt.
+    * degrade toward the floor, never below it; a rebalance refreshes the
+    * sidecar incrementally (touched cells only), and a layout whose
+    * sidecar cell count mismatches the codebook (interrupted refresh,
+    * cardinality-cap skip, foreign provenance) is refused until stats are
+    * rebuilt.
     *
     * Scale shape: identical to [[searchFiltered]] (probe-batch collect →
     * partition filter → broadcast join → heap selection); the depth

@@ -272,6 +272,11 @@ final class DiskIvfPqIndex(
     val cb = IvfPq.Codebooks(cents.toArray, codebooks.pq)
     DiskIvfPqIndex.writeCodebooks(spark, dir, cb)
     RebalanceCommit.commit(spark, dir, hot.toSeq, newIds.values.flatten.toSeq.distinct.sorted)
+    // same incremental stats refresh as DiskIvfIndex.rebalance: touched
+    // cells only, after the commit point
+    AdaptiveProbe.refreshStatsAfterRebalance(spark, dir,
+      codebooks.centroids.length, cents.length, hot.toSeq,
+      newIds.values.flatten.toSeq.distinct)
     new DiskIvfPqIndex(spark, dir, cb)
   }
 

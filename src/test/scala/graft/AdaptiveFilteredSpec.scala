@@ -39,23 +39,53 @@ class AdaptiveFilteredSpec extends SparkSpec {
   private def keyed(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("stats sidecar: format-stamped, refused after rebalance until rebuilt") {
+  private def sidecarOf(dir: String): String = new String(
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_cell_stats.json")), "UTF-8")
+
+  /** Overwrite the sidecar THROUGH the Hadoop FS (keeps the .crc sidecar
+    * consistent — a raw java.nio write trips ChecksumException on the
+    * next Hadoop read). */
+  private def writeSidecar(dir: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_cell_stats.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("stats sidecar: format-stamped; rebalance refreshes it incrementally to a fresh rebuild") {
     val disk = buildDisk(nlist = 4)
     disk.buildStats("label")
-    val json = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"${disk.dir}/_cell_stats.json")), "UTF-8")
+    val json = sidecarOf(disk.dir)
     assert(json.contains("\"format\": 1") && json.contains("\"field\": \"label\""))
-    // grow the codebook: stats now cover fewer cells than the layout
+    // grow the codebook: the rebalance must refresh the sidecar from a
+    // partition-pruned scan of the TOUCHED cells only, landing on exactly
+    // the histogram a full rebuild would write
     val maxCell = spark.read.parquet(disk.dir).groupBy("cell").count()
       .agg(max("count")).head().getLong(0)
     val rebal = disk.rebalance(maxCellRows = math.max(1L, maxCell - 1), kSplit = 2, iters = 1)
+    assert(rebal.centroids.length > disk.centroids.length)
+    val refreshed = sidecarOf(disk.dir)
+    assert(rebal.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2).count() > 0)
+    rebal.buildStats("label")
+    assert(refreshed == sidecarOf(disk.dir),
+      "incremental post-rebalance refresh differs from a full rebuild")
+  }
+
+  test("a cell-count-mismatched sidecar (interrupted refresh) is refused until rebuilt") {
+    val disk = buildDisk(nlist = 4)
+    disk.buildStats("label")
+    // simulate a crash between the rename commit and the stats refresh:
+    // the file's cell count no longer matches the codebook
+    val stale = sidecarOf(disk.dir).replace("\"ncells\": 4", "\"ncells\": 3")
+    assert(stale != sidecarOf(disk.dir), "fixture must actually change the file")
+    writeSidecar(disk.dir, stale)
     val e = intercept[IllegalArgumentException] {
-      rebal.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2)
+      disk.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2)
     }
     assert(e.getMessage.contains("rebuild stats"), e.getMessage)
-    rebal.buildStats("label")
-    assert(rebal.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2)
-      .count() > 0)
+    disk.buildStats("label")
+    assert(disk.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2).count() > 0)
   }
 
   test("narrow filter: adaptive widens to the exact filtered answer; fixed nprobe misses it") {
@@ -103,22 +133,41 @@ class AdaptiveFilteredSpec extends SparkSpec {
       == keyed(Similarity.filteredTopKPerQuery(qs, cands)))
   }
 
-  test("append succeeds over a stale sidecar (post-rebalance); search keeps refusing until rebuild") {
+  test("append succeeds over a stale sidecar; search keeps refusing until rebuild") {
     val disk = buildDisk(nlist = 2)
     disk.buildStats("label")
-    val maxCell = spark.read.parquet(disk.dir).groupBy("cell").count()
-      .agg(max("count")).head().getLong(0)
-    val rebal = disk.rebalance(maxCellRows = math.max(1L, maxCell - 1), kSplit = 2, iters = 1)
+    // manufacture staleness (an interrupted post-rebalance refresh): cell
+    // count in the file no longer matches the codebook
+    writeSidecar(disk.dir, sidecarOf(disk.dir)
+      .replace("\"ncells\": 2", "\"ncells\": 7"))
     // the layout mutation must not die on the stale histogram
-    rebal.append(emb.filter(col("vec_id") < 5)
+    disk.append(emb.filter(col("vec_id") < 5)
       .select((col("vec_id") + 5000000L).as("nid"), col("embedding").as("nvec"),
         to_json(struct(col("label"))).as("metadata")))
     val e = intercept[IllegalArgumentException] {
-      rebal.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2)
+      disk.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2)
     }
     assert(e.getMessage.contains("rebuild stats"), e.getMessage)
-    rebal.buildStats("label")
+    disk.buildStats("label")
+    assert(disk.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2).count() > 0)
+  }
+
+  test("PQ layout: rebalance refreshes the stats sidecar to a fresh rebuild") {
+    import graft.operators.IvfPq
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-pqreb-").toString
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val pq = IvfPq.buildTrained(spark, cands, tmp, dim = dim,
+      nlist = 2, m = 4, k = 16, iters = 2)
+    pq.buildStats("label")
+    val maxCell = spark.read.parquet(tmp).groupBy("cell").count()
+      .agg(max("count")).head().getLong(0)
+    val rebal = pq.rebalance(maxCellRows = math.max(1L, maxCell - 1), kSplit = 2, iters = 1)
+    assert(rebal.codebooks.centroids.length > 2)
+    val refreshed = sidecarOf(tmp)
     assert(rebal.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2).count() > 0)
+    rebal.buildStats("label")
+    assert(refreshed == sidecarOf(tmp),
+      "incremental PQ post-rebalance refresh differs from a full rebuild")
   }
 
   test("PQ layout: adaptive widening reaches the full-probe filtered ADC answer") {
