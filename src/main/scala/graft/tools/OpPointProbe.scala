@@ -35,7 +35,7 @@ object OpPointProbe {
     cs.count() // warm the scan
     val model = timed("opq_train") {
       val sample = graft.operators.Opq.sampleVectors(cs, col("nvec"), maxSample = 4096)
-      graft.operators.Opq.train(sample, m = 4, k = 16, pqIters = 3, opqIters = 3)
+      graft.operators.Opq.train(sample, m = 16, k = 16, pqIters = 3, opqIters = 3)
     }
     val csRot = cs.select(col("nid"),
       graft.operators.Opq.rotate(col("nvec"), model.r).as("nvec"))
@@ -53,10 +53,10 @@ object OpPointProbe {
       idx.search(qsRot, k = 10, nprobe = 16).count()
     }
     timed("refined_search") {
-      idx.searchRefined(qsRot, k = 10, nprobe = 16, rerank = 50).count()
+      idx.searchRefined(qsRot, k = 10, nprobe = 16, rerank = 100).count()
     }
     timed("refined_again") {
-      idx.searchRefined(qsRot, k = 10, nprobe = 16, rerank = 50).count()
+      idx.searchRefined(qsRot, k = 10, nprobe = 16, rerank = 100).count()
     }
     spark.stop()
   }
