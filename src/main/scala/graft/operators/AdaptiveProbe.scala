@@ -48,11 +48,34 @@ private[operators] object AdaptiveProbe {
     * whose metadata lacks the field count in neither histogram nor totals:
     * the estimator UNDERCOUNTS survivors, which only widens the probe set
     * (the safe direction).
+    *
+    * One sidecar per layout: rebuilding the SAME field is always allowed
+    * (the staleness remedy), but switching fields silently would strip
+    * the old field's adaptivity (its filters would quietly fall to the
+    * fixed floor) — that takes `replace = true`.
     */
   def buildStats(
-      spark: SparkSession, dir: String, ncells: Int, statsField: String): Unit =
+      spark: SparkSession, dir: String, ncells: Int, statsField: String,
+      replace: Boolean = false): Unit = {
+    if (!replace) {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$StatsFile")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        scala.util.Try(
+          (LayoutMeta.read(spark, dir, StatsFile, FormatVersion,
+            "IVF cell-stats") \ "field").extract[String])
+          .toOption.filter(_ != validField(statsField)).foreach { old =>
+            throw new IllegalArgumentException(
+              s"cell stats at $dir are built for field '$old'; building " +
+                s"'$statsField' would replace them and silently drop '$old' " +
+                s"filter adaptivity — pass replace = true to switch fields")
+          }
+      }
+    }
     writeStats(spark, dir, ncells, statsField,
       histogramOf(spark.read.parquet(dir), statsField))
+  }
 
   /** `(cell, value) → count` over `df` (which must carry `cell` and the
     * `metadata` JSON column). Bounded by cells × distinct values.

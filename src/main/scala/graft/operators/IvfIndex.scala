@@ -295,10 +295,13 @@ final class DiskIvfIndex(
     * (labels, sources, languages — not ids; guarded at 65536 pairs).
     * Rows whose metadata lacks the field are counted in neither the
     * histogram nor the totals: the estimator UNDERCOUNTS survivors, which
-    * can only widen the probe set (the safe direction).
+    * can only widen the probe set (the safe direction). Rebuilding the
+    * same field is always allowed; switching to a DIFFERENT field takes
+    * `replace = true` (otherwise the old field's filters would silently
+    * fall to the fixed floor).
     */
-  def buildStats(statsField: String): Unit =
-    AdaptiveProbe.buildStats(spark, dir, centroids.length, statsField)
+  def buildStats(statsField: String, replace: Boolean = false): Unit =
+    AdaptiveProbe.buildStats(spark, dir, centroids.length, statsField, replace)
 
   /** [[searchFiltered]] with FILTER-AWARE probe depth — the answer to the
     * measured hollow-cell effect (BASELINE.md round 10: a ~10%-selectivity

@@ -325,8 +325,9 @@ final class DiskIvfPqIndex(
     * layouts share the [[AdaptiveProbe]] sidecar format: both partition
     * by `cell` and carry `metadata`).
     */
-  def buildStats(statsField: String): Unit =
-    AdaptiveProbe.buildStats(spark, dir, codebooks.centroids.length, statsField)
+  def buildStats(statsField: String, replace: Boolean = false): Unit =
+    AdaptiveProbe.buildStats(
+      spark, dir, codebooks.centroids.length, statsField, replace)
 
   /** [[searchFiltered]] with FILTER-AWARE probe depth —
     * [[DiskIvfIndex.searchFilteredAdaptive]]'s contract over ADC scoring:

@@ -152,6 +152,30 @@ class AdaptiveFilteredSpec extends SparkSpec {
     assert(disk.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2).count() > 0)
   }
 
+  test("switching the stats field requires replace=true; same-field rebuild stays free") {
+    val two = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+        to_json(struct(col("label"),
+          (col("label") % 3).cast("string").as("tag"))).as("metadata"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-two-").toString
+    val idx = IvfIndex.buildTrained(two, nlist = 4, iters = 2)
+    val disk = idx.save(spark, tmp)
+    idx.unpersist()
+    disk.buildStats("label")
+    disk.buildStats("label") // same-field rebuild: the staleness remedy
+    val e = intercept[IllegalArgumentException](disk.buildStats("tag"))
+    assert(e.getMessage.contains("'label'") && e.getMessage.contains("replace"),
+      e.getMessage)
+    disk.buildStats("tag", replace = true)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .withColumn("filter",
+        concat(lit("""{"tag": {"$eq": """"), col("qid") % 3, lit(""""}}""")))
+      .withColumn("top_k", lit(10).cast("int"))
+    assert(keyed(disk.searchFilteredAdaptive(qs, nprobe = 1, targetSurvivors = 1000000))
+      == keyed(Similarity.filteredTopKPerQuery(qs, two)))
+  }
+
   test("PQ layout: rebalance refreshes the stats sidecar to a fresh rebuild") {
     import graft.operators.IvfPq
     val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-pqreb-").toString
