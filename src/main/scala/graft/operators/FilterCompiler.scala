@@ -64,12 +64,15 @@ object FilterCompiler {
   private def predicate(c: Column, op: String, v: JValue, jsonMode: Boolean): Column = {
     // In JSON mode get_json_object yields strings; numeric comparisons need
     // a double cast on the extracted side, and booleans compare against
-    // their JSON literals.
+    // their JSON literals. The cast must be try_cast: a NON-numeric value
+    // meeting a numeric literal casts to null and fails `$eq` but survives
+    // the null-safe negations (`$ne`/`$nin`) — under ANSI a plain cast
+    // would instead fail the whole query on the first such row.
     def operand(x: JValue): (Column, Any) = x match {
-      case JInt(i) => (if (jsonMode) c.cast("double") else c, i.toLong)
-      case JLong(i) => (if (jsonMode) c.cast("double") else c, i)
-      case JDouble(d) => (if (jsonMode) c.cast("double") else c, d)
-      case JDecimal(d) => (if (jsonMode) c.cast("double") else c, d.toDouble)
+      case JInt(i) => (if (jsonMode) c.try_cast("double") else c, i.toLong)
+      case JLong(i) => (if (jsonMode) c.try_cast("double") else c, i)
+      case JDouble(d) => (if (jsonMode) c.try_cast("double") else c, d)
+      case JDecimal(d) => (if (jsonMode) c.try_cast("double") else c, d.toDouble)
       case JString(s) => (c, s)
       case JBool(b) => (if (jsonMode) c else c, if (jsonMode) b.toString else b)
       case other => throw FilterSyntaxError(s"unsupported literal $other for $op")
@@ -82,14 +85,27 @@ object FilterCompiler {
       case "$lt" => val (cc, lv) = operand(v); cc < lit(lv)
       case "$lte" => val (cc, lv) = operand(v); cc <= lit(lv)
       case "$in" | "$nin" =>
-        val vals = v match {
-          case JArray(xs) => xs.map(operand)
+        val xs = v match {
+          case JArray(arr) => arr
           case other => throw FilterSyntaxError(s"$op expects an array, got $other")
         }
+        val vals = xs.map(operand)
         if (vals.isEmpty) { if (op == "$in") lit(false) else lit(true) }
         else {
-          val cc = vals.head._1
-          val in = cc.isin(vals.map(_._2): _*)
+          // In JSON mode a NUMERIC member compares through cast-to-double
+          // while a string/bool member compares raw, so a MIXED-type array
+          // ({"$in": ["3", 3]}) must apply each member's OWN cast — an OR
+          // of per-member equalities (matching the adaptive-probe
+          // estimator's per-member semantics). Homogeneous arrays keep the
+          // single `isin` (one codegen'd In expression).
+          val numeric = xs.map {
+            case JInt(_) | JLong(_) | JDouble(_) | JDecimal(_) => true
+            case _ => false
+          }
+          val in =
+            if (jsonMode && numeric.distinct.size > 1)
+              vals.map { case (cc, lv) => cc === lit(lv) }.reduce(_ || _)
+            else vals.head._1.isin(vals.map(_._2): _*)
           if (op == "$in") in else !coalesce(in, lit(false))
         }
       case "$exists" => v match {

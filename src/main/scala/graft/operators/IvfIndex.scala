@@ -295,10 +295,11 @@ final class DiskIvfIndex(
     * (labels, sources, languages — not ids; guarded at 65536 pairs).
     * Rows whose metadata lacks the field are counted in neither the
     * histogram nor the totals: the estimator UNDERCOUNTS survivors, which
-    * can only widen the probe set (the safe direction). Rebuilding the
-    * same field is always allowed; switching to a DIFFERENT field takes
-    * `replace = true` (otherwise the old field's filters would silently
-    * fall to the fixed floor).
+    * can only widen the probe set (the safe direction). The sidecar holds
+    * one histogram PER FIELD: building a new field keeps the existing
+    * fields' adaptivity, rebuilding the same field refreshes just that
+    * entry (and a stale sidecar is repaired wholesale — every stored
+    * field re-aggregates), and `replace = true` drops every other field.
     */
   def buildStats(statsField: String, replace: Boolean = false): Unit =
     AdaptiveProbe.buildStats(spark, dir, centroids.length, statsField, replace)
@@ -311,12 +312,17 @@ final class DiskIvfIndex(
     * until the expected number of filter-surviving candidates (from the
     * [[buildStats]] histogram) reaches `targetSurvivors`, capped at a full
     * probe. Selectivity estimation supports the full filter grammar over
-    * the stats field exactly — `$eq`/`$ne`/`$in`/`$nin`/`$exists:true`,
-    * the range operators `$lt`/`$lte`/`$gt`/`$gte`, multi-op condition
-    * objects (the between idiom), and `$and`/`$or` combinators over those
-    * (one sum over the histogram under the composed predicate); filters
-    * touching any other field fall back to the fixed floor (= plain
-    * [[searchFiltered]] behavior). Stale stats after appends
+    * any single statted field exactly — `$eq`/`$ne`/`$in`/`$nin`/
+    * `$exists:true`, the range operators `$lt`/`$lte`/`$gt`/`$gte`,
+    * multi-op condition objects (the between idiom), and `$and`/`$or`
+    * combinators over those (one sum over that field's histogram under
+    * the composed predicate); filters spanning several statted fields
+    * estimate as a cross-field upper bound (min over conjuncts, sum over
+    * disjuncts), conjuncts on un-statted fields are dropped from the
+    * estimate (still an upper bound — the widened depth stays ≥ the
+    * floor and closer to the need), and only a filter with NO estimable
+    * conjunct falls back to the fixed floor (= plain [[searchFiltered]]
+    * behavior). Stale stats after appends
     * degrade toward the floor, never below it; a rebalance refreshes the
     * sidecar incrementally (touched cells only), and a layout whose
     * sidecar cell count mismatches the codebook (interrupted refresh,

@@ -333,8 +333,9 @@ final class DiskIvfPqIndex(
     * [[DiskIvfIndex.searchFilteredAdaptive]]'s contract over ADC scoring:
     * the probe set widens past the `nprobe` floor until the
     * [[buildStats]] histogram predicts `targetSurvivors` filter-surviving
-    * candidates (exactly for `$eq`/`$ne` on the stats field; other filter
-    * shapes fall back to the floor), capped at a full probe. The probed
+    * candidates (exact for the full grammar over one statted field, a
+    * cross-field upper bound for filters spanning several — see
+    * [[DiskIvfIndex.searchFilteredAdaptive]]), capped at a full probe. The probed
     * scan still reads `(nid, codes, metadata, cell)` only — widening the
     * probe set multiplies CODE bytes, never raw-vector bytes, which is
     * what makes deep adaptive probes affordable on the PQ layout at

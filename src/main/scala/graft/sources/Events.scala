@@ -41,8 +41,11 @@ object Events {
     * `readStream` accepts a single-file source, and a batch read over the
     * brace form makes `FileStreamSink.hasMetadata` stat the literal brace
     * path — logging a full FileNotFoundException stack at WARN per read.
+    * Only SINGLE-alternative braces unwrap; a real alternation glob
+    * ("dir/{a,b}.parquet") is left intact — the batch reader expands it.
     */
-  private[graft] def deglob(path: String): String = path.replaceAll("[{}]", "")
+  private[graft] def deglob(path: String): String =
+    path.replaceAll("\\{([^,{}]*)\\}", "$1")
 
   def streamReadSchema(spark: org.apache.spark.sql.SparkSession, path: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -57,7 +57,8 @@ class AdaptiveFilteredSpec extends SparkSpec {
     val disk = buildDisk(nlist = 4)
     disk.buildStats("label")
     val json = sidecarOf(disk.dir)
-    assert(json.contains("\"format\": 1") && json.contains("\"field\": \"label\""))
+    assert(json.contains("\"format\": 2") && json.contains("\"fields\"")
+      && json.contains("\"label\""))
     // grow the codebook: the rebalance must refresh the sidecar from a
     // partition-pruned scan of the TOUCHED cells only, landing on exactly
     // the histogram a full rebuild would write
@@ -152,28 +153,86 @@ class AdaptiveFilteredSpec extends SparkSpec {
     assert(disk.searchFilteredAdaptive(queries(narrowFilter), nprobe = 2).count() > 0)
   }
 
-  test("switching the stats field requires replace=true; same-field rebuild stays free") {
-    val two = emb.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
-        to_json(struct(col("label"),
-          (col("label") % 3).cast("string").as("tag"))).as("metadata"))
+  /** Two-field metadata corpus shared by the multi-field tests. */
+  private def twoField = emb.filter(col("vec_id") >= 10)
+    .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+      to_json(struct(col("label"),
+        (col("label") % 3).cast("string").as("tag"))).as("metadata"))
+
+  private def tagQueries(filterOf: org.apache.spark.sql.Column) =
+    emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .withColumn("filter", filterOf)
+      .withColumn("top_k", lit(10).cast("int"))
+
+  test("two stats fields coexist on one layout, each adaptively exact; replace=true drops the rest") {
+    val two = twoField
     val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-two-").toString
-    val idx = IvfIndex.buildTrained(two, nlist = 4, iters = 2)
+    val idx = IvfIndex.buildTrained(two, nlist = 8, iters = 2)
     val disk = idx.save(spark, tmp)
     idx.unpersist()
     disk.buildStats("label")
     disk.buildStats("label") // same-field rebuild: the staleness remedy
-    val e = intercept[IllegalArgumentException](disk.buildStats("tag"))
-    assert(e.getMessage.contains("'label'") && e.getMessage.contains("replace"),
-      e.getMessage)
-    disk.buildStats("tag", replace = true)
-    val qs = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      .withColumn("filter",
-        concat(lit("""{"tag": {"$eq": """"), col("qid") % 3, lit(""""}}""")))
-      .withColumn("top_k", lit(10).cast("int"))
-    assert(keyed(disk.searchFilteredAdaptive(qs, nprobe = 1, targetSurvivors = 1000000))
-      == keyed(Similarity.filteredTopKPerQuery(qs, two)))
+    disk.buildStats("tag")   // a SECOND field joins without dropping the first
+    assert(sidecarOf(tmp).contains("\"label\"") && sidecarOf(tmp).contains("\"tag\""))
+    val tagQs = tagQueries(
+      concat(lit("""{"tag": {"$eq": """"), col("qid") % 3, lit(""""}}""")))
+    assert(keyed(disk.searchFilteredAdaptive(tagQs, nprobe = 1, targetSurvivors = 1000000))
+      == keyed(Similarity.filteredTopKPerQuery(tagQs, two)))
+    val labelQs = tagQueries(narrowFilter)
+    assert(keyed(disk.searchFilteredAdaptive(labelQs, nprobe = 1, targetSurvivors = 1000000))
+      == keyed(Similarity.filteredTopKPerQuery(labelQs, two)))
+    // replace=true keeps ONLY the requested field: tag filters lose their
+    // adaptivity (floor behavior) while label keeps widening
+    disk.buildStats("label", replace = true)
+    assert(!sidecarOf(tmp).contains("\"tag\""))
+    assert(keyed(disk.searchFilteredAdaptive(tagQs, nprobe = 1, targetSurvivors = 1000000))
+      == keyed(disk.searchFiltered(tagQs, nprobe = 1)))
+  }
+
+  test("$and with an un-statted conjunct estimates from the statted one and widens to exact") {
+    val two = twoField
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-mixed-").toString
+    val idx = IvfIndex.buildTrained(two, nlist = 8, iters = 2)
+    val disk = idx.save(spark, tmp)
+    idx.unpersist()
+    disk.buildStats("label") // tag is present in metadata but NOT statted
+    // {"label": $eq q%10, "tag": $gte "0"}: the tag conjunct matches every
+    // row (tags are "0".."2"), so the exact answer is the narrow label
+    // slice — reachable only by widening, which must run off the label
+    // conjunct's histogram instead of flooring on the foreign field
+    for (f <- Seq(
+        concat(lit("""{"label": {"$eq": """), col("qid") % 10,
+          lit("""}, "tag": {"$gte": "0"}}""")),
+        concat(lit("""{"$and": [{"label": {"$eq": """), col("qid") % 10,
+          lit("""}}, {"tag": {"$gte": "0"}}]}""")))) {
+      val qs = tagQueries(f)
+      val exact = keyed(Similarity.filteredTopKPerQuery(qs, two))
+      val adaptive = keyed(disk.searchFilteredAdaptive(
+        qs, nprobe = 2, targetSurvivors = 1000000))
+      assert(adaptive == exact,
+        s"missing ${exact -- adaptive}, extra ${adaptive -- exact}")
+      val fixed = keyed(disk.searchFiltered(qs, nprobe = 2))
+      assert(fixed != exact,
+        "floor nprobe=2 unexpectedly exact — the widening isn't being exercised")
+    }
+  }
+
+  test("two statted fields in one $and estimate as the cross-field min and widen to exact") {
+    val two = twoField
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-cross-").toString
+    val idx = IvfIndex.buildTrained(two, nlist = 8, iters = 2)
+    val disk = idx.save(spark, tmp)
+    idx.unpersist()
+    disk.buildStats("label")
+    disk.buildStats("tag")
+    val qs = tagQueries(concat(lit("""{"label": {"$lt": 2}, "tag": {"$eq": """"),
+      col("qid") % 3, lit(""""}}""")))
+    val exact = keyed(Similarity.filteredTopKPerQuery(qs, two))
+    val adaptive = keyed(disk.searchFilteredAdaptive(
+      qs, nprobe = 2, targetSurvivors = 1000000))
+    assert(adaptive == exact,
+      s"missing ${exact -- adaptive}, extra ${adaptive -- exact}")
   }
 
   test("PQ layout: rebalance refreshes the stats sidecar to a fresh rebuild") {
@@ -222,14 +281,23 @@ class AdaptiveFilteredSpec extends SparkSpec {
     val broad = queries(concat(lit("""{"label": {"$ne": """), col("qid") % 10, lit("}}")))
     assert(keyed(disk.searchFilteredAdaptive(broad, nprobe = 3, targetSurvivors = 1))
       == keyed(disk.searchFiltered(broad, nprobe = 3)))
-    // filters touching any OTHER field are outside the histogram's
-    // estimator — fall back to the floor, identical to searchFiltered
-    // (the filter still applies; no row has "other", so results are empty
-    // on both sides, and the point is the probe sets match)
-    val otherField = queries(lit(
-      """{"$and": [{"label": {"$lt": 5}}, {"other": {"$gte": 0}}]}"""))
-    assert(keyed(disk.searchFilteredAdaptive(otherField, nprobe = 3, targetSurvivors = 100000))
-      == keyed(disk.searchFiltered(otherField, nprobe = 3)))
+    // a filter with NO estimable conjunct (every leaf on an un-statted
+    // field) falls back to the floor, identical to searchFiltered — use a
+    // PRESENT un-statted field so both sides return rows and the
+    // assertion actually distinguishes floor from widening
+    val two = twoField
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-floor-").toString
+    val idx = IvfIndex.buildTrained(two, nlist = 8, iters = 2)
+    val diskTwo = idx.save(spark, tmp)
+    idx.unpersist()
+    diskTwo.buildStats("label")
+    val tagOnly = tagQueries(
+      concat(lit("""{"tag": {"$eq": """"), col("qid") % 3, lit(""""}}""")))
+    val floored = keyed(diskTwo.searchFilteredAdaptive(
+      tagOnly, nprobe = 2, targetSurvivors = 1000000))
+    assert(floored == keyed(diskTwo.searchFiltered(tagOnly, nprobe = 2)))
+    assert(floored != keyed(Similarity.filteredTopKPerQuery(tagOnly, two)),
+      "floor unexpectedly exact — the floor assertion isn't biting")
   }
 
   test("composed filters on the stats field estimate exactly: between, $and/$or, $nin") {

@@ -48,6 +48,18 @@ class FilterCompilerSpec extends SparkSpec {
     assert(idsJson("""{"color": {"$in": ["blue"]}}""") == Seq(2))
   }
 
+  test("mixed-type $in over json applies each member's own cast") {
+    // the numeric member must match through the double cast (json renders
+    // size 20 as "20", which 20.0 only equals numerically) even when the
+    // FIRST member is a string — a single first-member cast compares
+    // "20.0" against "20" and loses the match
+    assert(idsJson("""{"size": {"$in": ["nope", 20.0]}}""") == Seq(2))
+    assert(idsJson("""{"size": {"$in": [10, "nope"]}}""") == Seq(1))
+    assert(idsJson("""{"color": {"$in": ["blue", 999]}}""") == Seq(2))
+    // $nin stays the null-safe negation: row 4 (no color) survives
+    assert(idsJson("""{"color": {"$nin": ["blue", 999]}}""") == Seq(1, 3, 4))
+  }
+
   test("$exists over json paths") {
     assert(idsJson("""{"color": {"$exists": true}}""") == Seq(1, 2, 3))
     assert(idsJson("""{"color": {"$exists": false}}""") == Seq(4))

@@ -577,4 +577,13 @@ class StreamingSpec extends SparkSpec {
 
     assert(typed == sql && typed.nonEmpty)
   }
+
+  test("deglob unwraps single-alternative braces only") {
+    // single-alternative braces exist solely to make readStream accept a
+    // one-file source; a real alternation glob must reach the batch
+    // reader intact
+    assert(graft.sources.Events.deglob("dir/{events}.parquet") == "dir/events.parquet")
+    assert(graft.sources.Events.deglob("dir/{a,b}.parquet") == "dir/{a,b}.parquet")
+    assert(graft.sources.Events.deglob("d/{x}/{y,z}/{w}.pq") == "d/x/{y,z}/w.pq")
+  }
 }

@@ -114,7 +114,21 @@ sys.path.insert(0, "tools")
 from compare_oracle import table_rows  # noqa: E402
 
 SHIFT = 100000000
-FACTOR = 10
+# Replication factor: 10 for the standard sf1/sf10x tiers; override with
+# SCALE_FACTOR for deeper decades (e.g. 100 for the sf10-equivalent tier —
+# ids stay < 10^10, well inside int64). All the closed-form algebra below
+# is factor-parametric:
+#   degree'(x_r) = F d + (F-1)
+#   tri'(x_r)    = F^2 t + (3 F (F-1) / 2) d + C(F-1, 2)
+#     (F^2 per base triangle; C(F,2) same-neighbor replica pairs plus
+#      F(F-1) neighbor-replica x own-replica pairs = 3F(F-1)/2 per base
+#      edge; C(F-1,2) own-replica pairs)
+#   pagerank: S(x) = sum_{y~x} F (r(y) // degp(y)) + (F-1)(r(x) // degp(x))
+# At F=10 these reproduce the original 100/135/36 and 10d+9 constants.
+import os as _os
+FACTOR = int(_os.environ.get("SCALE_FACTOR", "10"))
+TRI_EDGE = 3 * FACTOR * (FACTOR - 1) // 2       # 135 at F=10
+TRI_OWN = (FACTOR - 1) * (FACTOR - 2) // 2      # 36 at F=10
 
 
 def main():
@@ -273,15 +287,19 @@ def main():
 
     expected["q135_triangles"] = f"""
       SELECT a.id + r.r * {SHIFT} AS id,
-        CAST(100 * a.tri + 135 * a.deg + 36 AS BIGINT) AS n_tri
+        CAST({FACTOR * FACTOR}::BIGINT * a.tri + {TRI_EDGE} * a.deg
+          + {TRI_OWN} AS BIGINT) AS n_tri
       FROM gaug a, reps r"""
 
     expected["q136_clustering_coeff"] = f"""
       SELECT a.id + r.r * {SHIFT} AS id,
-        CAST(10 * a.deg + 9 AS BIGINT) AS degree,
-        CAST(100 * a.tri + 135 * a.deg + 36 AS BIGINT) AS n_tri,
-        ROUND(CAST(100 * a.tri + 135 * a.deg + 36 AS DOUBLE)
-          / GREATEST(((10 * a.deg + 9) * (10 * a.deg + 8)) // 2, 1), 6)
+        CAST({FACTOR} * a.deg + {FACTOR - 1} AS BIGINT) AS degree,
+        CAST({FACTOR * FACTOR}::BIGINT * a.tri + {TRI_EDGE} * a.deg
+          + {TRI_OWN} AS BIGINT) AS n_tri,
+        ROUND(CAST({FACTOR * FACTOR}::BIGINT * a.tri + {TRI_EDGE} * a.deg
+            + {TRI_OWN} AS DOUBLE)
+          / GREATEST((({FACTOR} * a.deg + {FACTOR - 1})
+            * ({FACTOR} * a.deg + {FACTOR - 2})) // 2, 1), 6)
           + 0.0 AS coeff
       FROM gaug a, reps r"""
 
@@ -295,8 +313,8 @@ def main():
       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.15""")
     con.sql("""CREATE TABLE gadj AS
       SELECT u, v AS w FROM gedges UNION ALL SELECT v, u FROM gedges""")
-    con.sql("""CREATE TABLE gdegp AS
-      SELECT a.id, CAST(10 * COALESCE(d.bd, 0) + 9 AS BIGINT) AS degp
+    con.sql(f"""CREATE TABLE gdegp AS
+      SELECT a.id, CAST({FACTOR} * COALESCE(d.bd, 0) + {FACTOR - 1} AS BIGINT) AS degp
       FROM gaug a LEFT JOIN (
         SELECT u AS id, COUNT(*) AS bd FROM gadj GROUP BY u) d ON d.id = a.id""")
     scale_fp = 1000000000000
@@ -305,13 +323,13 @@ def main():
     pr_ctes = [f"pr0 AS MATERIALIZED (SELECT id, CAST({basep} AS BIGINT) AS r FROM gdegp)"]
     for t in range(1, 6):
         pr_ctes.append(f"""c{t} AS (
-          SELECT j.u AS id, SUM(10 * (rp.r // dp.degp)) AS s
+          SELECT j.u AS id, SUM({FACTOR} * (rp.r // dp.degp)) AS s
           FROM gadj j JOIN pr{t - 1} rp ON rp.id = j.w
           JOIN gdegp dp ON dp.id = j.w GROUP BY j.u)""")
         pr_ctes.append(f"""pr{t} AS MATERIALIZED (
           SELECT a.id,
             CAST((15 * CAST({basep} AS BIGINT)) // 100
-              + (85 * (COALESCE(c.s, 0) + 9 * (rp.r // a.degp))) // 100
+              + (85 * (COALESCE(c.s, 0) + {FACTOR - 1} * (rp.r // a.degp))) // 100
               AS BIGINT) AS r
           FROM gdegp a JOIN pr{t - 1} rp ON rp.id = a.id
           LEFT JOIN c{t} c ON c.id = a.id)""")
@@ -332,6 +350,19 @@ def main():
             print("NOTE q145_adaptive_filtered missing from sf1 oracle_sql.json — skipped")
     else:
         print("NOTE no sf1Dir argument — q145 direct replay skipped")
+
+    # SCALE_QUERIES=q107,q110,... judges only that subset — the deeper
+    # tiers (SCALE_FACTOR=100) run the replication-invariant/linear body
+    # and skip the pair-materializing dedup family, whose expected-side
+    # row count grows with C(F,2) per duplicate class (28M rows at F=100:
+    # a compare-harness cost, not an engine one).
+    only = os.environ.get("SCALE_QUERIES")
+    if only:
+        pats = [p for p in only.split(",") if p]
+        expected = {k: v for k, v in expected.items()
+                    if any(k.startswith(p) for p in pats)}
+        direct_replay = {k: v for k, v in direct_replay.items()
+                         if any(k.startswith(p) for p in pats)}
 
     report = {}
     n_pass = n_fail = 0
