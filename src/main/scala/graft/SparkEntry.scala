@@ -1935,7 +1935,15 @@ object SparkEntry {
       // this weakly-clustered corpus rerank depth, not rotation, is the
       // binding lever. The probed scan still reads 16-byte codes instead
       // of 512-byte raw vectors — the only arm here whose scan bytes
-      // survive 100 TB.
+      // survive 100 TB. Round-12 caveat, measured: this point is the
+      // WEAKLY-CLUSTERED family's. On a realistically-clustered corpus
+      // (tier C, tools/ClusteredCorpus — production's shape) the same
+      // selection rule lands at nlist≈#clusters / nprobe=4 / rerank=100
+      // (0.976 recall @ 0.037x scan, bench/pqgrid_r12_tierC.tsv): cell
+      // granularity, not rerank, becomes the binding lever. The rules
+      // that transfer between families: train rotation at served m;
+      // rerank repairs ADC misranks (mandatory in both); pick the point
+      // from the probe grids on YOUR corpus.
       val opSample = graft.operators.Opq.sampleVectors(cs, col("nvec"), maxSample = 4096)
       val opModel = cachedBuild("q128_ann_recall", dir, "opq-m16")(
         graft.operators.Opq.train(

@@ -28,7 +28,8 @@ import graft.operators.{Evaluation, IvfPq, KMeans, Opq, Similarity}
   * round 10's sf0.01 grid (490 candidates, 10 queries) preferred t4,
   * an artifact hypothesis this re-measures at larger samples.
   *
-  * Usage: `runMain graft.tools.PqRecallProbe [sfDir] [nQueries] [replicate]`
+  * Usage: `runMain graft.tools.PqRecallProbe [sfDir] [nQueries] [replicate]
+  * [nlists]` (`nlists` comma-separated, default `8,32`)
   * — prints a TSV. `nQueries` splits the embeddings table (vec_id <
   * nQueries are queries, the rest candidates); `replicate` > 1 unions
   * jittered candidate replicas (deterministic hash noise, ±1% per dim —
@@ -41,6 +42,8 @@ object PqRecallProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nQueries = args.lift(1).map(_.toInt).getOrElse(10)
     val replicate = args.lift(2).map(_.toInt).getOrElse(1)
+    val nlists = args.lift(3).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(8, 32))
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
@@ -79,7 +82,7 @@ object PqRecallProbe {
 
     println("arm\tnlist\tm\tnprobe\trerank\tmean_recall\tscan_frac")
     def sweep(arm: String, cands: DataFrame, queries: DataFrame): Unit =
-      for (nlist <- Seq(8, 32); m <- Seq(4, 8, 16)) {
+      for (nlist <- nlists; m <- Seq(4, 8, 16)) {
         val tmp = java.nio.file.Files
           .createTempDirectory(s"graft-pqprobe-$arm-$nlist-$m-").toString
         val idx = IvfPq.buildTrained(
@@ -88,7 +91,8 @@ object PqRecallProbe {
           .groupBy("cell").count()
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val probes =
-          if (nlist == 8) Seq(2, 3, 5, 8) else Seq(4, 8, 16, 24, 32)
+          if (nlist <= 8) Seq(2, 3, 5, 8).filter(_ <= nlist)
+          else Seq(4, 8, 16, 24, 32, 48).filter(_ <= nlist)
         for (np <- probes) {
           val scanned = queries
             .select(col("qid"), explode(KMeans.probeCells(

@@ -12,22 +12,27 @@ import graft.operators.{Evaluation, IvfIndex, KMeans, Similarity}
   * (probed-cell candidate rows / full brute-force rows), which is the
   * cost axis that matters at 100 TB (scanned bytes ~ scan fraction).
   *
-  * Usage: `runMain graft.tools.RecallProbe [sfDir] [nassign]` — prints a
-  * TSV table; the chosen operating point is recorded in BASELINE.md and
-  * asserted by the q128 harness arms.
+  * Usage: `runMain graft.tools.RecallProbe [sfDir] [nQueries] [nlists]`
+  * (`nlists` comma-separated, default `8,16,32`; widen to e.g.
+  * `32,128,512` on larger/clustered corpora) — prints a TSV table; the
+  * chosen operating point is recorded in BASELINE.md and asserted by the
+  * q128 harness arms.
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nQueries = args.lift(1).map(_.toInt).getOrElse(10)
+    val nlists = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(8, 16, 32))
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val qs = e.filter(col("vec_id") < 10)
+    val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val cs = e.filter(col("vec_id") >= 10)
+    val cs = e.filter(col("vec_id") >= nQueries)
       .select(col("vec_id").as("nid"), col("embedding").as("nvec"))
       .cache()
     val nCand = cs.count().toDouble
@@ -35,7 +40,7 @@ object RecallProbe {
     val ref = Similarity.bruteForceTopK(qs, cs, k = 10).cache()
     ref.count()
     println("nlist\tnprobe\tmean_recall\tscan_frac")
-    for (nlist <- Seq(8, 16, 32)) {
+    for (nlist <- nlists) {
       val idx = IvfIndex.buildTrained(cs, nlist = nlist, iters = 3)
       // per-cell candidate counts, for the realized scan-fraction axis
       val cellSizes = cs
@@ -43,7 +48,8 @@ object RecallProbe {
           col("nvec").cast("array<double>"), idx.centroids).as("cell"))
         .groupBy("cell").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val probes = Seq(1, 2, 3, 4, 5, 6, 8, 12, 16, 24, 32).filter(_ <= nlist)
+      val probes =
+        Seq(1, 2, 3, 4, 5, 6, 8, 12, 16, 24, 32, 48, 64).filter(_ <= nlist)
       for (np <- probes) {
         val rec = Evaluation.recallAtK(ref, idx.search(qs, k = 10, nprobe = np))
           .agg(avg(col("recall"))).head().getDouble(0)
