@@ -91,6 +91,9 @@ object SparkEntry {
   /** q145's index centroids (the adaptive filtered-probe measurement). */
   @volatile private[graft] var q145Centroids: Option[Array[Array[Double]]] = None
 
+  /** q146's index centroids (the multi-field estimation measurement). */
+  @volatile private[graft] var q146Centroids: Option[Array[Array[Double]]] = None
+
   /** Index-BUILD seconds per harness query, recorded by [[timedBuild]]
     * around the eager construction sections (index training, layout
     * writes, codebook/rotation learning). The bench reads this after
@@ -2203,6 +2206,66 @@ object SparkEntry {
           disk.searchFilteredAdaptive(qsRange, nprobe = 16, targetSurvivors = 50)))
     }),
 
+    // Multi-field filter estimation measured end to end: ONE layout
+    // carries per-field probe-stats histograms for BOTH `label` and
+    // `bucket` (the multi-field sidecar), and three filter regimes
+    // exercise the cross-field estimation algebra against fixed-floor
+    // probing — each regime as a (fixed, adaptive) recall pair vs the
+    // exact filtered brute force:
+    //   and_cross   {"label": {"$in": [q, q+1]}, "bucket": {"$lte": 3}}
+    //               both conjuncts statted → per-cell MIN over conjuncts
+    //               (a survivor upper bound; ~3/cell here, so the probe
+    //               widens past the nprobe=16 floor);
+    //   and_partial {"label": {"$in": [q, q+1]}, "parity": {"$eq": 0}}
+    //               `parity` is real metadata but NOT statted → dropped
+    //               from the estimate; the label conjunct alone still
+    //               widens (before round 12 this whole shape fell to the
+    //               floor — the hollow-cell hole for compound filters);
+    //   or_cross    {"$or": [{"label": {"$eq": q}}, {"bucket": {"$eq": 3}}]}
+    //               cross-field disjunction → SUM of per-field estimates
+    //               (measured at targetSurvivors=100, where the summed
+    //               estimate decides a past-the-floor depth).
+    "q146_multifield_adaptive" -> ((s, dir) => {
+      resetBuild("q146_multifield_adaptive")
+      val e = table(s, dir, "embeddings")
+      val cands = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+          to_json(struct(col("label"),
+            (col("vec_id") % 7).cast("int").as("bucket"),
+            (col("vec_id") % 2).cast("int").as("parity"))).as("metadata"))
+      val disk = cachedBuild("q146_multifield_adaptive", dir, "q146-ivf-nlist32-stats2") {
+        val idx = graft.operators.IvfIndex.buildTrained(cands, nlist = 32, iters = 3)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q146-ivf-").toString
+        val d = idx.save(s, tmp)
+        idx.unpersist()
+        d.buildStats("label")
+        d.buildStats("bucket") // second field KEEPS the first — the multi-field sidecar
+        d
+      }
+      q146Centroids = Some(disk.centroids)
+      val qbase = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def regime(name: String, filter: Column, target: Int) = {
+        val qs = qbase.withColumn("filter", filter)
+          .withColumn("top_k", lit(10).cast("int"))
+        val ref = graft.operators.Similarity.filteredTopKPerQuery(qs, cands)
+        graft.operators.Evaluation.recallAtK(ref, disk.searchFiltered(qs, nprobe = 16))
+          .withColumn("arm", lit(s"fixed_$name"))
+          .unionByName(graft.operators.Evaluation.recallAtK(ref,
+              disk.searchFilteredAdaptive(qs, nprobe = 16, targetSurvivors = target))
+            .withColumn("arm", lit(s"adaptive_$name")))
+      }
+      regime("and_cross",
+          concat(lit("""{"label": {"$in": ["""), col("qid") % 10, lit(", "),
+            (col("qid") + 1) % 10, lit("""]}, "bucket": {"$lte": 3}}""")), 50)
+        .unionByName(regime("and_partial",
+          concat(lit("""{"label": {"$in": ["""), col("qid") % 10, lit(", "),
+            (col("qid") + 1) % 10, lit("""]}, "parity": {"$eq": 0}}""")), 50))
+        .unionByName(regime("or_cross",
+          concat(lit("""{"$or": [{"label": {"$eq": """), col("qid") % 10,
+            lit("""}}, {"bucket": {"$eq": 3}}]}""")), 100))
+    }),
+
     // Water-filling budget allocation: cap every source at the common
     // waterline that makes total allocated char mass exactly meet the
     // budget — small sources keep everything, dominant ones are capped.
@@ -2397,7 +2460,8 @@ object SparkEntry {
     ("q129_bpe_pack" -> q129OracleSql) +
     ("q137_pagerank" -> q137OracleSql) +
     ("q144_lang_id_ngram" -> q144OracleSql) +
-    ("q145_adaptive_filtered" -> q145OracleSql)
+    ("q145_adaptive_filtered" -> q145OracleSql) +
+    ("q146_multifield_adaptive" -> q146OracleSql)
 
   /** q137: the five fixed-point rounds unrolled — pure integer
     * arithmetic, so DuckDB replays the engine's ranks to the exact unit
@@ -5717,6 +5781,143 @@ object SparkEntry {
          |${armSql("fixed_np16_range", "arm_fixed_r", "bf_r")}
          |UNION ALL
          |${armSql("adaptive_np16_range", "arm_adaptive_r", "bf_r")}""".stripMargin
+  }
+
+  /** q146: the MULTI-FIELD estimation algebra replayed end-to-end — two
+    * per-field histograms from the captured-centroid assignment, then per
+    * regime the estimate composition the engine uses (cross-field `$and`
+    * = LEAST over the conjuncts' per-cell sums, un-statted conjuncts
+    * dropped, cross-field `$or` = their sum), the widened depth, and the
+    * filtered top-k inside the probed prefix. All integer arithmetic up
+    * to the final cosine ranking (q145's established replay form).
+    */
+  private def q146OracleSql: String = q146Centroids match {
+    case None => unavailableOracle
+    case Some(cb) =>
+      def armSql(name: String, cte: String, ref: String): String =
+        s"""SELECT '$name' AS arm, $ref.qid,
+           |  CAST(COUNT(*) AS BIGINT) AS n_ref,
+           |  CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  ROUND(CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*), 4) + 0.0 AS recall
+           |FROM $ref LEFT JOIN $cte a ON $ref.qid = a.qid AND $ref.nid = a.nid
+           |GROUP BY $ref.qid""".stripMargin
+      // the three regimes' TRUE filter predicates (over assigned rows `a`
+      // with the query id column `<q>`) and their estimate/target pairs
+      def fAc(q: String) =
+        s"(a.label = $q % 10 OR a.label = ($q + 1) % 10) AND a.bucket <= 3"
+      def fAp(q: String) =
+        s"(a.label = $q % 10 OR a.label = ($q + 1) % 10) AND a.parity = 0"
+      def fOr(q: String) = s"(a.label = $q % 10 OR a.bucket = 3)"
+      def depthSql(est: String, target: Int): String =
+        s"""(
+           |  SELECT qid, CASE WHEN MAX(cum) < $target THEN ${cb.length}
+           |    ELSE GREATEST(16, MIN(CASE WHEN cum >= $target THEN rn END)) END AS d
+           |  FROM (SELECT qid, rn,
+           |      SUM(est) OVER (PARTITION BY qid ORDER BY rn) AS cum
+           |    FROM $est)
+           |  GROUP BY qid)""".stripMargin
+      def bfSql(filter: String): String =
+        s"""(
+           |  SELECT qid, nid FROM (
+           |    SELECT a.qid, a.nid, ROW_NUMBER() OVER (PARTITION BY a.qid
+           |      ORDER BY list_cosine_similarity(a.qv, a.v) DESC, a.nid ASC) AS rnk
+           |    FROM (SELECT q.qid, q.qv, c.nid, c.v, c.label, c.bucket, c.parity
+           |      FROM q CROSS JOIN c) a
+           |    WHERE $filter)
+           |  WHERE rnk <= 10)""".stripMargin
+      def armFixed(filter: String): String =
+        s"""(
+           |  SELECT qid, nid FROM (
+           |    SELECT r.qid, a.nid, ROW_NUMBER() OVER (PARTITION BY r.qid
+           |      ORDER BY list_cosine_similarity(r.qv, a.v) DESC, a.nid ASC) AS rnk
+           |    FROM ranked r JOIN assigned a ON a.tcell = r.tcell
+           |    WHERE r.rn <= 16 AND ${filter.replace("$q", "r.qid")})
+           |  WHERE rnk <= 10)""".stripMargin
+      def armAdaptive(depth: String, filter: String): String =
+        s"""(
+           |  SELECT qid, nid FROM (
+           |    SELECT r.qid, a.nid, ROW_NUMBER() OVER (PARTITION BY r.qid
+           |      ORDER BY list_cosine_similarity(r.qv, a.v) DESC, a.nid ASC) AS rnk
+           |    FROM ranked r JOIN $depth d ON d.qid = r.qid AND r.rn <= d.d
+           |    JOIN assigned a ON a.tcell = r.tcell
+           |    WHERE ${filter.replace("$q", "r.qid")})
+           |  WHERE rnk <= 10)""".stripMargin
+      // per-field per-(query, rank) survivor sums, COALESCE-0 like the
+      // engine's missing-cell lookups
+      val lblIn =
+        s"""COALESCE((SELECT SUM(h.s) FROM hist_l h WHERE h.tcell = r.tcell
+           |      AND (h.label = r.qid % 10 OR h.label = (r.qid + 1) % 10)), 0)""".stripMargin
+      val lblEq =
+        s"""COALESCE((SELECT SUM(h.s) FROM hist_l h WHERE h.tcell = r.tcell
+           |      AND h.label = r.qid % 10), 0)""".stripMargin
+      val bktLte =
+        s"""COALESCE((SELECT SUM(h.s) FROM hist_b h WHERE h.tcell = r.tcell
+           |      AND h.bucket <= 3), 0)""".stripMargin
+      val bktEq =
+        s"""COALESCE((SELECT SUM(h.s) FROM hist_b h WHERE h.tcell = r.tcell
+           |      AND h.bucket = 3), 0)""".stripMargin
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS MATERIALIZED (
+         |  SELECT vec_id AS nid, embedding::DOUBLE[] AS v, label,
+         |    CAST(vec_id % 7 AS INTEGER) AS bucket,
+         |    CAST(vec_id % 2 AS INTEGER) AS parity
+         |  FROM embeddings WHERE vec_id >= 10),
+         |cent(tcell, cvec) AS (VALUES ${centroidValues(cb)}),
+         |assigned AS MATERIALIZED (
+         |  SELECT nid, v, label, bucket, parity,
+         |    (SELECT tcell FROM cent
+         |     ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(v, cvec) ASC,
+         |       tcell ASC LIMIT 1) AS tcell
+         |  FROM c),
+         |hist_l AS MATERIALIZED (
+         |  SELECT tcell, label, COUNT(*) AS s FROM assigned GROUP BY tcell, label),
+         |hist_b AS MATERIALIZED (
+         |  SELECT tcell, bucket, COUNT(*) AS s FROM assigned GROUP BY tcell, bucket),
+         |ranked AS MATERIALIZED (
+         |  SELECT qid, qv, tcell, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(qv, cvec) ASC,
+         |      tcell ASC) AS rn
+         |  FROM q CROSS JOIN cent),
+         |est_ac AS MATERIALIZED (
+         |  SELECT r.qid, r.rn, LEAST(
+         |    $lblIn,
+         |    $bktLte) AS est
+         |  FROM ranked r),
+         |est_ap AS MATERIALIZED (
+         |  SELECT r.qid, r.rn,
+         |    $lblIn AS est
+         |  FROM ranked r),
+         |est_or AS MATERIALIZED (
+         |  SELECT r.qid, r.rn,
+         |    $lblEq +
+         |    $bktEq AS est
+         |  FROM ranked r),
+         |depth_ac AS ${depthSql("est_ac", 50)},
+         |depth_ap AS ${depthSql("est_ap", 50)},
+         |depth_or AS ${depthSql("est_or", 100)},
+         |bf_ac AS MATERIALIZED ${bfSql(fAc("a.qid"))},
+         |bf_ap AS MATERIALIZED ${bfSql(fAp("a.qid"))},
+         |bf_or AS MATERIALIZED ${bfSql(fOr("a.qid"))},
+         |arm_fixed_ac AS ${armFixed(fAc("$q"))},
+         |arm_adaptive_ac AS ${armAdaptive("depth_ac", fAc("$q"))},
+         |arm_fixed_ap AS ${armFixed(fAp("$q"))},
+         |arm_adaptive_ap AS ${armAdaptive("depth_ap", fAp("$q"))},
+         |arm_fixed_or AS ${armFixed(fOr("$q"))},
+         |arm_adaptive_or AS ${armAdaptive("depth_or", fOr("$q"))}
+         |${armSql("fixed_and_cross", "arm_fixed_ac", "bf_ac")}
+         |UNION ALL
+         |${armSql("adaptive_and_cross", "arm_adaptive_ac", "bf_ac")}
+         |UNION ALL
+         |${armSql("fixed_and_partial", "arm_fixed_ap", "bf_ap")}
+         |UNION ALL
+         |${armSql("adaptive_and_partial", "arm_adaptive_ap", "bf_ap")}
+         |UNION ALL
+         |${armSql("fixed_or_cross", "arm_fixed_or", "bf_or")}
+         |UNION ALL
+         |${armSql("adaptive_or_cross", "arm_adaptive_or", "bf_or")}""".stripMargin
   }
 
   /** q144: the language-ID decision replayed from the SAME static profile

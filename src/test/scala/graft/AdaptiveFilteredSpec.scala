@@ -235,6 +235,31 @@ class AdaptiveFilteredSpec extends SparkSpec {
       s"missing ${exact -- adaptive}, extra ${adaptive -- exact}")
   }
 
+  test("two statted fields in one $or estimate as the cross-field sum and widen to exact") {
+    val two = twoField
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-orsum-").toString
+    val idx = IvfIndex.buildTrained(two, nlist = 8, iters = 2)
+    val disk = idx.save(spark, tmp)
+    idx.unpersist()
+    disk.buildStats("label")
+    disk.buildStats("tag")
+    val qs = tagQueries(concat(lit("""{"$or": [{"label": {"$eq": """),
+      col("qid") % 10, lit("""}}, {"tag": {"$eq": """"), col("qid") % 3,
+      lit(""""}}]}""")))
+    val exact = keyed(Similarity.filteredTopKPerQuery(qs, two))
+    val adaptive = keyed(disk.searchFilteredAdaptive(
+      qs, nprobe = 2, targetSurvivors = 1000000))
+    assert(adaptive == exact,
+      s"missing ${exact -- adaptive}, extra ${adaptive -- exact}")
+    // a disjunction with a non-estimable arm is itself non-estimable:
+    // the un-statted field's survivors are unbounded by the estimable arm
+    val qsMixed = tagQueries(concat(lit("""{"$or": [{"label": {"$eq": """),
+      col("qid") % 10, lit("""}}, {"nosuch": {"$eq": 1}}]}""")))
+    assert(keyed(disk.searchFilteredAdaptive(qsMixed, nprobe = 2,
+        targetSurvivors = 1000000))
+      == keyed(disk.searchFiltered(qsMixed, nprobe = 2)))
+  }
+
   test("PQ layout: rebalance refreshes the stats sidecar to a fresh rebuild") {
     import graft.operators.IvfPq
     val tmp = java.nio.file.Files.createTempDirectory("graft-adaptive-pqreb-").toString

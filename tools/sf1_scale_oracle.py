@@ -344,12 +344,18 @@ def main():
     direct_replay = {}
     if sf1_dir:
         sf1_oracle = json.load(open(f"{sf1_out}/oracle_sql.json"))
-        if "q145_adaptive_filtered" in sf1_oracle:
-            direct_replay["q145_adaptive_filtered"] = sf1_oracle["q145_adaptive_filtered"]
-        else:
-            print("NOTE q145_adaptive_filtered missing from sf1 oracle_sql.json — skipped")
+        # q146 (multi-field estimation) retrains on the scaled corpus like
+        # q145, so it joins the same direct-replay family: the scaled run's
+        # own captured-centroid oracle — two per-field histograms, the
+        # min/drop/sum estimate composition, depth, widened top-k — runs in
+        # DuckDB against the scaled embeddings end to end.
+        for dq in ("q145_adaptive_filtered", "q146_multifield_adaptive"):
+            if dq in sf1_oracle:
+                direct_replay[dq] = sf1_oracle[dq]
+            else:
+                print(f"NOTE {dq} missing from sf1 oracle_sql.json — skipped")
     else:
-        print("NOTE no sf1Dir argument — q145 direct replay skipped")
+        print("NOTE no sf1Dir argument — q145/q146 direct replay skipped")
 
     # SCALE_QUERIES=q107,q110,... judges only that subset — the deeper
     # tiers (SCALE_FACTOR=100) run the replication-invariant/linear body
