@@ -17,10 +17,17 @@ object Verify {
     // comma-separated subset. The driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val signatures = scala.collection.mutable.TreeMap.empty[String, String]
+    // Wall time per query (plan + execute + dump), written to
+    // verify_times.json: the scale tiers (tools/sf1_scale_oracle.py)
+    // read the base-vs-scaled dumps' times to record per-query ratios —
+    // the partition-discipline evidence, not a bench-grade number (one
+    // run, includes the coalesce(1) dump write).
+    val times = scala.collection.mutable.TreeMap.empty[String, Double]
     val failed = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .flatMap { case (name, fn) =>
       try {
+        val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         // pre-execution physical plan: stable across runs at one SF, and
         // the thing a plan regression changes first
@@ -28,6 +35,7 @@ object Verify {
           graft.tools.PlanAudit.signature(df.queryExecution.executedPlan.toString)
         df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        times(name) = (System.nanoTime() - t0) / 1e9
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -66,6 +74,9 @@ object Verify {
     val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val timesJson = times
+      .map { case (k, v) => s"${q(k)}: ${f"$v%.3f"}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_times.json"), timesJson)
 
     // ---- plan-snapshot diff: every recorded query's plan signature is
     // compared against the committed PLAN_SNAPSHOT.json (same SF only —
