@@ -18,8 +18,8 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val signatures = scala.collection.mutable.TreeMap.empty[String, String]
     // Wall time per query (plan + execute + dump), written to
-    // verify_times.json: the scale tiers (tools/sf1_scale_oracle.py)
-    // read the base-vs-scaled dumps' times to record per-query ratios —
+    // verify_times.json for base-vs-scaled comparison of the scale tiers
+    // (tools/run_sf100x.sh's ratio step reads the two dumps' files) —
     // the partition-discipline evidence, not a bench-grade number (one
     // run, includes the coalesce(1) dump write).
     val times = scala.collection.mutable.TreeMap.empty[String, Double]
@@ -75,7 +75,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val timesJson = times
-      .map { case (k, v) => s"${q(k)}: ${f"$v%.3f"}" }.mkString("{", ",", "}")
+      // explicit ROOT locale: the default-locale formatter would emit a
+      // comma decimal separator under e.g. de_DE, breaking json.load
+      .map { case (k, v) =>
+        s"${q(k)}: ${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_times.json"), timesJson)
 
     // ---- plan-snapshot diff: every recorded query's plan signature is

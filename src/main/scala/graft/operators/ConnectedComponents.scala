@@ -51,6 +51,22 @@ import org.apache.spark.sql.graftbridge.GraftSqlBridge
   * run are reclaimed by the ContextCleaner when
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, or by
   * deleting the checkpoint dir after the job.
+  *
+  * Join-strategy discipline: every join in the loop (and the singleton
+  * re-attach in [[clusterPairs]]) carries an explicit MERGE hint. No side
+  * of any of them is provably bounded — labels are O(vertices), the
+  * symmetrized snapshot is O(edges), and a near-dup edge list on a
+  * duplicate-heavy corpus is quadratic in duplicate multiplicity — so a
+  * broadcast election is never safe here. And the planner WILL elect one:
+  * checkpointed frames propagate the pre-checkpoint plan's ESTIMATED
+  * stats into their `LogicalRDD`, so a pair pipeline the optimizer
+  * underestimates makes its O(E) snapshot look broadcastable at planning
+  * time (no shuffle runs before the join, so AQE never sees the real
+  * size either). Exactly that killed a 100×-scale run: the ~50M-row
+  * symmetrized snapshot was broadcast-elected and the build-side collect
+  * aborted on `spark.driver.maxResultSize` (1 GiB). Sort-merge + AQE skew
+  * splitting is the plan that survives at every scale; at label-count
+  * sizes where a broadcast would have won, the SMJ costs microseconds.
   */
 object ConnectedComponents {
 
@@ -138,7 +154,8 @@ object ConnectedComponents {
     try {
       while (!converged && iter < maxIters) {
         // neighbor messages: every edge u<-v forwards v's current component
-        val msgs = sym.join(labels, sym("v") === labels("id"))
+        // (MERGE: both sides unbounded — see the class-doc join discipline)
+        val msgs = sym.hint("merge").join(labels, sym("v") === labels("id"))
           .select(sym("u").as("id"), col("component"))
         // LAZY checkpoint: the round's one action (the convergence count
         // below) materializes it as a side effect, and from then on the
@@ -156,13 +173,13 @@ object ConnectedComponents {
         // reaches per round — see the `pointerHalving` param doc.
         val next =
           if (!pointerHalving) mins
-          else mins
+          else mins.hint("merge")
             .join(mins.select(col("id").as("rid"), col("component").as("rcomp")),
               col("component") === col("rid"))
             .select(col("id"), col("rcomp").as("component"))
         // convergence test over two flat snapshots: a vertex whose label
         // shrank means another round is needed
-        val changed = next.as("n")
+        val changed = next.as("n").hint("merge")
           .join(labels.as("p"), "id")
           .filter(col("n.component") =!= col("p.component"))
           .limit(1).count()
@@ -202,8 +219,10 @@ object ConnectedComponents {
     * through every round's union+agg+join just multiplies each round by
     * |corpus| / |paired docs| (a big factor: duplicates are the minority
     * of a deduped-enough corpus). Singletons re-attach AFTER convergence
-    * with one left join + coalesce-to-self, which AQE broadcasts when the
-    * converged label set is small.
+    * with one left join + coalesce-to-self — MERGE-pinned like the loop's
+    * joins (the label side is O(paired docs): workload-dependent and
+    * estimated from propagated pre-checkpoint stats, so a broadcast
+    * election here is a planning-time guess, not a measurement).
     */
   def clusterPairs(
       pairs: DataFrame,
@@ -215,7 +234,8 @@ object ConnectedComponents {
     val comp = runEdgeVertices(edges,
       pointerHalving = pointerHalving, reliable = reliable)
     allIds.select(idCol.as("id"))
-      .join(comp.withColumnRenamed("component", "c"), Seq("id"), "left")
+      .join(comp.withColumnRenamed("component", "c").hint("merge"),
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("component"))
       .withColumn("is_canonical", col("id") === col("component"))
   }

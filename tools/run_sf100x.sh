@@ -6,71 +6,168 @@
 # closed forms: TRI_EDGE=14850, TRI_OWN=4851, degree' = 100d+99).
 # Excluded from the big tier: q22/q23 (expected-side self-pair volume is
 # C(100,2) x docs ~ 25M rows -- a compare-harness cost, not an engine one;
-# the pair family is already hash-exact at F=10 on two corpora).
+# the pair family is already hash-exact at F=10 on two corpora). q61
+# (the same pair volume INSIDE the engine) stays in: its clustering
+# joins are MERGE-pinned, so the pair stream never rides a broadcast.
+#
+# Resumable: every step logs to $LOGDIR/<step>.log; corpus generation is
+# keyed on per-table _SUCCESS markers; Verify steps re-run ONLY queries
+# whose dump lacks _SUCCESS and merge the sidecar JSONs (oracle_sql /
+# verify_times / plan_signatures) across passes, so a mid-run death
+# resumes at the failed query, not the tier start.
 # Serialized sbt invocations (project lock).
-set -e
+set -eo pipefail
 cd /root/repo
 
 BIG=/tmp/sf100x          # 100x of sf0.1
 GRAPH=/tmp/sf100xg       # 100x of sf0.01
 BASE_OUT=/tmp/vo_sf01_base
+GRAPH_BASE_OUT=/tmp/vo_0.01
 BIG_OUT=/tmp/vo_sf100x
 GRAPH_OUT=/tmp/vo_sf100xg
+LOGDIR=/tmp/sf100x_logs
+mkdir -p "$LOGDIR"
 
 LINEAR=q61,q81,q82,q87,q91,q99,q103,q107,q109,q110,q117,q121,q122,q123,q134,q144,q145,q146
-# base run also needs q22/q23/q135/q136/q137 dumps+oracles (the script
-# creates every base table before filtering)
+# base run also needs q22/q23/q135/q136/q137 dumps+oracles (the graph
+# algebra reads base_q136; the pair family's F=10 artifacts come from here)
 BASEQ=q22,q23,q61,q81,q82,q87,q91,q99,q103,q107,q109,q110,q117,q121,q122,q123,q134,q135,q136,q137,q144
+GRAPHQ=q135,q136,q137
 
 step() { echo "=== [$(date +%H:%M:%S)] $1"; }
 
-if [ ! -d "$BIG/documents.parquet" ]; then
+# Corpus is complete only when every table dir carries Spark's _SUCCESS
+# (the dir appears as soon as the first write starts, and table order is
+# a map's — "documents exists" proves nothing about the other nine).
+corpus_complete() {
+  local dir=$1
+  for t in region nation customer supplier part orders lineitem events documents embeddings; do
+    [ -f "$dir/$t.parquet/_SUCCESS" ] || return 1
+  done
+  return 0
+}
+
+# Queries from a comma-list still missing a _SUCCESS dump under outdir.
+missing_queries() {
+  local outdir=$1 qlist=$2
+  python3 - "$outdir" "$qlist" <<'PYEOF'
+import glob, sys
+outdir, qlist = sys.argv[1], sys.argv[2]
+missing = []
+for q in qlist.split(","):
+    hits = glob.glob(f"{outdir}/{q}_*/_SUCCESS") + glob.glob(f"{outdir}/{q}/_SUCCESS")
+    if not hits:
+        missing.append(q)
+print(",".join(missing))
+PYEOF
+}
+
+# Run Verify for the missing subset only, then merge the sidecar JSONs
+# (a subset pass writes only its own entries — without the merge a
+# resumed tier would lose the completed queries' oracles/times).
+run_verify() {
+  local sfdir=$1 outdir=$2 qlist=$3 logname=$4
+  local miss
+  miss=$(missing_queries "$outdir" "$qlist")
+  if [ -z "$miss" ]; then
+    step "Verify $outdir already complete — skipped"
+    return 0
+  fi
+  step "Verify $sfdir -> $outdir (running: $miss)"
+  mkdir -p "$outdir"
+  for f in oracle_sql.json verify_times.json plan_signatures.json; do
+    [ -f "$outdir/$f" ] && cp "$outdir/$f" "$outdir/$f.prev" || true
+  done
+  SPARK_GRAFT_ONLY=$miss SPARK_GRAFT_CPUS=32 \
+    sbt -batch "runMain graft.Verify $sfdir $outdir" \
+    2>&1 | tee "$LOGDIR/$logname.log"
+  for f in oracle_sql.json verify_times.json plan_signatures.json; do
+    if [ -f "$outdir/$f.prev" ]; then
+      python3 - "$outdir/$f" <<'PYEOF'
+import json, sys
+path = sys.argv[1]
+prev = json.load(open(path + ".prev"))
+new = json.load(open(path))
+prev.update(new)  # this pass's entries win
+json.dump(prev, open(path, "w"), indent=0)
+PYEOF
+      rm -f "$outdir/$f.prev"
+    fi
+  done
+}
+
+if ! corpus_complete "$BIG"; then
   step "ScaleUp sf0.1 -> $BIG x100"
-  sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 $BIG 100"
+  rm -rf "$BIG"
+  sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 $BIG 100" \
+    2>&1 | tee "$LOGDIR/scaleup_big.log"
 fi
-if [ ! -d "$GRAPH/documents.parquet" ]; then
+if ! corpus_complete "$GRAPH"; then
   step "ScaleUp sf0.01 -> $GRAPH x100"
-  sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.01 $GRAPH 100"
+  rm -rf "$GRAPH"
+  sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.01 $GRAPH 100" \
+    2>&1 | tee "$LOGDIR/scaleup_graph.log"
 fi
 
-step "Verify base subset at sf0.1 -> $BASE_OUT"
-rm -rf "$BASE_OUT"
-SPARK_GRAFT_ONLY=$BASEQ SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $BASE_OUT"
+# Base dumps (resumable; regenerated from scratch on a fresh machine —
+# the graph algebra's base_q136 lives in the sf0.01 dump).
+run_verify /root/testdata/sf0.1 "$BASE_OUT" "$BASEQ" verify_base_sf01
+run_verify /root/testdata/sf0.01 "$GRAPH_BASE_OUT" "q136" verify_base_graph
 
-step "Verify linear body at 100x -> $BIG_OUT"
-rm -rf "$BIG_OUT"
-SPARK_GRAFT_ONLY=$LINEAR SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Verify $BIG $BIG_OUT"
+# Scaled dumps.
+run_verify "$BIG" "$BIG_OUT" "$LINEAR" verify_big
+run_verify "$GRAPH" "$GRAPH_OUT" "$GRAPHQ" verify_graph
 
-step "Verify graph family at 100x(sf0.01) -> $GRAPH_OUT"
-rm -rf "$GRAPH_OUT"
-SPARK_GRAFT_ONLY=q135,q136,q137 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Verify $GRAPH $GRAPH_OUT"
-
-step "Oracle: linear body (base = sf0.1 engine dumps)"
+step "Oracle: linear body (base = sf0.1 ENGINE dumps — self-consistency
+      of the 100x run vs the oracle-verified base, not an independent
+      DuckDB replay; the independent replay runs at the F=10 tier)"
 SCALE_FACTOR=100 BASE_FROM_ENGINE=1 SCALE_QUERIES=$LINEAR \
   python3 tools/sf1_scale_oracle.py /root/testdata/sf0.1 $BASE_OUT $BIG_OUT \
-  /tmp/sf100x_linear.json $BIG
+  /tmp/sf100x_linear.json $BIG 2>&1 | tee "$LOGDIR/oracle_linear.log"
 
 step "Oracle: graph family (base = independent DuckDB at sf0.01)"
-SCALE_FACTOR=100 SCALE_QUERIES=q135,q136,q137 \
-  python3 tools/sf1_scale_oracle.py /root/testdata/sf0.01 /tmp/vo_0.01 $GRAPH_OUT \
-  /tmp/sf100x_graph.json
+SCALE_FACTOR=100 SCALE_QUERIES=$GRAPHQ \
+  python3 tools/sf1_scale_oracle.py /root/testdata/sf0.01 $GRAPH_BASE_OUT $GRAPH_OUT \
+  /tmp/sf100x_graph.json 2>&1 | tee "$LOGDIR/oracle_graph.log"
 
-step "Merge -> CORRECTNESS_sf100x.json"
+step "Merge -> CORRECTNESS_sf100x.json + base-vs-100x wall-time ratios"
 python3 - <<'EOF'
 import json
 lin = json.load(open("/tmp/sf100x_linear.json"))
 gra = json.load(open("/tmp/sf100x_graph.json"))
+# Honest provenance per family: graph bases ARE an independent DuckDB
+# replay at sf0.01; linear bases are the engine's own oracle-verified
+# sf0.1 dumps (BASE_FROM_ENGINE=1), so the algebra checks the 100x run
+# against the base run (self-consistency), not an independent oracle.
 for v in gra.values():
-    v["oracle"] = v["oracle"].replace("sf1-", "sf100x(sf0.01-base)-")
+    v["oracle"] = "sf100x-replication-algebra(F=100, base=independent-duckdb@sf0.01)"
 for v in lin.values():
-    v["oracle"] = v["oracle"].replace("sf1-", "sf100x(sf0.1-base)-")
+    if v["oracle"].endswith("captured-centroids"):
+        v["oracle"] = "sf100x-direct-replay-captured-centroids(independent-duckdb@100x)"
+    else:
+        v["oracle"] = "sf100x-replication-algebra(F=100, base=engine-dumps@sf0.1, self-consistency)"
 merged = dict(lin); merged.update(gra)
 json.dump(merged, open("CORRECTNESS_sf100x.json", "w"), indent=2)
 npass = sum(1 for v in merged.values()
             if v["rows_match"] and v["schema_match"] and v["hash_match"])
 print(f"== sf100x tier: {npass}/{len(merged)} hash-exact")
+
+# Wall-time ratio table: 100x data on the same 32 cores vs the base run.
+# Each family against ITS base corpus: linear = sf0.1, graph = sf0.01.
+ratios = {}
+for base_path, big_path, base_sf in (
+        ("/tmp/vo_sf01_base/verify_times.json",
+         "/tmp/vo_sf100x/verify_times.json", "sf0.1"),
+        ("/tmp/vo_0.01/verify_times.json",
+         "/tmp/vo_sf100xg/verify_times.json", "sf0.01")):
+    base = json.load(open(base_path))
+    big = json.load(open(big_path))
+    for q in sorted(big):
+        if q in base:
+            ratios[q] = {"base_sf": base_sf, "base_s": base[q],
+                         "sf100x_s": big[q],
+                         "ratio": round(big[q] / base[q], 2)}
+json.dump(ratios, open("SCALE_sf100x_ratios.json", "w"), indent=2)
+print("== ratios ->", "SCALE_sf100x_ratios.json")
 EOF
 step "done"
