@@ -109,8 +109,12 @@ object Dedup {
     // constant first key (bucketPairs groups on a key pair); an int literal
     // would be read as a GROUP BY ordinal, so use a string
     val cand = TextDedup.bucketPairs(probed, lit("all"), col("cell"), col("id"), maxBlockSize)
-    val pairs = cand
+    // MERGE-pinned like TextDedup.lshVerifiedPairs' verify joins: the pair
+    // stream is multiplicity-quadratic but estimate-shrunk, so the planner
+    // would broadcast it at scale (see the comment there)
+    val pairs = cand.hint("merge")
       .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .hint("merge")
       .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("score_raw", GraftFunctions.vecCosine(col("va"), col("vb")))
       .filter(col("score_raw") > threshold)

@@ -354,6 +354,23 @@ final class DiskIvfIndex(
     Similarity.heapSelectPerQuery(scored, maxK)
   }
 
+  /** Diagnostic twin of [[searchFilteredAdaptive]]: the per-query probe
+    * set the adaptive widening decided on, as `(qid, cell)` rows —
+    * without running the scoring join. This is what a capacity planner or
+    * a recall-grid measurement reads: realized scan cost = the probed
+    * cells' candidate-row counts, and at 100 TB scanned bytes track that
+    * sum, not the nominal `nprobe` floor.
+    */
+  def adaptiveProbeCells(
+      queries: DataFrame,
+      nprobe: Int = 2,
+      targetSurvivors: Int = 100): DataFrame = {
+    val (kept, schema) = AdaptiveProbe.keptProbeRows(
+      queries, centroids, dir, nprobe, targetSurvivors)
+    spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+      .select(col("qid"), col("cell"))
+  }
+
   def searchFiltered(queries: DataFrame, nprobe: Int = 2): DataFrame = {
     val maxK = Similarity.maxTopK(queries)
     // collect the probed batch once (queries × nprobe rows; driver-safe),

@@ -110,8 +110,20 @@ object TextDedup {
     val cand = bucketPairs(banded, col("band_idx"), col("band_hash"), col("doc_id"))
 
     val sets = shingled.select(col("doc_id"), col("sh"))
-    cand
+    // MERGE-pinned verify joins: the candidate-pair stream is quadratic in
+    // duplicate multiplicity (C(k,2) per k-copy class) while the planner's
+    // estimate of it — a groupBy + array-explode chain — shrinks with the
+    // aggregate, so at scale the planner broadcast-elects it as a build
+    // side. Measured at the 100× tier: a ~25M-pair stream (≈1 GiB of
+    // UnsafeRows) was BuildLeft at PLANNING time and the broadcast collect
+    // aborted on spark.driver.maxResultSize; no shuffle precedes the
+    // election, so AQE never corrects it. Neither side is provably
+    // bounded (pairs ~ duplicate multiplicity², sets ~ corpus), so
+    // sort-merge + AQE skew split is the only plan that survives at every
+    // scale. Same discipline as ConnectedComponents' loop joins.
+    cand.hint("merge")
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .hint("merge")
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -409,8 +421,13 @@ object TextDedup {
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_val"))
 
     val sims = printed.select(col("doc_id"), col("sim"))
+    // MERGE-pinned like lshVerifiedPairs' verify joins: the pair stream is
+    // multiplicity-quadratic but estimate-shrunk, so the planner would
+    // broadcast it at scale (see the comment there)
     bucketPairs(chunked, col("chunk_idx"), col("chunk_val"), col("doc_id"))
+      .hint("merge")
       .join(sims.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .hint("merge")
       .join(sims.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))

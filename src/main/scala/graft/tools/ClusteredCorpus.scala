@@ -29,8 +29,12 @@ import org.apache.spark.sql.SparkSession
   * Output matches the testdata `embeddings.parquet` shape exactly
   * (`vec_id: long, embedding: array<float> unit-norm, label: int` 0-9),
   * so [[RecallProbe]] / [[PqRecallProbe]] / [[OpPointProbe]] run on it
-  * unchanged: `runMain graft.tools.ClusteredCorpus [outDir] [n] [dim] [k]`
-  * then `runMain graft.tools.RecallProbe <outDir>`.
+  * unchanged:
+  * `runMain graft.tools.ClusteredCorpus [outDir] [n] [dim] [k] [labelMode]`
+  * then `runMain graft.tools.RecallProbe <outDir>` (unfiltered grids) or
+  * `runMain graft.tools.FilteredRecallProbe <outDir>` (filtered/adaptive
+  * grids — pass labelMode `cluster` to generate the production
+  * topic-aligned-filter distribution those regimes exist for).
   */
 object ClusteredCorpus {
 
@@ -97,11 +101,33 @@ object ClusteredCorpus {
     (v.map(x => (x / n).toFloat), j)
   }
 
+  /** Metadata label for `id` in cluster `j` under `labelMode`:
+    *   - `uniform` (default, the original shape): hash-uniform 0-9,
+    *     INDEPENDENT of cluster — filters slice every cell equally;
+    *   - `cluster`: label = cluster mod 10 for ~90% of points, hash-
+    *     uniform for the rest. This is the production filtered-search
+    *     case — metadata (topic, language, source) CORRELATES with the
+    *     embedding clusters, so a filter's survivors concentrate in a
+    *     few cells and the rest go hollow. The 10% contamination keeps
+    *     every (cell, label) histogram entry nonzero-able, so estimation
+    *     is exercised, not just a 0/full indicator.
+    */
+  private[tools] def labelOf(id: Long, cluster: Int, labelMode: String): Int =
+    labelMode match {
+      case "uniform" => (mix(id * 13L + 7L) >>> 33).toInt % 10
+      case "cluster" =>
+        if (uniform(id * 53L + 29L) < 0.9) cluster % 10
+        else (mix(id * 13L + 7L) >>> 33).toInt % 10
+      case other => throw new IllegalArgumentException(
+        s"labelMode must be uniform|cluster, got '$other'")
+    }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse(".tmp/tierC")
     val n = args.lift(1).map(_.toLong).getOrElse(20000L)
     val dim = args.lift(2).map(_.toInt).getOrElse(64)
     val k = args.lift(3).map(_.toInt).getOrElse(128)
+    val labelMode = args.lift(4).getOrElse("uniform")
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false")
@@ -110,19 +136,21 @@ object ClusteredCorpus {
     import spark.implicits._
     val (centers, noise, anis) = mixture(k, dim)
     val bc = spark.sparkContext.broadcast((centers, noise, anis))
-    // label mirrors the testdata shape (0-9, hash-uniform) so the filtered
-    // probes (q138/q145-style regimes) run on this corpus unchanged
+    // label mirrors the testdata shape (0-9) so the filtered probes
+    // (q138/q145-style regimes) run on this corpus unchanged; labelMode
+    // decides whether it is hash-uniform or cluster-aligned (see labelOf)
     val df = spark.range(n).map { id =>
       val (cs, nz, an) = bc.value
       val (vec, cluster) = vectorOf(id, dim, cs, nz, an)
-      (id, vec, (mix(id * 13L + 7L) >>> 33).toInt % 10, cluster)
+      (id, vec, labelOf(id, cluster, labelMode), cluster)
     }.toDF("vec_id", "embedding", "label", "cluster")
     df.select($"vec_id", $"embedding", $"label")
       .repartition(16)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     // evidence line: realized clustering strength (what the grids cite)
     val stats = spark.read.parquet(s"$outDir/embeddings.parquet")
-    println(s"# tierC written: ${stats.count()} vectors, dim $dim, $k clusters -> $outDir")
+    println(s"# tierC written: ${stats.count()} vectors, dim $dim, $k clusters, " +
+      s"labels $labelMode -> $outDir")
     spark.stop()
   }
 }
