@@ -52,21 +52,24 @@ import org.apache.spark.sql.graftbridge.GraftSqlBridge
   * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, or by
   * deleting the checkpoint dir after the job.
   *
-  * Join-strategy discipline: every join in the loop (and the singleton
-  * re-attach in [[clusterPairs]]) carries an explicit MERGE hint. No side
-  * of any of them is provably bounded — labels are O(vertices), the
-  * symmetrized snapshot is O(edges), and a near-dup edge list on a
-  * duplicate-heavy corpus is quadratic in duplicate multiplicity — so a
-  * broadcast election is never safe here. And the planner WILL elect one:
-  * checkpointed frames propagate the pre-checkpoint plan's ESTIMATED
-  * stats into their `LogicalRDD`, so a pair pipeline the optimizer
-  * underestimates makes its O(E) snapshot look broadcastable at planning
-  * time (no shuffle runs before the join, so AQE never sees the real
-  * size either). Exactly that killed a 100×-scale run: the ~50M-row
-  * symmetrized snapshot was broadcast-elected and the build-side collect
-  * aborted on `spark.driver.maxResultSize` (1 GiB). Sort-merge + AQE skew
-  * splitting is the plan that survives at every scale; at label-count
-  * sizes where a broadcast would have won, the SMJ costs microseconds.
+  * Join-strategy discipline: the strategy of every join in the loop (and
+  * the singleton re-attach in [[clusterPairs]]) is decided from a
+  * MEASURED cardinality, never a planner estimate ([[MeasuredJoin]]).
+  * Estimates cannot be trusted here: checkpointed frames propagate the
+  * pre-checkpoint plan's ESTIMATED stats into their `LogicalRDD`, so a
+  * pair pipeline the optimizer underestimates makes its O(E) snapshot
+  * look broadcastable at planning time (no shuffle runs before the join,
+  * so AQE never sees the real size either). Exactly that killed a
+  * 100×-scale run: the ~50M-row symmetrized snapshot was
+  * broadcast-elected and the build-side collect aborted on
+  * `spark.driver.maxResultSize` (1 GiB). The loop instead counts the
+  * label snapshot ONCE (exact, one cheap job on materialized data) —
+  * every label-sized side holds at most that many rows, so under the row
+  * gate the label side broadcasts (provably bounded for THIS run, and
+  * ~2× cheaper per round at bench scale than the blanket merge pin
+  * round 12 measured), while over the gate every join keeps the
+  * sort-merge + AQE-skew-split plan that survived the 100× tier. The
+  * EDGE snapshot is never a build side at any size.
   */
 object ConnectedComponents {
 
@@ -144,6 +147,19 @@ object ConnectedComponents {
     // eager checkpoint: round 1 reads a flat snapshot, not a plan
     var labels = snap(vertices.select(col("id"), col("id").as("component")),
       eager = true)
+    // EXACT vertex count off the materialized snapshot (one cheap job) —
+    // every label-sized frame in the loop (labels, mins, next) holds at
+    // most nV rows, so one measurement decides the strategy for every
+    // round's label-side join: provably-bounded broadcast when nV is
+    // under the gate (two narrow columns, ≤64 MB at the default 1M-row
+    // gate), the scale-proven MERGE pin otherwise. The EDGE snapshot is
+    // never a build side at any size — that broadcast election (off
+    // propagated pre-checkpoint estimates) is what aborted the 100× tier
+    // on spark.driver.maxResultSize.
+    val nV = labels.count()
+    val labelGate = MeasuredJoin.rowGate(edges.sparkSession)
+    def labelSide(df: DataFrame): DataFrame =
+      MeasuredJoin.sizedSide(df, nV, labelGate)
     // the storage-holding RDD behind the round's snapshot, for explicit
     // reclamation once superseded (None only if a Spark version change
     // stopped surfacing LogicalRDD — then we fall back to GC reaping)
@@ -154,8 +170,8 @@ object ConnectedComponents {
     try {
       while (!converged && iter < maxIters) {
         // neighbor messages: every edge u<-v forwards v's current component
-        // (MERGE: both sides unbounded — see the class-doc join discipline)
-        val msgs = sym.hint("merge").join(labels, sym("v") === labels("id"))
+        // (label side strategy measured once above; edge side never builds)
+        val msgs = sym.join(labelSide(labels), sym("v") === labels("id"))
           .select(sym("u").as("id"), col("component"))
         // LAZY checkpoint: the round's one action (the convergence count
         // below) materializes it as a side effect, and from then on the
@@ -173,14 +189,15 @@ object ConnectedComponents {
         // reaches per round — see the `pointerHalving` param doc.
         val next =
           if (!pointerHalving) mins
-          else mins.hint("merge")
-            .join(mins.select(col("id").as("rid"), col("component").as("rcomp")),
+          else mins
+            .join(labelSide(
+              mins.select(col("id").as("rid"), col("component").as("rcomp"))),
               col("component") === col("rid"))
             .select(col("id"), col("rcomp").as("component"))
         // convergence test over two flat snapshots: a vertex whose label
         // shrank means another round is needed
-        val changed = next.as("n").hint("merge")
-          .join(labels.as("p"), "id")
+        val changed = next.as("n")
+          .join(labelSide(labels.as("p")), "id")
           .filter(col("n.component") =!= col("p.component"))
           .limit(1).count()
         // the count materialized `mins`; the previous snapshot is now
@@ -233,8 +250,13 @@ object ConnectedComponents {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val comp = runEdgeVertices(edges,
       pointerHalving = pointerHalving, reliable = reliable)
+    // comp is a materialized snapshot — count it exactly (cheap) and let
+    // the measurement pick the attach strategy (broadcast when provably
+    // bounded, the scale-proven MERGE pin otherwise)
+    val nComp = comp.count()
     allIds.select(idCol.as("id"))
-      .join(comp.withColumnRenamed("component", "c").hint("merge"),
+      .join(MeasuredJoin.sizedSide(comp.withColumnRenamed("component", "c"),
+        nComp, MeasuredJoin.rowGate(comp.sparkSession)),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("component"))
       .withColumn("is_canonical", col("id") === col("component"))

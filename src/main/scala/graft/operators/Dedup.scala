@@ -109,13 +109,14 @@ object Dedup {
     // constant first key (bucketPairs groups on a key pair); an int literal
     // would be read as a GROUP BY ordinal, so use a string
     val cand = TextDedup.bucketPairs(probed, lit("all"), col("cell"), col("id"), maxBlockSize)
-    // MERGE-pinned like TextDedup.lshVerifiedPairs' verify joins: the pair
-    // stream is multiplicity-quadratic but estimate-shrunk, so the planner
-    // would broadcast it at scale (see the comment there)
-    val pairs = cand.hint("merge")
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .hint("merge")
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+    // Verify-join strategy from MEASURED pair cardinality — same
+    // discipline as TextDedup.lshVerifiedPairs (the pair stream is
+    // multiplicity-quadratic but estimate-shrunk; a planning-time
+    // broadcast election of it is the 100×-tier abort class — see
+    // [[MeasuredJoin.attachPairPayloads]]).
+    val vecs = base.select(col("id").as("doc_id"), col("v"))
+    val pairs = MeasuredJoin.attachPairPayloads(cand, "id_a", "id_b",
+        vecs, vecs, "v", "va", "vb")
       .withColumn("score_raw", GraftFunctions.vecCosine(col("va"), col("vb")))
       .filter(col("score_raw") > threshold)
       .select(col("id_a"), col("id_b"), round(col("score_raw"), 4).as("score"))
@@ -234,10 +235,14 @@ object Dedup {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       pointerHalving = pointerHalving, reliable = reliable)
     // repComp holds PAIRED reps only (bounded by near-dup groups, usually
-    // tiny — AQE broadcasts it when it is), so it folds into the rep
-    // table BEFORE the single member-level shuffle join on the hash key.
+    // tiny), so it folds into the rep table BEFORE the single
+    // member-level shuffle join on the hash key — strategy picked from
+    // its EXACT materialized count ([[MeasuredJoin]]), not LogicalRDD
+    // estimates.
     val repsWithComp = reps.select(col("k"), col("rep"))
-      .join(repComp.select(col("id").as("rid"), col("component")),
+      .join(MeasuredJoin.sizedSide(
+          repComp.select(col("id").as("rid"), col("component")),
+          repComp.count(), MeasuredJoin.rowGate(df.sparkSession)),
         col("rep") === col("rid"), "left")
       .select(col("k"), coalesce(col("component"), col("rep")).as("component"))
     val attached = keyed.select("id", "k")

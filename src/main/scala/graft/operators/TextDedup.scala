@@ -110,21 +110,18 @@ object TextDedup {
     val cand = bucketPairs(banded, col("band_idx"), col("band_hash"), col("doc_id"))
 
     val sets = shingled.select(col("doc_id"), col("sh"))
-    // MERGE-pinned verify joins: the candidate-pair stream is quadratic in
-    // duplicate multiplicity (C(k,2) per k-copy class) while the planner's
-    // estimate of it — a groupBy + array-explode chain — shrinks with the
-    // aggregate, so at scale the planner broadcast-elects it as a build
-    // side. Measured at the 100× tier: a ~25M-pair stream (≈1 GiB of
-    // UnsafeRows) was BuildLeft at PLANNING time and the broadcast collect
-    // aborted on spark.driver.maxResultSize; no shuffle precedes the
-    // election, so AQE never corrects it. Neither side is provably
-    // bounded (pairs ~ duplicate multiplicity², sets ~ corpus), so
-    // sort-merge + AQE skew split is the only plan that survives at every
-    // scale. Same discipline as ConnectedComponents' loop joins.
-    cand.hint("merge")
-      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .hint("merge")
-      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // Verify-join strategy from MEASURED pair cardinality (see
+    // [[MeasuredJoin.attachPairPayloads]]): the candidate-pair stream is
+    // quadratic in duplicate multiplicity while the planner's estimate of
+    // it — a groupBy + array-explode chain — shrinks with the aggregate,
+    // so at scale a planning-time broadcast election of it aborted on
+    // spark.driver.maxResultSize (the round-12 100×-tier finding). The
+    // helper materializes + counts the pairs: small measured runs get the
+    // broadcast plan over the SEMI-FILTERED shingle sets (one shingle
+    // pass instead of two, zero payload shuffles); big runs get exactly
+    // the MERGE-pinned chain that survived the 100× tier.
+    MeasuredJoin.attachPairPayloads(cand, "id_a", "id_b",
+        sets, sets, "sh", "sh_a", "sh_b")
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -208,9 +205,13 @@ object TextDedup {
       pointerHalving = pointerHalving, reliable = reliable)
     // attach: doc → rep → component; unpaired reps keep themselves (the
     // rep IS the exact-dup class minimum, so coalesce(component, rep) is
-    // the group minimum in every case)
+    // the group minimum in every case). repComp is a materialized CC
+    // snapshot whose LogicalRDD stats are estimates — measure it exactly
+    // and let the count pick broadcast vs merge ([[MeasuredJoin]]).
     docRep.select(col("doc_id"), col("rep"))
-      .join(repComp, col("rep") === col("id"), "left")
+      .join(MeasuredJoin.sizedSide(repComp, repComp.count(),
+          MeasuredJoin.rowGate(df.sparkSession)),
+        col("rep") === col("id"), "left")
       .select(col("doc_id").as("id"),
         coalesce(col("component"), col("rep")).as("component"))
       .withColumn("is_canonical", col("id") === col("component"))
@@ -296,9 +297,14 @@ object TextDedup {
       inBands.withColumn("side", lit("in"))
         .unionByName(exBands.withColumn("side", lit("ex"))),
       col("band_idx"), col("band_hash"), col("doc_id"), col("side"))
-    val matches = cand
-      .join(inSets.select(col("doc_id").as("in_id"), col("sh").as("sh_a")), "in_id")
-      .join(exSets.select(col("doc_id").as("ex_id"), col("sh").as("sh_b")), "ex_id")
+    // Measured verify-join strategy (see [[MeasuredJoin]]): the cross-pair
+    // stream has the same estimate-shrunk-but-unbounded shape as the
+    // self-join families — round 12 pinned those three and left this one
+    // on planner estimates, so it also closes the latent broadcast-abort
+    // risk here (per-role semi-filters: incoming and existing sets each
+    // reduce to their own candidate ids).
+    val matches = MeasuredJoin.attachPairPayloads(cand, "in_id", "ex_id",
+        inSets, exSets, "sh", "sh_a", "sh_b")
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -398,7 +404,10 @@ object TextDedup {
     val repComp = ConnectedComponents.runEdgeVertices(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       pointerHalving = pointerHalving, reliable = reliable)
-    docRep.join(repComp, col("rep") === col("id"), "left")
+    // measured attach strategy — same rationale as minhashNearDupGroups
+    docRep.join(MeasuredJoin.sizedSide(repComp, repComp.count(),
+        MeasuredJoin.rowGate(df.sparkSession)),
+        col("rep") === col("id"), "left")
       .select(col("doc_id").as("id"),
         coalesce(col("component"), col("rep")).as("component"))
       .withColumn("is_canonical", col("id") === col("component"))
@@ -421,14 +430,16 @@ object TextDedup {
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_val"))
 
     val sims = printed.select(col("doc_id"), col("sim"))
-    // MERGE-pinned like lshVerifiedPairs' verify joins: the pair stream is
-    // multiplicity-quadratic but estimate-shrunk, so the planner would
-    // broadcast it at scale (see the comment there)
-    bucketPairs(chunked, col("chunk_idx"), col("chunk_val"), col("doc_id"))
-      .hint("merge")
-      .join(sims.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
-      .hint("merge")
-      .join(sims.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+    // Verify-join strategy from MEASURED pair cardinality — same
+    // discipline as lshVerifiedPairs (the pair stream is
+    // multiplicity-quadratic but estimate-shrunk, so a planning-time
+    // broadcast election of it is the 100×-tier abort class; see
+    // [[MeasuredJoin.attachPairPayloads]]). For phash inputs the payload
+    // table is a full image-decode pass, so the small-regime semi-filter
+    // (one payload pass instead of two) is most of the win.
+    MeasuredJoin.attachPairPayloads(
+        bucketPairs(chunked, col("chunk_idx"), col("chunk_val"), col("doc_id")),
+        "id_a", "id_b", sims, sims, "sim", "sim_a", "sim_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
