@@ -99,7 +99,13 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
     val n = results.count(_._3)
-    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    // cpus-qualified default: the driver benches at BOTH 32 and 8 cores,
+    // and a single overwrite-in-place path meant the 8-core run clobbered
+    // the 32-core per-query map — PERF's per-query and scaling blocks
+    // could never populate. The emitted JSON line carries the path either
+    // way (`per_query_file`), so consumers follow the pointer.
+    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_queries_c$cpus.json")
 
     // Run series: every FULL-suite run at this sf appends one line to the
     // series file, and the emitted JSON carries the whole series plus the
@@ -109,7 +115,10 @@ object Bench {
     // of whichever single run happened last. Subset runs (SPARK_GRAFT_ONLY)
     // never pollute the series.
     val seriesPath = sys.env.getOrElse("SPARK_GRAFT_SERIES", "bench/series.jsonl")
-    val runLine = s"""{"sf":"$sfDir","total":${r3(total)},"n":$n,""" +
+    // each line records its core count, and the composite below only
+    // aggregates runs at THIS run's (sf, cpus) — an 8-core scaling run
+    // must never blend into the 32-core min-per-query composite
+    val runLine = s"""{"sf":"$sfDir","cpus":$cpus,"total":${r3(total)},"n":$n,""" +
       s""""probes":[$probeBefore,$probeAfter],"queries":$qs}"""
     val series: Seq[(Double, Seq[Double], Map[String, Double])] = try {
       val p = java.nio.file.Paths.get(seriesPath)
@@ -127,11 +136,13 @@ object Bench {
           .flatMap(l => scala.util.Try {
             val v = org.json4s.jackson.JsonMethods.parse(l)
             ((v \ "sf").extract[String],
+              (v \ "cpus").extract[Int],
               (v \ "total").extract[Double],
               (v \ "probes").extract[Seq[Double]],
               (v \ "queries").extract[Map[String, Double]])
           }.toOption)
-          .collect { case (sf, t, pr, q) if sf == sfDir => (t, pr, q) }
+          .collect { case (sf, c, t, pr, q)
+            if sf == sfDir && c == cpus.toInt => (t, pr, q) }
       } else Nil
     } catch { case e: Throwable =>
       System.err.println(s"[bench] series read/append failed: $e"); Nil

@@ -125,9 +125,28 @@ object ConnectedComponents {
     require(!reliable || sc.getCheckpointDir.isDefined,
       "reliable checkpointing needs SparkContext.setCheckpointDir to point " +
         "at fault-tolerant storage (HDFS/S3/shared FS)")
+    // Reliable snapshots go through GraftSqlBridge.reliableSnapshot*: the
+    // RDD-level persist-before-checkpoint pattern, so the checkpoint-file
+    // write (the second job Spark runs after the materializing action)
+    // re-reads blocks instead of recomputing the round's whole plan —
+    // plain Dataset.checkpoint pays every reliable round's union+agg+join
+    // TWICE (at the 100× tier that is the difference between one 12M-row
+    // pass per round and two). Lazy snaps park their transient-block
+    // release in `pendingRelease` until the round's convergence count has
+    // materialized the snapshot.
+    var pendingRelease: Option[() => Unit] = None
+    def releasePending(): Unit = {
+      pendingRelease.foreach(_.apply())
+      pendingRelease = None
+    }
     def snap(df: DataFrame, eager: Boolean): DataFrame =
-      if (reliable) df.checkpoint(eager = eager)
-      else df.localCheckpoint(eager = eager)
+      if (!reliable) df.localCheckpoint(eager = eager)
+      else if (eager) GraftSqlBridge.reliableSnapshotEager(df)
+      else {
+        val (s, release) = GraftSqlBridge.reliableSnapshotLazy(df)
+        pendingRelease = Some(release)
+        s
+      }
     def unpersistSnap(rdd: RDD[InternalRow]): Unit =
       // local snapshots hold executor memory/disk blocks — free them NOW;
       // a reliable snapshot's RDD is file-backed (unpersist is a no-op)
@@ -144,22 +163,29 @@ object ConnectedComponents {
     // derived vertices read the flat symmetrized SNAPSHOT (one distinct),
     // never the caller's live edge plan — see runEdgeVertices
     val vertices = verticesOpt.getOrElse(sym.select(col("u").as("id")).distinct())
-    // eager checkpoint: round 1 reads a flat snapshot, not a plan
+    // LAZY checkpoint, materialized by the measurement below — one job
+    // where round 13 paid two (eager snap + count)
     var labels = snap(vertices.select(col("id"), col("id").as("component")),
-      eager = true)
-    // EXACT vertex count off the materialized snapshot (one cheap job) —
-    // every label-sized frame in the loop (labels, mins, next) holds at
-    // most nV rows, so one measurement decides the strategy for every
-    // round's label-side join: provably-bounded broadcast when nV is
-    // under the gate (two narrow columns, ≤64 MB at the default 1M-row
-    // gate), the scale-proven MERGE pin otherwise. The EDGE snapshot is
-    // never a build side at any size — that broadcast election (off
-    // propagated pre-checkpoint estimates) is what aborted the 100× tier
-    // on spark.driver.maxResultSize.
-    val nV = labels.count()
-    val labelGate = MeasuredJoin.rowGate(edges.sparkSession)
+      eager = false)
+    // EXACT measurement off the materialized snapshot (one job, fused
+    // with the materialization) — every label-sized frame in the loop
+    // (labels, mins, next) holds at most nV rows, so one measurement
+    // decides the strategy for every round's label-side join:
+    // provably-bounded broadcast when BOTH the row count and the data
+    // bytes are under the gates (the 1M-row gate assumes two long
+    // columns; wide string ids would silently blow it without the byte
+    // check — component labels are id-typed, so per-round frames stay
+    // within ~2× the measured initial snapshot), the scale-proven MERGE
+    // pin otherwise. The EDGE snapshot is never a build side at any
+    // size — that broadcast election (off propagated pre-checkpoint
+    // estimates) is what aborted the 100× tier on
+    // spark.driver.maxResultSize.
+    val (nV, labelBytes) = MeasuredJoin.materializeAndMeasure(labels)
+    releasePending()
+    val labelBounded = nV <= MeasuredJoin.rowGate(edges.sparkSession) &&
+      labelBytes.exists(_ <= MeasuredJoin.byteGate(edges.sparkSession))
     def labelSide(df: DataFrame): DataFrame =
-      MeasuredJoin.sizedSide(df, nV, labelGate)
+      if (labelBounded) broadcast(df) else df.hint("merge")
     // the storage-holding RDD behind the round's snapshot, for explicit
     // reclamation once superseded (None only if a Spark version change
     // stopped surfacing LogicalRDD — then we fall back to GC reaping)
@@ -200,9 +226,12 @@ object ConnectedComponents {
           .join(labelSide(labels.as("p")), "id")
           .filter(col("n.component") =!= col("p.component"))
           .limit(1).count()
-        // the count materialized `mins`; the previous snapshot is now
-        // unreferenced by any future plan — reclaim it explicitly so live
-        // storage stays bounded to two snapshots however many rounds run
+        // the count materialized `mins`; release its transient
+        // persist-before-checkpoint cache (reliable mode), and the
+        // previous snapshot is now unreferenced by any future plan —
+        // reclaim it explicitly so live storage stays bounded to two
+        // snapshots however many rounds run
+        releasePending()
         liveSnap.foreach(unpersistSnap)
         liveSnap = GraftSqlBridge.snapshotRdd(mins)
         labels = next
@@ -213,15 +242,28 @@ object ConnectedComponents {
         throw new IllegalStateException(
           s"connected components did not converge in $maxIters rounds — " +
             "component diameter exceeds the bound; raise maxIters")
-      // hand the caller a materialized flat-lineage frame; the finally
-      // below then releases the loop's working snapshots
-      snap(labels, eager = true)
+      if (!pointerHalving) {
+        // labels at loop exit IS the last round's materialized snapshot
+        // (next = mins, already checkpointed and flat) — hand it to the
+        // caller as-is instead of paying a redundant re-checkpoint job.
+        // Ownership transfers: clearing liveSnap excludes it from the
+        // release below (callers hold one O(paired-vertices) snapshot, as
+        // before).
+        liveSnap = None
+        labels
+      } else
+        // pointer halving leaves `labels` as a live join over the last
+        // snapshot — materialize a flat frame for the caller, THEN the
+        // finally releases the loop's working snapshots
+        snap(labels, eager = true)
     } finally {
       // BOTH paths — success and non-convergence/job failure — release the
       // working snapshots (last live label snapshot + symmetrized edge
-      // list); without this the error path would leak executor storage
-      // blocks until GC/ContextCleaner got to them, the nondeterministic
-      // reclamation the explicit tracking exists to avoid
+      // list + any transient reliable-mode cache); without this the error
+      // path would leak executor storage blocks until GC/ContextCleaner
+      // got to them, the nondeterministic reclamation the explicit
+      // tracking exists to avoid
+      releasePending()
       liveSnap.foreach(unpersistSnap)
       GraftSqlBridge.snapshotRdd(sym).foreach(unpersistSnap)
     }
@@ -250,13 +292,12 @@ object ConnectedComponents {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val comp = runEdgeVertices(edges,
       pointerHalving = pointerHalving, reliable = reliable)
-    // comp is a materialized snapshot — count it exactly (cheap) and let
-    // the measurement pick the attach strategy (broadcast when provably
-    // bounded, the scale-proven MERGE pin otherwise)
-    val nComp = comp.count()
+    // comp is a materialized snapshot — measure it exactly (one cheap
+    // job, rows AND bytes) and let the measurement pick the attach
+    // strategy (broadcast when provably bounded, the scale-proven MERGE
+    // pin otherwise)
     allIds.select(idCol.as("id"))
-      .join(MeasuredJoin.sizedSide(comp.withColumnRenamed("component", "c"),
-        nComp, MeasuredJoin.rowGate(comp.sparkSession)),
+      .join(MeasuredJoin.measuredSide(comp.withColumnRenamed("component", "c")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("component"))
       .withColumn("is_canonical", col("id") === col("component"))

@@ -101,7 +101,8 @@ object Dedup {
       nlist: Int = 16,
       nprobe: Int = 2,
       iters: Int = 3,
-      maxBlockSize: Int = 10000): (DataFrame, Array[Array[Double]]) = {
+      maxBlockSize: Int = 10000,
+      reliable: Boolean = false): (DataFrame, Array[Array[Double]]) = {
     val base = df.select(idCol.as("id"), vecCol.cast("array<double>").as("v"))
     val centroids = KMeans.train(base, col("v"), nlist, iters)
     val probed = base.select(col("id"),
@@ -116,7 +117,7 @@ object Dedup {
     // [[MeasuredJoin.attachPairPayloads]]).
     val vecs = base.select(col("id").as("doc_id"), col("v"))
     val pairs = MeasuredJoin.attachPairPayloads(cand, "id_a", "id_b",
-        vecs, vecs, "v", "va", "vb")
+        vecs, vecs, "v", "va", "vb", reliable = reliable)
       .withColumn("score_raw", GraftFunctions.vecCosine(col("va"), col("vb")))
       .filter(col("score_raw") > threshold)
       .select(col("id_a"), col("id_b"), round(col("score_raw"), 4).as("score"))
@@ -230,7 +231,8 @@ object Dedup {
       }
     val repRows = reps.select(col("rep").as("id"), col("v"))
     val (pairs, centroids) = cosineNearDupAuto(
-      repRows, col("id"), col("v"), threshold, nlist, nprobe, iters, maxBlockSize)
+      repRows, col("id"), col("v"), threshold, nlist, nprobe, iters,
+      maxBlockSize, reliable)
     val repComp = ConnectedComponents.runEdgeVertices(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       pointerHalving = pointerHalving, reliable = reliable)
@@ -240,9 +242,8 @@ object Dedup {
     // its EXACT materialized count ([[MeasuredJoin]]), not LogicalRDD
     // estimates.
     val repsWithComp = reps.select(col("k"), col("rep"))
-      .join(MeasuredJoin.sizedSide(
-          repComp.select(col("id").as("rid"), col("component")),
-          repComp.count(), MeasuredJoin.rowGate(df.sparkSession)),
+      .join(MeasuredJoin.measuredSide(
+          repComp.select(col("id").as("rid"), col("component"))),
         col("rep") === col("rid"), "left")
       .select(col("k"), coalesce(col("component"), col("rep")).as("component"))
     val attached = keyed.select("id", "k")

@@ -34,23 +34,43 @@ object Graph {
     * the orientation is an internal detail, so the result matches any
     * engine's plain a<b<c triple enumeration.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    // localCheckpoint (the ConnectedComponents lineage-cut precedent):
-    // the canonical edge list feeds the degree agg, the orientation, and
-    // — via o1/o2/closing — three sides of the wedge machinery; without
-    // the cut every branch re-runs the caller's EDGE-BUILDING plan
-    // (typically a scored similarity self-join, the expensive part).
-    // The materialized artifact is the edge list itself — O(E), the
-    // operator's own input size.
-    val und = edges
-      .select(least(col("u"), col("v")).as("a"),
-        greatest(col("u"), col("v")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    val deg = und
-      .select(explode(array(col("a"), col("b"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("d"))
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCore(canonicalSnapshot(edges))
+
+  /** Canonicalized undirected edge snapshot shared by the graph
+    * operators. localCheckpoint (the ConnectedComponents lineage-cut
+    * precedent): the canonical edge list feeds the degree agg, the
+    * orientation, and — via o1/o2/closing — three sides of the wedge
+    * machinery; without the cut every branch re-runs the caller's
+    * EDGE-BUILDING plan (typically a scored similarity self-join, the
+    * expensive part). The materialized artifact is the edge list
+    * itself — O(E), the operator's own input size.
+    */
+  private def canonicalSnapshot(edges: DataFrame): DataFrame = edges
+    .select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b"))
+    .filter(col("a") =!= col("b"))
+    .distinct()
+    .localCheckpoint()
+
+  /** Vertex degrees `(n, d)` over a canonical snapshot — one
+    * partial-aggregated explode. Identical plan wherever it appears in
+    * one query, so the exchange is planned once and REUSED by every
+    * consumer (orientation build sides, coefficient join).
+    */
+  private def degrees(und: DataFrame): DataFrame = und
+    .select(explode(array(col("a"), col("b"))).as("n"))
+    .groupBy("n").agg(count(lit(1)).as("d"))
+
+  /** The wedge machinery over a canonical snapshot: per-vertex triangle
+    * counts `(id, n_tri)`. Shared by [[triangleCounts]] and
+    * [[clusteringCoefficients]] — the latter previously re-derived the
+    * snapshot (a second distinct exchange over O(E)) and a second
+    * incompatible degree aggregate by calling the public operator on its
+    * own canonical output.
+    */
+  private def triangleCore(und: DataFrame): DataFrame = {
+    val deg = degrees(und)
     val withDeg = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
@@ -151,25 +171,19 @@ object Graph {
     * template/boilerplate signature). Degree-1 vertices have no neighbor
     * pair and are reported with coefficient 0.
     *
-    * Shape: [[triangleCounts]] plus the degree table it already
-    * computes, joined back at vertex cardinality. Returns
+    * Shape: ONE canonical snapshot and ONE degree aggregate feed both
+    * the triangle core and the coefficient join — the degree subplans
+    * are identical, so the planner reuses one exchange for all three
+    * consumers (round 13 paid a second distinct over O(E) and a second
+    * degree aggregate because this operator called the public
+    * [[triangleCounts]] on its own canonical output). Returns
     * `(id, degree, n_tri, coeff)`, coefficient rounded to 6dp.
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    // one canonicalization+cut here; triangleCounts re-canonicalizes the
-    // SNAPSHOT (already canonical — a cheap identity pass over O(E)
-    // rows), so the caller's edge-building plan still runs exactly once
-    val und = edges
-      .select(least(col("u"), col("v")).as("a"),
-        greatest(col("u"), col("v")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    val deg = und
-      .select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
-    deg.join(triangleCounts(und.select(col("a").as("u"), col("b").as("v"))),
-        Seq("id"), "left")
+    val und = canonicalSnapshot(edges)
+    val deg = degrees(und)
+    deg.select(col("n").as("id"), col("d").as("degree"))
+      .join(triangleCore(und), Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         (round(

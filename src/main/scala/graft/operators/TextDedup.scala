@@ -69,12 +69,13 @@ object TextDedup {
       shingleSize: Int = 2,
       numHashes: Int = 63,
       bands: Int = 21,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      reliable: Boolean = false): DataFrame = {
     // Single-pass native shingle hashing (see WordNgramHashes): the doc body
     // never becomes a shingle-string array, and Jaccard runs on long sets.
     val shingled = df.select(idCol.as("doc_id"),
       SketchFunctions.wordNgramHashes(lower(textCol), shingleSize, distinct = true).as("sh"))
-    lshVerifiedPairs(shingled, threshold, numHashes, bands, seed)
+    lshVerifiedPairs(shingled, threshold, numHashes, bands, seed, reliable)
   }
 
   /** The LSH band/bucket/verify core over a pre-shingled `(doc_id, sh)`
@@ -85,7 +86,8 @@ object TextDedup {
       threshold: Double,
       numHashes: Int,
       bands: Int,
-      seed: Long): DataFrame = {
+      seed: Long,
+      reliable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     // Shingle-less docs can never pair (the oracle's candidates require a
@@ -96,18 +98,38 @@ object TextDedup {
     val shingled = shingled0.filter(size(col("sh")) > 0).withColumn("sig",
       SketchFunctions.minhashSignature(col("sh"), numHashes, seed))
 
+    // Each banded row carries its doc's LEADING band hashes (bands 0 and
+    // 1) alongside its own: bucketPairsLeadSuppressed then skips emitting
+    // a pair from band j when the pair provably collides at one of those
+    // leading bands (where it IS emitted), so a near-identical pair —
+    // which collides in ~all `bands` bands — materializes once instead of
+    // `bands`× before the distinct. At the round-13 100× tier the
+    // emit-everywhere shape generated ~6×10⁹ pre-distinct rows at ~21×
+    // multiplicity; leading-band suppression cuts exactly that class
+    // (guide §2.3 shuffle fewer bytes) for 16 extra bytes per banded row.
+    // The leading hashes are recomputed per band inside the one generator
+    // expression (two 3-long xxhash64 slices) — cheaper than carrying the
+    // doc's full band-hash array through the explode, which re-copies an
+    // O(bands) array per banded row.
+    val h1Off = (if (bands > 1) r else 0) + 1
     val banded = shingled.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(slice(col("sig"), j * r + 1, lit(r))))))
-      .withColumnsRenamed(Map("pos" -> "band_idx", "col" -> "band_hash"))
+        j => struct(
+          xxhash64(slice(col("sig"), j * r + 1, lit(r))).as("bh"),
+          xxhash64(slice(col("sig"), lit(1), lit(r))).as("h0"),
+          xxhash64(slice(col("sig"), lit(h1Off), lit(r))).as("h1")))))
+      .select(col("doc_id"), col("pos").as("band_idx"),
+        col("col.bh").as("band_hash"),
+        col("col.h0").as("h0"), col("col.h1").as("h1"))
 
     // One scan + one shuffle: group each LSH bucket and emit its pairs,
     // instead of a self-join that would recompute the whole upstream for
     // both sides. Buckets are small by construction (band collisions need
     // J^rows agreement); `maxBucketSize` guards the degenerate case so one
     // stop-bucket can't go quadratic.
-    val cand = bucketPairs(banded, col("band_idx"), col("band_hash"), col("doc_id"))
+    val cand = bucketPairsLeadSuppressed(banded, col("band_idx"),
+      col("band_hash"), col("doc_id"), col("h0"), col("h1"))
 
     val sets = shingled.select(col("doc_id"), col("sh"))
     // Verify-join strategy from MEASURED pair cardinality (see
@@ -121,7 +143,7 @@ object TextDedup {
     // pass instead of two, zero payload shuffles); big runs get exactly
     // the MERGE-pinned chain that survived the 100× tier.
     MeasuredJoin.attachPairPayloads(cand, "id_a", "id_b",
-        sets, sets, "sh", "sh_a", "sh_b")
+        sets, sets, "sh", "sh_a", "sh_b", reliable = reliable)
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -196,7 +218,8 @@ object TextDedup {
     val repRows = docRep
       .filter(col("doc_id") === col("rep") && size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
-    val pairs = lshVerifiedPairs(repRows, threshold, numHashes, bands, seed)
+    val pairs = lshVerifiedPairs(repRows, threshold, numHashes, bands, seed,
+      reliable)
     // 3. propagate min labels over the paired reps only (vertices derive
     // from the loop's own checkpointed edge snapshot — deriving them from
     // the live pair plan would run the LSH pipeline twice)
@@ -207,10 +230,9 @@ object TextDedup {
     // rep IS the exact-dup class minimum, so coalesce(component, rep) is
     // the group minimum in every case). repComp is a materialized CC
     // snapshot whose LogicalRDD stats are estimates — measure it exactly
-    // and let the count pick broadcast vs merge ([[MeasuredJoin]]).
+    // and let the measurement pick broadcast vs merge ([[MeasuredJoin]]).
     docRep.select(col("doc_id"), col("rep"))
-      .join(MeasuredJoin.sizedSide(repComp, repComp.count(),
-          MeasuredJoin.rowGate(df.sparkSession)),
+      .join(MeasuredJoin.measuredSide(repComp),
         col("rep") === col("id"), "left")
       .select(col("doc_id").as("id"),
         coalesce(col("component"), col("rep")).as("component"))
@@ -249,12 +271,13 @@ object TextDedup {
       shingleSize: Int = 2,
       numHashes: Int = 63,
       bands: Int = 21,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      reliable: Boolean = false): DataFrame = {
     val in = shingleSets(incoming, idCol, textCol, shingleSize)
     val ex = shingleSets(existing, idCol, textCol, shingleSize)
     crossAdmitCore(incoming.select(idCol.as("id")),
       in, bandHashes(in, numHashes, bands, seed),
-      bandHashes(ex, numHashes, bands, seed), ex, threshold)
+      bandHashes(ex, numHashes, bands, seed), ex, threshold, reliable)
   }
 
   /** Non-empty word-shingle hash sets: `(doc_id, sh)`. Shared by the
@@ -292,7 +315,8 @@ object TextDedup {
       inBands: DataFrame,
       exBands: DataFrame,
       exSets: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      reliable: Boolean = false): DataFrame = {
     val cand = bucketCrossPairs(
       inBands.withColumn("side", lit("in"))
         .unionByName(exBands.withColumn("side", lit("ex"))),
@@ -304,7 +328,7 @@ object TextDedup {
     // risk here (per-role semi-filters: incoming and existing sets each
     // reduce to their own candidate ids).
     val matches = MeasuredJoin.attachPairPayloads(cand, "in_id", "ex_id",
-        inSets, exSets, "sh", "sh_a", "sh_b")
+        inSets, exSets, "sh", "sh_a", "sh_b", reliable = reliable)
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -364,9 +388,10 @@ object TextDedup {
       df: DataFrame,
       idCol: Column,
       textCol: Column,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3,
+      reliable: Boolean = false): DataFrame =
     hammingPairs(df.select(idCol.as("doc_id"), simhash(textCol).as("sim")),
-      maxHamming)
+      maxHamming, reliable)
 
   /** Group-first SimHash clustering: `(id, component, is_canonical)`
     * directly, without materializing the Hamming pair explosion — the
@@ -400,13 +425,12 @@ object TextDedup {
     val reps = printed.groupBy("sim").agg(min(col("doc_id")).as("rep"))
     val docRep = printed.join(reps, Seq("sim")).select(col("doc_id"), col("rep"))
     val pairs = hammingPairs(
-      reps.select(col("rep").as("doc_id"), col("sim")), maxHamming)
+      reps.select(col("rep").as("doc_id"), col("sim")), maxHamming, reliable)
     val repComp = ConnectedComponents.runEdgeVertices(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
       pointerHalving = pointerHalving, reliable = reliable)
     // measured attach strategy — same rationale as minhashNearDupGroups
-    docRep.join(MeasuredJoin.sizedSide(repComp, repComp.count(),
-        MeasuredJoin.rowGate(df.sparkSession)),
+    docRep.join(MeasuredJoin.measuredSide(repComp),
         col("rep") === col("id"), "left")
       .select(col("doc_id").as("id"),
         coalesce(col("component"), col("rep")).as("component"))
@@ -418,16 +442,29 @@ object TextDedup {
     * image perceptual-hash near-dup. Chunk-equality candidates are exact
     * (no recall loss), verified by `bit_count(xor)`.
     */
-  def hammingPairs(printed: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def hammingPairs(
+      printed: DataFrame,
+      maxHamming: Int = 3,
+      reliable: Boolean = false): DataFrame = {
     val nChunks = maxHamming + 1
     val bitsPer = 64 / nChunks
     val mask = (1L << bitsPer) - 1
+    // each chunk row carries the print's LEADING chunk values (indices 0
+    // and 1): identical prints collide in ALL nChunks buckets, so
+    // leading-bucket suppression (see bucketPairsLeadSuppressed) cuts the
+    // duplicate-class emission from nChunks× to 1× before the distinct
+    def chunkVal(i: Column): Column =
+      call_function("shiftrightunsigned", col("sim"), i * bitsPer)
+        .bitwiseAND(lit(mask))
+    val c1Idx = math.min(1, nChunks - 1)
     val chunked = printed.select(
-      col("doc_id"), col("sim"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
-        i => call_function("shiftrightunsigned", col("sim"), i * bitsPer)
-          .bitwiseAND(lit(mask)))))
-      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_val"))
+        i => struct(chunkVal(i).as("cv"),
+          chunkVal(lit(0)).as("h0"), chunkVal(lit(c1Idx)).as("h1")))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col.cv").as("chunk_val"),
+        col("col.h0").as("h0"), col("col.h1").as("h1"))
 
     val sims = printed.select(col("doc_id"), col("sim"))
     // Verify-join strategy from MEASURED pair cardinality — same
@@ -438,8 +475,10 @@ object TextDedup {
     // table is a full image-decode pass, so the small-regime semi-filter
     // (one payload pass instead of two) is most of the win.
     MeasuredJoin.attachPairPayloads(
-        bucketPairs(chunked, col("chunk_idx"), col("chunk_val"), col("doc_id")),
-        "id_a", "id_b", sims, sims, "sim", "sim_a", "sim_b")
+        bucketPairsLeadSuppressed(chunked, col("chunk_idx"), col("chunk_val"),
+          col("doc_id"), col("h0"), col("h1")),
+        "id_a", "id_b", sims, sims, "sim", "sim_a", "sim_b",
+        reliable = reliable)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -479,6 +518,62 @@ object TextDedup {
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
+  /** [[bucketPairs]] with LEADING-BUCKET suppression: a pair found in the
+    * bucket at index position `j` (key1) is NOT emitted when its two ids
+    * provably collide at index 0 (`h0` equal, any j ≥ 1) or at index 1
+    * (`h1` equal, any j ≥ 2) — positions where the pair IS emitted — so a
+    * near-duplicate pair, which collides in ~every band/chunk, emits once
+    * instead of once per collision. That multiplicity is the rule for the
+    * workload, not the edge case: verbatim copies share EVERY band, and
+    * the emit-everywhere shape generated each duplicate-class pair
+    * ~bands× before its `distinct` (~21× at the LSH defaults — ~6×10⁹
+    * pre-distinct rows at the round-13 100× tier). Pairs whose first
+    * collision is at index ≥ 2 may still emit more than once (their
+    * collision probability per band is low by construction), so the
+    * `distinct` stays — fed ~the true pair volume instead of bands× it.
+    *
+    * `h0Col`/`h1Col` carry each id's key value at index positions 0 and 1
+    * (16 fixed bytes per row — deliberately NOT the full prefix array,
+    * whose per-row copy through the explode costs more than the distinct
+    * it saves at bench scale). Suppression only ever removes an emission
+    * that has a surviving earlier twin, so the post-distinct pair set is
+    * unchanged — with the one documented exception that a pair whose
+    * index-0/1 bucket was DROPPED by the size guard loses that twin; both
+    * semantics are explicit, observed recall trades under a degenerate
+    * stop-bucket, and every recorded tier runs with zero dropped buckets
+    * (the observation metric).
+    */
+  private[graft] def bucketPairsLeadSuppressed(
+      df: DataFrame,
+      key1: Column,
+      key2: Column,
+      idCol: Column,
+      h0Col: Column,
+      h1Col: Column,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val buckets = df.groupBy(key1, key2)
+      .agg(array_sort(collect_list(
+        struct(idCol.as("id"), h0Col.as("h0"), h1Col.as("h1")))).as("ms"))
+      .observe(s"bucket_pairs_guard_${guardSeq.incrementAndGet()}",
+        coalesce(sum(when(size(col("ms")) > maxBucketSize, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_buckets"),
+        coalesce(max(size(col("ms"))), lit(0)).as("max_bucket_size"),
+        lit(maxBucketSize).as("max_allowed"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+    buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        filter(
+          transform(
+            slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
+            y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+              (((key1 > 0) && (x.getField("h0") === y.getField("h0"))) ||
+                ((key1 > 1) && (x.getField("h1") === y.getField("h1"))))
+                .as("sup"))),
+          s => !s.getField("sup"))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }

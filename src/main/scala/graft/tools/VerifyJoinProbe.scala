@@ -49,7 +49,7 @@ object VerifyJoinProbe {
       val f = sets.join(broadcast(ids), Seq("doc_id"), "left_semi").localCheckpoint()
       f.count(); f
     }
-    println(s"[probe] filtered bytes=${graft.operators.MeasuredJoin.snapshotBytes(filtered)}")
+    println(s"[probe] filtered (rows,bytes)=${graft.operators.MeasuredJoin.materializeAndMeasure(filtered)}")
     time("verify join chain (broadcast x2) count") {
       cand.join(broadcast(filtered.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))), "id_a")
         .join(broadcast(filtered.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))), "id_b")
@@ -81,7 +81,7 @@ object VerifyJoinProbe {
       val f = vecs.join(broadcast(cids), Seq("doc_id"), "left_semi").localCheckpoint()
       f.count(); f
     }
-    println(s"[probe] cosine filtered bytes=${graft.operators.MeasuredJoin.snapshotBytes(fv)}")
+    println(s"[probe] cosine filtered (rows,bytes)=${graft.operators.MeasuredJoin.materializeAndMeasure(fv)}")
     time("cosine verify chain (broadcast x2) count") {
       ccand.join(broadcast(fv.select(col("doc_id").as("id_a"), col("v").as("va"))), "id_a")
         .join(broadcast(fv.select(col("doc_id").as("id_b"), col("v").as("vb"))), "id_b")

@@ -87,11 +87,48 @@ class MeasuredJoinSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
-  test("snapshotBytes: measured for a materialized snapshot, None for a plain frame") {
+  test("rowBytes / materializeAndMeasure: exact accounting, None for unsupported types") {
     import spark.implicits._
-    val snap = (1 to 100).toDF("x").localCheckpoint()
-    snap.count()
-    assert(MeasuredJoin.snapshotBytes(snap).exists(_ > 0L))
-    assert(MeasuredJoin.snapshotBytes((1 to 3).toDF("x")).isEmpty)
+    val df = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq.empty[Long]))
+      .toDF("id", "sh").localCheckpoint(eager = false)
+    val (n, bytes) = MeasuredJoin.materializeAndMeasure(df)
+    assert(n == 2)
+    // per row: 8 header + 8 (long id) + 24 + 8·|sh| → 64 + 40
+    assert(bytes.contains(104L))
+    // maps are outside the accounted type set — caller must assume big
+    val m = Seq((1, Map("a" -> 1))).toDF("id", "m")
+    assert(MeasuredJoin.rowBytes(m).isEmpty)
+  }
+
+  test("leading-bucket suppression: same pair set as any-band emission") {
+    import spark.implicits._
+    // band-hash vectors: 1 and 2 collide in ALL three bands (suppressed
+    // at bands 1/2, emitted at band 0); 3 meets them only in band 2 (no
+    // leading collision — emitted there); 5 and 6 collide at bands 0 and
+    // 1 only (band-1 emission suppressed via h0); 4 collides nowhere
+    val bhs = Map(
+      1L -> Seq(10L, 20L, 30L),
+      2L -> Seq(10L, 20L, 30L),
+      3L -> Seq(11L, 21L, 30L),
+      4L -> Seq(12L, 22L, 32L),
+      5L -> Seq(13L, 23L, 33L),
+      6L -> Seq(13L, 23L, 34L))
+    val banded = bhs.toSeq.flatMap { case (id, hs) =>
+      hs.zipWithIndex.map { case (h, i) => (id, i, h, hs.head, hs(1)) }
+    }.toDF("doc_id", "band_idx", "band_hash", "h0", "h1")
+    val out = TextDedup.bucketPairsLeadSuppressed(banded, col("band_idx"),
+        col("band_hash"), col("doc_id"), col("h0"), col("h1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)))
+  }
+
+  test("reliable verify-join snapshots: identical pairs to the local-snapshot path") {
+    val dir = java.nio.file.Files.createTempDirectory("mj-reliable-").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val rel = TextDedup.minhashNearDupPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.5, reliable = true)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rel == pairsAt(1000000L, 64L << 20))
   }
 }
