@@ -204,15 +204,25 @@ object MeasuredJoin {
           .hint("merge").join(side(pB, keyB, outB), keyB)
     val bg = byteGate(spark)
     val rg = rowGate(spark)
-    val ids = cand
+    val idsPlan = cand
       .select(explode(array(col(keyA), col(keyB))).as("doc_id")).distinct()
+    // In the local (default) mode the id list is a LAZY local snapshot in
+    // the same lineage as the pair snapshot, so measurement job 1 below
+    // materializes BOTH in one pass — the fused form of round 13's
+    // separate cand-checkpoint, ids-checkpoint and ids-count jobs — and
+    // the broadcast semi-join build then reads the pinned id blocks
+    // instead of re-running the explode+distinct (a measured 0.3–0.5 s
+    // shuffle-job recompute per query on a busy host). In RELIABLE mode
+    // the id list stays a plain plan over the file-backed pair snapshot:
+    // a lineage-truncated local id snapshot would be unrecoverable on
+    // executor loss — exactly the guarantee the flag buys — so the
+    // broadcast build re-derives it from the reliable files (a flat
+    // scan + small shuffle, fully recoverable).
+    val ids =
+      if (reliable) idsPlan else idsPlan.localCheckpoint(eager = false)
     // measurement job 1 (often the only one): computing the exact
-    // distinct-endpoint count materializes the pair snapshot as a side
-    // effect — the fused form of round 13's separate cand-checkpoint,
-    // ids-checkpoint and ids-count jobs. The id list itself is never
-    // checkpointed: its two consumers below re-derive it from the
-    // materialized pair snapshot (a cheap flat scan), which costs less
-    // than a third eager job ever did.
+    // distinct-endpoint count materializes the pair snapshot (and, in
+    // local mode, the id snapshot) as a side effect.
     val nIds = ids.count()
     candRelease()
     if (nIds > rg) joinChain(payloadA, payloadB, bounded = false)
